@@ -1,0 +1,384 @@
+"""Skeleton topology + BVH IO + forward kinematics.
+
+Replaces the anim_utils layer the reference depends on (SURVEY.md §2.9):
+`BVHReader/BVHWriter`, `SkeletonBuilder`, per-node `get_global_position`.
+
+Design: the skeleton is split into
+  * a host-side description (`Skeleton`): names, parents, channel layout —
+    plain numpy / Python, used for IO and to *compile* FK;
+  * FK itself (`fk_positions`, `fk_global`), pure jittable functions over a
+    static topology: the joint loop unrolls at trace time into a chain of
+    batched quaternion ops, so FK over (crowd × frames × joints) is one
+    fused XLA computation — no per-frame Python as in the reference.
+
+Quaternion frame layout (matches the reference's anim_utils convention used
+throughout, e.g. reference motion_model/motion_spline.py frames):
+  frame = [root_tx, root_ty, root_tz, q_joint0 (w,x,y,z), q_joint1, ...]
+for the `animated_joints` in skeleton order; length 3 + 4 * n_animated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import io
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import quat
+
+
+@dataclasses.dataclass(frozen=True)
+class Skeleton:
+    """Static skeleton description (host side; hashable for jit closure)."""
+
+    node_names: tuple  # all nodes incl. end sites, depth-first BVH order
+    parents: tuple  # parent index per node (-1 for root)
+    offsets: np.ndarray  # [n_nodes, 3] local offsets
+    node_channels: tuple  # per node: tuple of BVH channel names (may be empty)
+    animated_joints: tuple  # names of joints carrying quaternions in frames
+    frame_time: float = 1.0 / 30
+
+    def __post_init__(self):
+        object.__setattr__(self, "offsets", np.asarray(self.offsets, np.float32))
+
+    def __hash__(self):
+        return hash((self.node_names, self.parents, self.animated_joints))
+
+    def __eq__(self, other):
+        return (isinstance(other, Skeleton)
+                and self.node_names == other.node_names
+                and self.parents == other.parents
+                and np.array_equal(self.offsets, other.offsets)
+                and self.animated_joints == other.animated_joints)
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.node_names)
+
+    @property
+    def n_animated(self) -> int:
+        return len(self.animated_joints)
+
+    @property
+    def n_frame_params(self) -> int:
+        return 3 + 4 * self.n_animated
+
+    def index_of(self, name: str) -> int:
+        return self.node_names.index(name)
+
+    def animated_index_of(self, name: str) -> int:
+        return self.animated_joints.index(name)
+
+    def quat_slice(self, joint_name: str) -> slice:
+        """Slice into a quaternion frame for a joint's 4 quaternion params."""
+        i = self.animated_index_of(joint_name)
+        return slice(3 + 4 * i, 3 + 4 * i + 4)
+
+
+# ---------------------------------------------------------------------------
+# BVH parsing / writing (host side, numpy)
+# ---------------------------------------------------------------------------
+
+_CHANNEL_NAMES = {"Xposition", "Yposition", "Zposition",
+                  "Xrotation", "Yrotation", "Zrotation"}
+
+
+def _parse_bvh(text: str):
+    tokens = text.replace("\t", " ").split()
+    pos = 0
+
+    def peek():
+        return tokens[pos]
+
+    def take(expect: Optional[str] = None):
+        nonlocal pos
+        tok = tokens[pos]
+        pos += 1
+        if expect is not None and tok != expect:
+            raise ValueError(f"BVH parse error: expected {expect}, got {tok}")
+        return tok
+
+    node_names: List[str] = []
+    parents: List[int] = []
+    offsets: List[List[float]] = []
+    node_channels: List[tuple] = []
+
+    take("HIERARCHY")
+
+    def parse_node(parent_idx: int, kind: str):
+        if kind == "End":
+            take("Site")
+            # unique name for end sites
+            name = node_names[parent_idx] + "_EndSite"
+        else:
+            name = take()
+        idx = len(node_names)
+        node_names.append(name)
+        parents.append(parent_idx)
+        take("{")
+        take("OFFSET")
+        offsets.append([float(take()), float(take()), float(take())])
+        chans: tuple = ()
+        if peek() == "CHANNELS":
+            take()
+            n = int(take())
+            chans = tuple(take() for _ in range(n))
+            for c in chans:
+                if c not in _CHANNEL_NAMES:
+                    raise ValueError(f"unknown BVH channel {c}")
+        node_channels.append(chans)
+        while peek() in ("JOINT", "End"):
+            kind2 = take()
+            parse_node(idx, kind2)
+        take("}")
+
+    take("ROOT")
+    parse_node(-1, "ROOT")
+
+    take("MOTION")
+    take("Frames:")
+    n_frames = int(take())
+    take("Frame")
+    take("Time:")
+    frame_time = float(take())
+    values = np.array([float(t) for t in tokens[pos:]], dtype=np.float64)
+    n_ch = sum(len(c) for c in node_channels)
+    if values.size != n_frames * n_ch:
+        raise ValueError(f"BVH motion size mismatch: {values.size} != {n_frames}x{n_ch}")
+    frames = values.reshape(n_frames, n_ch)
+    return node_names, parents, offsets, node_channels, frames, frame_time
+
+
+def load_bvh(path_or_text: str):
+    """Read a BVH file (path or raw string).
+
+    Returns (skeleton, euler_frames [n_frames, n_channels]) where the euler
+    frames are the raw BVH channel values.
+    """
+    if "\nMOTION" in path_or_text or "HIERARCHY" in path_or_text[:64]:
+        text = path_or_text
+    else:
+        with open(path_or_text) as f:
+            text = f.read()
+    names, parents, offsets, channels, frames, frame_time = _parse_bvh(text)
+    animated = tuple(n for n, c in zip(names, channels)
+                     if any(ch.endswith("rotation") for ch in c))
+    skel = Skeleton(tuple(names), tuple(parents), np.asarray(offsets, np.float32),
+                    tuple(channels), animated, frame_time)
+    return skel, frames
+
+
+def _rotation_order(chans: Sequence[str]) -> str:
+    return "r" + "".join(c[0].lower() for c in chans if c.endswith("rotation"))
+
+
+def _np_from_euler(angles_deg: np.ndarray, order: str) -> np.ndarray:
+    """Host-side euler->quat (w-first), matching ops.quat.from_euler.
+
+    Uses scipy's intrinsic-rotation convention, which equals the rotating-
+    frame composition qx*qy*qz used by BVH (validated in tests/test_quat.py).
+    """
+    from scipy.spatial.transform import Rotation
+    r = Rotation.from_euler(order[1:].upper(), angles_deg, degrees=True)
+    q_xyzw = r.as_quat()
+    return np.roll(q_xyzw, 1, axis=-1)
+
+
+def _np_to_euler(q_wxyz: np.ndarray, order: str) -> np.ndarray:
+    from scipy.spatial.transform import Rotation
+    r = Rotation.from_quat(np.roll(np.asarray(q_wxyz, np.float64), -1, axis=-1))
+    return r.as_euler(order[1:].upper(), degrees=True)
+
+
+def _np_fix_signs_sequential(quats: np.ndarray) -> np.ndarray:
+    """Host-side twin of ops.quat.fix_signs_sequential over axis 0."""
+    d = np.sum(quats[1:] * quats[:-1], axis=-1)
+    step_sign = np.where(d < 0.0, -1.0, 1.0)
+    run = np.cumprod(step_sign, axis=0)
+    run = np.concatenate([np.ones_like(run[:1]), run], axis=0)
+    return quats * run[..., None]
+
+
+def bvh_to_quat_frames(skel: Skeleton, euler_frames: np.ndarray) -> np.ndarray:
+    """BVH channel rows -> quaternion frames [T, 3 + 4*n_animated].
+
+    Root translation is taken from the root's position channels; each animated
+    joint's euler triplet converts through `quat.from_euler` with its channel
+    order.  Signs are sequentially hemisphere-aligned for blending (reference
+    construction/utils.py:162-184 semantics).
+    """
+    euler_frames = np.asarray(euler_frames, np.float64)
+    t = euler_frames.shape[0]
+    out = [np.zeros((t, 3), np.float32)]
+    col = 0
+    root_seen = False
+    quats_per_joint = []
+    for name, chans in zip(skel.node_names, skel.node_channels):
+        n = len(chans)
+        if n == 0:
+            continue
+        vals = euler_frames[:, col: col + n]
+        col += n
+        pos_cols = [i for i, c in enumerate(chans) if c.endswith("position")]
+        rot_cols = [i for i, c in enumerate(chans) if c.endswith("rotation")]
+        if pos_cols and not root_seen:
+            out[0] = vals[:, pos_cols].astype(np.float32)
+            root_seen = True
+        if rot_cols and name in skel.animated_joints:
+            order = _rotation_order(chans)
+            q = _np_from_euler(vals[:, rot_cols], order)
+            quats_per_joint.append(q)
+    quats = np.stack(quats_per_joint, axis=1)  # [T, J, 4]
+    quats = _np_fix_signs_sequential(quats)
+    return np.concatenate([out[0], quats.reshape(t, -1)], axis=1).astype(np.float32)
+
+
+def quat_frames_to_bvh(skel: Skeleton, quat_frames: np.ndarray) -> np.ndarray:
+    """Quaternion frames -> BVH channel rows (inverse of bvh_to_quat_frames)."""
+    quat_frames = np.asarray(quat_frames)
+    t = quat_frames.shape[0]
+    cols = []
+    ai = 0
+    for name, chans in zip(skel.node_names, skel.node_channels):
+        if len(chans) == 0:
+            continue
+        pos_cols = [c for c in chans if c.endswith("position")]
+        rot_chans = [c for c in chans if c.endswith("rotation")]
+        vals = np.zeros((t, len(chans)), np.float64)
+        ci = 0
+        for c in chans:
+            if c.endswith("position"):
+                axis = "XYZ".index(c[0])
+                if name == skel.node_names[0]:
+                    vals[:, ci] = quat_frames[:, axis]
+                ci += 1
+            else:
+                ci += 1
+        if rot_chans and name in skel.animated_joints:
+            q = quat_frames[:, skel.quat_slice(name)]
+            order = _rotation_order(chans)
+            eul = _np_to_euler(q, order)
+            rot_idx = [i for i, c in enumerate(chans) if c.endswith("rotation")]
+            vals[:, rot_idx] = eul
+            ai += 1
+        cols.append(vals)
+    return np.concatenate(cols, axis=1)
+
+
+def write_bvh(skel: Skeleton, quat_frames: np.ndarray,
+              path: Optional[str] = None) -> str:
+    """Serialize quaternion frames to BVH text (and optionally a file)."""
+    buf = io.StringIO()
+    buf.write("HIERARCHY\n")
+    children: Dict[int, List[int]] = {}
+    for i, p in enumerate(skel.parents):
+        children.setdefault(p, []).append(i)
+
+    def emit(idx: int, depth: int):
+        indent = "  " * depth
+        name = skel.node_names[idx]
+        is_end = name.endswith("_EndSite")
+        if idx == 0:
+            buf.write(f"{indent}ROOT {name}\n")
+        elif is_end:
+            buf.write(f"{indent}End Site\n")
+        else:
+            buf.write(f"{indent}JOINT {name}\n")
+        buf.write(f"{indent}{{\n")
+        o = skel.offsets[idx]
+        buf.write(f"{indent}  OFFSET {o[0]:.6f} {o[1]:.6f} {o[2]:.6f}\n")
+        chans = skel.node_channels[idx]
+        if chans:
+            buf.write(f"{indent}  CHANNELS {len(chans)} {' '.join(chans)}\n")
+        for c in children.get(idx, []):
+            emit(c, depth + 1)
+        buf.write(f"{indent}}}\n")
+
+    emit(0, 0)
+    rows = quat_frames_to_bvh(skel, quat_frames)
+    buf.write("MOTION\n")
+    buf.write(f"Frames: {rows.shape[0]}\n")
+    buf.write(f"Frame Time: {skel.frame_time:.6f}\n")
+    for row in rows:
+        buf.write(" ".join(f"{v:.6f}" for v in row) + "\n")
+    text = buf.getvalue()
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(text)
+    return text
+
+
+# ---------------------------------------------------------------------------
+# Forward kinematics (jittable; topology static)
+# ---------------------------------------------------------------------------
+
+def _fk_tables(skel: Skeleton):
+    """Static tables for FK: per node, its parent and (if animated) the index
+    of its quaternion block in the frame vector, else -1."""
+    anim_idx = []
+    for name in skel.node_names:
+        anim_idx.append(skel.animated_joints.index(name)
+                        if name in skel.animated_joints else -1)
+    return tuple(anim_idx)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def fk_global(skel: Skeleton, frames: jax.Array):
+    """Global transforms for every node.
+
+    frames: [..., 3 + 4J] quaternion frames.
+    Returns (positions [..., n_nodes, 3], orientations [..., n_nodes, 4]).
+
+    The node loop unrolls at trace time (topology is static), each step a
+    batched quaternion rotate + multiply — the whole crowd × time batch flows
+    through the VPU with no host round-trips (replaces reference per-frame
+    `node.get_global_position`, SURVEY.md §2.9).
+    """
+    anim_idx = _fk_tables(skel)
+    root_t = frames[..., :3]
+    quats = frames[..., 3:].reshape(frames.shape[:-1] + (skel.n_animated, 4))
+
+    offsets = jnp.asarray(skel.offsets)
+    identity = jnp.broadcast_to(
+        jnp.array([1.0, 0.0, 0.0, 0.0], frames.dtype), frames.shape[:-1] + (4,))
+
+    pos_list = []
+    ori_list = []
+    for i in range(skel.n_nodes):
+        parent = skel.parents[i]
+        local_q = quats[..., anim_idx[i], :] if anim_idx[i] >= 0 else identity
+        off = jnp.broadcast_to(offsets[i], frames.shape[:-1] + (3,))
+        if parent < 0:
+            pos = off + root_t
+            ori = local_q
+        else:
+            p_pos, p_ori = pos_list[parent], ori_list[parent]
+            pos = p_pos + quat.rotate_vec(p_ori, off)
+            ori = quat.multiply(p_ori, local_q)
+        pos_list.append(pos)
+        ori_list.append(ori)
+    return jnp.stack(pos_list, axis=-2), jnp.stack(ori_list, axis=-2)
+
+
+def fk_positions(skel: Skeleton, frames: jax.Array) -> jax.Array:
+    """Global positions only: [..., n_nodes, 3]."""
+    return fk_global(skel, frames)[0]
+
+
+def fk_point_cloud(skel: Skeleton, frames: jax.Array,
+                   normalize: bool = False) -> jax.Array:
+    """Point cloud per frame for DTW / pose distance (reference
+    construction/utils.py:76-93 `_convert_pose_to_point_cloud`).
+
+    normalize=True zeroes root translation + rotation before FK.
+    """
+    if normalize:
+        ident = jnp.array([1.0, 0, 0, 0], frames.dtype)
+        frames = frames.at[..., :3].set(0.0)
+        frames = frames.at[..., 3:7].set(ident)
+    return fk_positions(skel, frames)

@@ -1,0 +1,90 @@
+"""Temporal fPCA warping kernels.
+
+The reference reconstructs a monotone time-warp t(t') from a temporal latent
+vector gamma by the exp-sum construction, then *inverts* it with a scipy
+spline fit and resamples (reference motion_model/motion_primitive.py:289-318).
+The spline-fit inversion is hostile to jit; since t(t') is strictly monotone,
+we invert with `jnp.interp` on the dense cumsum instead (mathematically the
+same sampling up to interpolation order; validated <1e-3 in tests, the hard
+part called out in SURVEY.md §7).
+
+Variable output length (round(t[-2]) frames) is data-dependent, so jitted
+callers get a fixed `max_frames` buffer plus a valid-frame count; indices past
+the end clamp to the final canonical frame, which keeps downstream spline
+evaluation well-defined and maskable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def canonical_time_function(mean_t_d: jax.Array, eigen_t_d: jax.Array,
+                            gamma: jax.Array) -> jax.Array:
+    """t(t') = cumsum(exp(mean_t + T_discrete @ gamma)) - 1.
+
+    mean_t_d: [F] temporal mean spline discretized at canonical frames.
+    eigen_t_d: [F, k_t] temporal eigensplines discretized likewise.
+    Returns [F] strictly increasing canonical time function with t[0] >= 0.
+
+    Mirrors reference motion_primitive.py:289-302 (including the -1 shift that
+    undoes the +1 applied during training's z-transform).
+    """
+    w = mean_t_d + eigen_t_d @ gamma
+    return jnp.cumsum(jnp.exp(w)) - 1.0
+
+
+def invert_time_function(t_canonical: jax.Array, n_canonical: int,
+                         max_frames: int, speed: float = 1.0):
+    """Invert t(t') -> t'(t) and sample on the output frame grid.
+
+    Reference semantics (motion_primitive.py:304-318): the output has
+    `round(t[-2]) * (1/speed)` interior frames sampled at
+    linspace(1, t[-2], num), bracketed by an exact 0 first frame and an exact
+    (n_canonical-1) last frame.
+
+    Returns (time_function [max_frames], n_frames int32).  Entries at index
+    >= n_frames are clamped to n_canonical - 1.
+    """
+    t_end = t_canonical[-2]
+    num = jnp.round(t_end) * (1.0 / speed)
+    num = jnp.maximum(num, 1.0)
+    n_frames = (num + 2.0).astype(jnp.int32)  # + leading 0 and trailing end frame
+
+    # Interior sample positions: linspace(1, t_end, num) realized on a fixed
+    # grid of max_frames slots; slot i (1-based interior index i-1) maps to
+    # 1 + (t_end - 1) * (i-1)/(num-1).
+    i = jnp.arange(max_frames, dtype=t_canonical.dtype)
+    denom = jnp.maximum(num - 1.0, 1.0)
+    interior = 1.0 + (t_end - 1.0) * (i - 1.0) / denom
+    # Invert by monotone interpolation: x = t(t'), y = t' = 0..F-1.
+    tprime = jnp.interp(interior, t_canonical,
+                        jnp.arange(n_canonical, dtype=t_canonical.dtype))
+    out = jnp.where(i == 0, 0.0, tprime)
+    last = n_frames - 1
+    out = jnp.where(i >= last, float(n_canonical - 1), out)
+    return out, n_frames
+
+
+def linear_time_function(n_canonical: int, max_frames: int, speed: float = 1.0):
+    """Canonical (unwarped) timeline: linspace(0, F, F/speed) as in reference
+    motion_primitive.py:233 when time parameters are unused."""
+    num = int(round(n_canonical * (1.0 / speed)))
+    i = jnp.arange(max_frames, dtype=jnp.float32)
+    vals = i * (float(n_canonical) / max(num - 1, 1))
+    vals = jnp.minimum(vals, float(n_canonical - 1))
+    return vals, jnp.asarray(num, jnp.int32)
+
+
+def z_transform(time_functions: jax.Array) -> jax.Array:
+    """Training-side inverse of the exp-sum: w(t) = ln(t'(t) - t'(t-1)).
+
+    Mirrors reference construction/fpca/fpca_time_semantic.py:69-82
+    (z_t_transform): prepend the implicit -1 shift, diff, log.
+    time_functions: [..., F] monotone warps -> [..., F] log-increment curves.
+    """
+    shifted = time_functions + 1.0
+    prev = jnp.concatenate([jnp.zeros_like(shifted[..., :1]), shifted[..., :-1]], axis=-1)
+    inc = jnp.maximum(shifted - prev, 1e-6)
+    return jnp.log(inc)

@@ -1,0 +1,13 @@
+"""Test env: force CPU backend with 8 virtual devices so sharding tests run
+without TPU hardware (SURVEY.md §4 "Distributed/TPU" strategy).
+
+Must set the env vars before jax initializes, hence module scope here.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -1,0 +1,84 @@
+"""Skeleton / BVH IO / FK tests."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from morphablegraphs_tpu.models import skeleton as sk
+
+from fixtures import TEST_BVH
+
+
+def test_bvh_parse():
+    skel, frames = sk.load_bvh(TEST_BVH)
+    assert skel.node_names[0] == "Hips"
+    assert "Head_EndSite" in skel.node_names
+    assert skel.animated_joints == ("Hips", "Spine", "Head", "Leg")
+    assert frames.shape == (2, 15)
+    assert abs(skel.frame_time - 0.033333) < 1e-6
+    assert skel.parents[skel.index_of("Spine")] == skel.index_of("Hips")
+
+
+def test_quat_frame_roundtrip():
+    skel, euler = sk.load_bvh(TEST_BVH)
+    qf = sk.bvh_to_quat_frames(skel, euler)
+    assert qf.shape == (2, 3 + 4 * 4)
+    # root translation preserved
+    np.testing.assert_allclose(qf[:, :3], euler[:, :3], atol=1e-5)
+    back = sk.quat_frames_to_bvh(skel, qf)
+    # angles should round-trip (mod equivalent euler representations; here
+    # small angles so direct comparison holds)
+    np.testing.assert_allclose(back, euler, atol=1e-3)
+
+
+def test_bvh_write_reload_roundtrip():
+    skel, euler = sk.load_bvh(TEST_BVH)
+    qf = sk.bvh_to_quat_frames(skel, euler)
+    text = sk.write_bvh(skel, qf)
+    skel2, euler2 = sk.load_bvh(text)
+    assert skel2.node_names == skel.node_names
+    np.testing.assert_allclose(skel2.offsets, skel.offsets, atol=1e-5)
+    np.testing.assert_allclose(euler2, sk.quat_frames_to_bvh(skel, qf), atol=1e-4)
+
+
+def test_fk_rest_pose():
+    skel, euler = sk.load_bvh(TEST_BVH)
+    qf = sk.bvh_to_quat_frames(skel, euler)
+    # Zero rotations, root at BVH offset -> positions = cumulative offsets
+    identity = np.zeros(3 + 16, np.float32)
+    identity[:3] = [0, 90, 0]
+    for j in range(4):
+        identity[3 + 4 * j] = 1.0
+    pos = np.asarray(sk.fk_positions(skel, jnp.asarray(identity)))
+    # Hips at offset(0,90,0) + root_t(0,90,0)? Note: reference semantics add
+    # root translation to the root offset.
+    hips = pos[skel.index_of("Hips")]
+    spine = pos[skel.index_of("Spine")]
+    head = pos[skel.index_of("Head")]
+    leg = pos[skel.index_of("Leg")]
+    np.testing.assert_allclose(spine - hips, [0, 20, 0], atol=1e-5)
+    np.testing.assert_allclose(head - spine, [0, 15, 0], atol=1e-5)
+    np.testing.assert_allclose(leg - hips, [5, -45, 0], atol=1e-5)
+
+
+def test_fk_rotation_propagates():
+    skel, _ = sk.load_bvh(TEST_BVH)
+    frame = np.zeros(3 + 16, np.float32)
+    for j in range(4):
+        frame[3 + 4 * j] = 1.0
+    # Rotate hips 90 deg about Z: children move accordingly
+    half = np.deg2rad(90) / 2
+    frame[3:7] = [np.cos(half), 0, 0, np.sin(half)]
+    pos = np.asarray(sk.fk_positions(skel, jnp.asarray(frame)))
+    hips = pos[skel.index_of("Hips")]
+    spine = pos[skel.index_of("Spine")]
+    # offset (0,20,0) rotated 90deg about z -> (-20, 0, 0)
+    np.testing.assert_allclose(spine - hips, [-20, 0, 0], atol=1e-4)
+
+
+def test_fk_batched():
+    skel, euler = sk.load_bvh(TEST_BVH)
+    qf = sk.bvh_to_quat_frames(skel, euler)
+    pos = np.asarray(sk.fk_positions(skel, jnp.asarray(qf, jnp.float32)))
+    assert pos.shape == (2, skel.n_nodes, 3)
+    assert not np.any(np.isnan(pos))
