@@ -77,6 +77,49 @@ def linear_time_function(n_canonical: int, max_frames: int, speed: float = 1.0):
     return vals, jnp.asarray(num, jnp.int32)
 
 
+def canonical_time_function_masked(mean_t_d: jax.Array, eigen_t_d: jax.Array,
+                                   gamma: jax.Array, n_canonical: jax.Array) -> jax.Array:
+    """Masked variant for stacked graphs: arrays are padded to F_max and the
+    true frame count is a traced scalar.  Increments beyond n_canonical are
+    zeroed so the cumsum plateaus at the final value.
+
+    For nodes without a temporal model, mean_t_d == 0 and gamma contributes
+    nothing, giving exp(0)=1 unit increments -> the identity timeline.
+    """
+    f_max = mean_t_d.shape[-1]
+    w = mean_t_d + eigen_t_d @ gamma
+    mask = jnp.arange(f_max) < n_canonical
+    inc = jnp.where(mask, jnp.exp(w), 0.0)
+    return jnp.cumsum(inc) - 1.0
+
+
+def invert_time_function_dynamic(t_canonical: jax.Array, n_canonical: jax.Array,
+                                 max_frames: int, speed: float = 1.0):
+    """Like invert_time_function but with a *traced* canonical frame count
+    (stacked-graph scan path).  t_canonical is padded/flat past n_canonical.
+
+    Returns (time_function [max_frames], n_frames int32); entries at index
+    >= n_frames clamp to n_canonical - 1.
+    """
+    f_max = t_canonical.shape[-1]
+    t_end = t_canonical[jnp.maximum(n_canonical - 2, 0)]
+    num = jnp.maximum(jnp.round(t_end) * (1.0 / speed), 1.0)
+    n_frames = jnp.minimum((num + 2.0).astype(jnp.int32), max_frames)
+
+    i = jnp.arange(max_frames, dtype=t_canonical.dtype)
+    denom = jnp.maximum(num - 1.0, 1.0)
+    interior = 1.0 + (t_end - 1.0) * (i - 1.0) / denom
+    # y grid clamps at n_canonical-1 so the flat padded tail maps to the
+    # final canonical frame.
+    y = jnp.minimum(jnp.arange(f_max, dtype=t_canonical.dtype),
+                    (n_canonical - 1).astype(t_canonical.dtype))
+    tprime = jnp.interp(interior, t_canonical, y)
+    out = jnp.where(i == 0, 0.0, tprime)
+    last = n_frames - 1
+    out = jnp.where(i >= last, (n_canonical - 1).astype(t_canonical.dtype), out)
+    return out, n_frames
+
+
 def z_transform(time_functions: jax.Array) -> jax.Array:
     """Training-side inverse of the exp-sum: w(t) = ln(t'(t) - t'(t-1)).
 

@@ -1,0 +1,183 @@
+"""Synthetic model/graph builders: tiny hand-built 'walk' models in the
+reference's legacy JSON schema (reference motion_primitive.py:93-180 and the
+zip-reader dict form, motion_state_graph_loader.py:184-307).
+
+Used by tests, benchmarks and demos — the reference ships no model data, so
+valid random models are synthesized (SURVEY.md §4 golden-file strategy).
+"""
+
+import numpy as np
+
+from morphablegraphs_tpu.ops import bspline
+
+# A minimal 4-joint skeleton: Hips -> Spine -> Head, Hips -> Leg.
+TEST_BVH = """HIERARCHY
+ROOT Hips
+{
+  OFFSET 0.0 90.0 0.0
+  CHANNELS 6 Xposition Yposition Zposition Xrotation Yrotation Zrotation
+  JOINT Spine
+  {
+    OFFSET 0.0 20.0 0.0
+    CHANNELS 3 Xrotation Yrotation Zrotation
+    JOINT Head
+    {
+      OFFSET 0.0 15.0 0.0
+      CHANNELS 3 Xrotation Yrotation Zrotation
+      End Site
+      {
+        OFFSET 0.0 10.0 0.0
+      }
+    }
+  }
+  JOINT Leg
+  {
+    OFFSET 5.0 -45.0 0.0
+    CHANNELS 3 Xrotation Yrotation Zrotation
+    End Site
+    {
+      OFFSET 0.0 -45.0 0.0
+    }
+  }
+}
+MOTION
+Frames: 2
+Frame Time: 0.033333
+0 90 0 0 0 0 0 0 0 0 0 0 10 0 0
+1 90 2 0 5 0 0 0 5 0 0 0 15 0 0
+"""
+
+N_JOINTS = 3  # animated joints: Hips, Spine, Head, Leg -> 4 actually
+
+
+def make_legacy_model_json(seed=0, n_canonical_frames=50, n_basis=12,
+                           n_joints=4, k_s=5, k_t=2, n_components=3,
+                           version=2, translation_maxima=(1.0, 1.0, 1.0)):
+    """Random-but-valid legacy model JSON (schema of reference
+    motion_primitive.py:93-180)."""
+    rng = np.random.default_rng(seed)
+    n_dim = 3 + 4 * n_joints
+    d_s = n_basis * n_dim
+
+    # Mean: a plausible motion — root moving forward, identity-ish quats.
+    mean = np.zeros((n_basis, n_dim))
+    mean[:, 2] = np.linspace(0, 30, n_basis)  # root z advance
+    mean[:, 1] = 90.0  # hip height
+    for j in range(n_joints):
+        mean[:, 3 + 4 * j] = 1.0  # w component
+        mean[:, 4 + 4 * j: 7 + 4 * j] = rng.standard_normal((n_basis, 3)) * 0.1
+    mean_vec = mean.reshape(-1)
+
+    eigen = rng.standard_normal((k_s, d_s)) * 0.3  # stored [k, D] (rows)
+    knots_s = bspline.clamped_knots(n_basis, n_canonical_frames)
+
+    # Temporal model: small log-increment perturbations.
+    n_basis_t = 8
+    t_eigen = rng.standard_normal((n_basis_t, k_t)) * 0.05
+    t_mean = rng.standard_normal(n_basis_t) * 0.03
+    knots_t = bspline.clamped_knots(n_basis_t, n_canonical_frames)
+
+    d_latent = k_s + k_t
+    w = rng.random(n_components)
+    w /= w.sum()
+    means_g = rng.standard_normal((n_components, d_latent)) * 0.8
+    covars = []
+    for _ in range(n_components):
+        a = rng.standard_normal((d_latent, d_latent)) * 0.2
+        covars.append(a @ a.T + np.eye(d_latent) * 0.3)
+
+    data = {
+        "name": "walk_leftStance",
+        "gmm_weights": w.tolist(),
+        "gmm_means": means_g.tolist(),
+        "gmm_covars": np.stack(covars).tolist(),
+        "eigen_vectors_spatial": eigen.tolist(),
+        "mean_spatial_vector": mean_vec.tolist(),
+        "n_canonical_frames": n_canonical_frames,
+        "translation_maxima": list(translation_maxima),
+        "n_basis_spatial": n_basis,
+        "n_dim_spatial": n_dim,
+        "b_spline_knots_spatial": knots_s.tolist(),
+        "keyframes": {"start": 0, "middle": n_canonical_frames // 2,
+                      "end": n_canonical_frames - 1},
+    }
+    if version == 1:
+        data.update({
+            "eigen_vectors_temporal_semantic": t_eigen.tolist(),
+            "mean_temporal_semantic_vector": t_mean.tolist(),
+            "b_spline_knots_temporal_semantic": knots_t.tolist(),
+            "n_basis_temporal_semantic": n_basis_t,
+            "n_dim_temporal_semantic": 1,
+        })
+    else:
+        data.update({
+            "eigen_vectors_time": t_eigen.tolist(),
+            "mean_time_vector": t_mean.tolist(),
+            "b_spline_knots_time": knots_t.tolist(),
+            "n_basis_time": n_basis_t,
+        })
+    return data
+
+
+def make_graph_dict(seed=0, n_joints=4):
+    """A tiny 'walk' graph: beginLeftStance -> {left,right}Stance cycle ->
+    endRightStance, in the dict form of the reference's zip reader
+    (motion_state_graph_loader.py:184-307)."""
+    prims = {}
+    for i, name in enumerate(["beginLeftStance", "leftStance", "rightStance",
+                              "endRightStance"]):
+        mm = make_legacy_model_json(seed=seed + i, n_joints=n_joints,
+                                    n_canonical_frames=40 + 4 * i)
+        mm["name"] = f"walk_{name}"
+        prims[name] = {"name": f"walk_{name}", "mm": mm}
+    return {
+        "formatVersion": 2.0,
+        "subgraphs": {
+            "walk": {
+                "name": "walk",
+                "info": {
+                    "start_states": ["beginLeftStance"],
+                    "end_states": ["endRightStance"],
+                },
+                "nodes": prims,
+            }
+        },
+        "transitions": {
+            "walk_beginLeftStance": ["walk_rightStance"],
+            "walk_leftStance": ["walk_rightStance", "walk_endRightStance"],
+            "walk_rightStance": ["walk_leftStance", "walk_endRightStance"],
+        },
+        "startNode": ["walk", "beginLeftStance"],
+    }
+
+
+def to_v3_json(legacy):
+    """Convert a legacy model dict to the v3 {sspm,tspm,gmm} schema
+    (reference motion_model_constructor.py:499-523)."""
+    return {
+        "sspm": {
+            "eigen": legacy["eigen_vectors_spatial"],
+            "mean": legacy["mean_spatial_vector"],
+            "n_coeffs": legacy["n_basis_spatial"],
+            "n_dims": legacy["n_dim_spatial"],
+            "knots": legacy["b_spline_knots_spatial"],
+            "animated_joints": ["Hips", "Spine", "Head", "Leg"],
+            "degree": 3,
+        },
+        "tspm": {
+            "eigen": legacy["eigen_vectors_time"],
+            "mean": legacy["mean_time_vector"],
+            "n_coeffs": legacy["n_basis_time"],
+            "n_dims": 1,
+            "knots": legacy["b_spline_knots_time"],
+            "degree": 3,
+            "semantic_labels": {},
+            "frame_time": 0.013889,
+        },
+        "gmm": {
+            "weights": legacy["gmm_weights"],
+            "means": legacy["gmm_means"],
+            "covars": legacy["gmm_covars"],
+        },
+        "keyframes": legacy.get("keyframes", {}),
+    }

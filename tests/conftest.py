@@ -11,3 +11,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The axon TPU plugin force-overrides jax_platforms to "axon,cpu" at import,
+# ignoring the env var — pin it back to cpu via the config API.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,133 @@
+"""Graph build / stack / random-walk-scan tests (SURVEY.md §3.5 parity)."""
+
+import json
+import zipfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from morphablegraphs_tpu.models import graph as graph_mod
+from morphablegraphs_tpu.synthesis import walk as walk_mod
+
+from fixtures import make_graph_dict
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return graph_mod.build_graph_from_dict(make_graph_dict())
+
+
+@pytest.fixture(scope="module")
+def stacked(graph):
+    return graph_mod.stack_graph(graph)
+
+
+def test_graph_structure(graph):
+    assert set(graph.node_groups) == {"walk"}
+    assert ("walk", "leftStance") in graph.nodes
+    assert graph.nodes[("walk", "beginLeftStance")].node_type == graph_mod.NODE_TYPE_START
+    assert graph.nodes[("walk", "endRightStance")].node_type == graph_mod.NODE_TYPE_END
+    assert graph.nodes[("walk", "leftStance")].node_type == graph_mod.NODE_TYPE_STANDARD
+    # transition typing (reference motion_state_graph_loader.py:255-281)
+    edges = graph.nodes[("walk", "leftStance")].outgoing_edges
+    assert edges[("walk", "rightStance")] == graph_mod.NODE_TYPE_STANDARD
+    assert edges[("walk", "endRightStance")] == graph_mod.NODE_TYPE_END
+    assert graph.start_node == ("walk", "beginLeftStance")
+    # stats computed
+    assert graph.nodes[("walk", "leftStance")].average_step_length > 0
+    assert graph.nodes[("walk", "leftStance")].n_standard_transitions == 1
+
+
+def test_stacked_tables(graph, stacked):
+    assert stacked.n_nodes == 4
+    i = stacked.node_id(("walk", "leftStance"))
+    j = stacked.node_id(("walk", "rightStance"))
+    t_std = graph_mod.TRANSITION_TYPE_IDS[graph_mod.NODE_TYPE_STANDARD]
+    assert bool(stacked.transitions[t_std, i, j])
+    assert not bool(stacked.transitions[t_std, j, j])
+    assert int(stacked.n_canonical[i]) == graph.nodes[("walk", "leftStance")].primitive.n_canonical_frames
+
+
+def test_stacked_back_projection_matches_unstacked(graph, stacked):
+    """Gathered/padded back-projection must equal the per-primitive path."""
+    from morphablegraphs_tpu.models import primitive as prim_mod
+    key = ("walk", "rightStance")
+    prim = graph.nodes[key].primitive
+    nid = stacked.node_id(key)
+    rng = np.random.default_rng(0)
+    s_small = rng.standard_normal(prim.n_latent).astype(np.float32) * 0.5
+    # place into padded latent layout: alphas [0:k_s), gammas [k_s_max:...)
+    s_pad = np.zeros(stacked.k_s_max + stacked.k_t_max, np.float32)
+    s_pad[: prim.n_spatial] = s_small[: prim.n_spatial]
+    s_pad[stacked.k_s_max: stacked.k_s_max + prim.n_time] = s_small[prim.n_spatial:]
+
+    f1, n1, _ = prim_mod.back_project(prim, jnp.asarray(s_small), 96, use_time=True)
+    f2, n2, _ = walk_mod.back_project_node(stacked, jnp.asarray(nid),
+                                           jnp.asarray(s_pad), 96, use_time=True)
+    assert int(n1) == int(n2)
+    n = int(n1)
+    np.testing.assert_allclose(np.asarray(f1)[:n], np.asarray(f2)[:n], atol=2e-3)
+
+
+def test_random_walk_scan(stacked):
+    key = jax.random.PRNGKey(0)
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    buf, n_valid, node_ids, latents = walk_mod.random_walk(
+        key, stacked, start, n_steps=5, max_step_frames=64)
+    n_valid = int(n_valid)
+    assert n_valid > 0
+    frames = np.asarray(buf)[:n_valid]
+    assert not np.any(np.isnan(frames))
+    ids = np.asarray(node_ids)
+    assert ids[0] == start
+    # walk must end on the end node (or terminate earlier)
+    end_id = stacked.node_id(("walk", "endRightStance"))
+    assert end_id in ids or -1 in ids
+    # seam continuity: no large root jumps between consecutive frames
+    root = frames[:, :3]
+    jumps = np.linalg.norm(np.diff(root, axis=0), axis=1)
+    assert np.max(jumps) < 10.0, np.max(jumps)
+
+
+def test_random_walk_crowd(stacked):
+    key = jax.random.PRNGKey(1)
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    buf, n_valid, node_ids, latents = walk_mod.random_walk_crowd(
+        key, stacked, start, n_chars=8, n_steps=4, max_step_frames=64)
+    assert buf.shape[0] == 8
+    assert node_ids.shape == (8, 4)
+    # different characters should get different walks/latents
+    assert np.std(np.asarray(latents)[:, 0, 0]) > 0
+
+
+def test_zip_roundtrip(tmp_path):
+    """Write the graph in the reference's zip layout and load it back
+    (reference utilities/zip_io.py format version 2)."""
+    gd = make_graph_dict()
+    zip_path = str(tmp_path / "graph.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        graph_def = {
+            "formatVersion": 2.0,
+            "transitions": gd["transitions"],
+            "startNode": gd["startNode"],
+        }
+        zf.writestr("graph_definition.json", json.dumps(graph_def))
+        from fixtures import TEST_BVH
+        zf.writestr("skeleton.bvh", TEST_BVH)
+        for mp_name, node in gd["subgraphs"]["walk"]["nodes"].items():
+            zf.writestr(
+                f"elementary_action_models/elementary_action_walk/walk_{mp_name}_mm.json",
+                json.dumps(node["mm"]))
+        zf.writestr(
+            "elementary_action_models/elementary_action_walk/meta_information.json",
+            json.dumps(gd["subgraphs"]["walk"]["info"]))
+    g = graph_mod.load_graph(zip_path)
+    assert set(g.node_groups) == {"walk"}
+    assert ("walk", "leftStance") in g.nodes
+    assert g.nodes[("walk", "beginLeftStance")].node_type == graph_mod.NODE_TYPE_START
+    assert g.skeleton is not None
+    assert g.skeleton.animated_joints == ("Hips", "Spine", "Head", "Leg")
+    assert g.start_node == ("walk", "beginLeftStance")
