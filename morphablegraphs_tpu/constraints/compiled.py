@@ -1,0 +1,275 @@
+"""Per-step compiled constraint sets + vectorized evaluation.
+
+TPU-native replacement for the reference's per-constraint object dispatch
+(reference constraints/motion_primitive_constraints.py:100-158 and the
+keyframe-constraint class zoo, SURVEY.md §2.3): constraints are fixed-size
+tagged arrays; evaluation of a latent candidate is a handful of batched
+matmuls + one FK pass, so thousands of candidates (best-of-N sampling,
+cluster search, LM iterations) evaluate under vmap with no Python.
+
+Key exactness property exploited: the 2D aligning transform is linear and
+the B-spline basis rows sum to 1, so transforming the *coefficients* equals
+transforming the evaluated frames — the same trick the reference uses by
+calling align_quaternion_frames on `motion_spline.coeffs`
+(motion_primitive_constraints.py:113-115).
+
+Error semantics match the reference:
+  * keyframe position: euclidean distance over constrained components
+    (global_transform_constraint.py:139-147);
+  * keyframe orientation: absolute rotation angle between the joint's global
+    orientation and the target;
+  * 2D direction: absolute heading angle difference in DEGREES
+    (direction_2d_constraint.py:42-52);
+  * pose (transition): average joint point distance;
+  * trajectory: per-sampled-frame distance to the closest spline point with
+    monotonically advancing arc length (trajectory_constraint.py:95-116),
+    with unconstrained dims masked.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..models.primitive import MotionPrimitive, back_project_spatial
+from ..models.skeleton import Skeleton, fk_global
+from ..ops import align, bspline, quat, spline_path
+
+MAX_KF = 8  # padded keyframe-constraint slots per step
+TRAJ_SAMPLES = 16  # canonical-frame samples for trajectory residuals
+
+
+@struct.dataclass
+class StepConstraints:
+    """Fixed-size constraint set for one graph-walk step."""
+
+    # keyframe transform constraints (position and/or orientation)
+    kf_active: jax.Array  # [K] f32 0/1
+    kf_node: jax.Array  # [K] i32 skeleton node index
+    kf_pos: jax.Array  # [K, 3]
+    kf_pos_mask: jax.Array  # [K, 3] 1 where constrained
+    kf_quat: jax.Array  # [K, 4]
+    kf_has_quat: jax.Array  # [K] f32 0/1
+    kf_frame: jax.Array  # [K] f32 canonical keyframe
+    kf_weight: jax.Array  # [K]
+    # 2D direction constraint (at most one, reference locomotion builder)
+    dir_active: jax.Array  # f32 0/1
+    dir_target: jax.Array  # [2] normalized (x, z)
+    dir_frame: jax.Array  # f32
+    dir_weight: jax.Array  # f32
+    # transition pose constraint (frame 0 point cloud)
+    pose_active: jax.Array  # f32 0/1
+    pose_points: jax.Array  # [J, 3] target joint positions
+    pose_weight: jax.Array  # f32
+    # root trajectory-following constraint
+    traj_active: jax.Array  # f32 0/1
+    traj: spline_path.PathSpline
+    traj_node: jax.Array  # i32
+    traj_min_arc: jax.Array  # f32
+    traj_weight: jax.Array  # f32
+    # alignment state: when has_prev, the 2D aligning transform is computed
+    # per-candidate from the candidate's own first coefficient row vs the
+    # previous motion's last frame (reference align_quaternion_frames called
+    # inside evaluate, motion_primitive_constraints.py:113); otherwise the
+    # fixed start-pose transform applies.
+    has_prev: jax.Array  # f32 0/1
+    prev_last: jax.Array  # [D] last frame of the motion so far
+    start_q: jax.Array  # [4] start-pose rotation about Y
+    start_delta: jax.Array  # [3] start-pose translation
+    n_canonical: jax.Array  # f32 (for traj sample positions)
+
+    @property
+    def n_residuals(self) -> int:
+        return MAX_KF + 2 + TRAJ_SAMPLES
+
+
+def empty_step_constraints(skeleton: Skeleton,
+                           n_canonical: int = 0) -> StepConstraints:
+    dummy_spline = spline_path.build(np.array([[0.0, 0, 0], [1.0, 0, 0]]),
+                                     max_points=spline_path_max_points())
+    j = skeleton.n_nodes
+    return StepConstraints(
+        kf_active=jnp.zeros(MAX_KF), kf_node=jnp.zeros(MAX_KF, jnp.int32),
+        kf_pos=jnp.zeros((MAX_KF, 3)), kf_pos_mask=jnp.zeros((MAX_KF, 3)),
+        kf_quat=jnp.tile(jnp.array([1.0, 0, 0, 0]), (MAX_KF, 1)),
+        kf_has_quat=jnp.zeros(MAX_KF), kf_frame=jnp.zeros(MAX_KF),
+        kf_weight=jnp.ones(MAX_KF),
+        dir_active=jnp.asarray(0.0), dir_target=jnp.array([0.0, 1.0]),
+        dir_frame=jnp.asarray(0.0), dir_weight=jnp.asarray(1.0),
+        pose_active=jnp.asarray(0.0), pose_points=jnp.zeros((j, 3)),
+        pose_weight=jnp.asarray(1.0),
+        traj_active=jnp.asarray(0.0), traj=dummy_spline,
+        traj_node=jnp.asarray(0, jnp.int32), traj_min_arc=jnp.asarray(0.0),
+        traj_weight=jnp.asarray(1.0),
+        has_prev=jnp.asarray(0.0),
+        prev_last=jnp.zeros(skeleton.n_frame_params),
+        start_q=jnp.array([1.0, 0, 0, 0]), start_delta=jnp.zeros(3),
+        n_canonical=jnp.asarray(float(n_canonical)),
+    )
+
+
+def spline_path_max_points() -> int:
+    return 32
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+# ---------------------------------------------------------------------------
+
+def aligned_coeffs(prim: MotionPrimitive, s: jax.Array,
+                   sc: StepConstraints) -> jax.Array:
+    """Back-project the spatial part and apply the step's aligning transform
+    to the coefficient rows (exact, see module docstring).
+
+    The transform is candidate-dependent when there are previous frames
+    (heading alignment of the candidate's own first frame), which makes it
+    differentiable through the LM refinement."""
+    coeffs = back_project_spatial(prim, s[: prim.n_spatial])
+    q_prev, d_prev = align.node_aligning_2d_transform(sc.prev_last, coeffs[0])
+    q_y = jnp.where(sc.has_prev > 0, q_prev, sc.start_q)
+    delta = jnp.where(sc.has_prev > 0, d_prev, sc.start_delta)
+    return align.transform_frames(coeffs, q_y, delta)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def evaluate_residuals(skeleton: Skeleton, prim: MotionPrimitive,
+                       sc: StepConstraints, s: jax.Array) -> jax.Array:
+    """Residual vector [MAX_KF + 2 + TRAJ_SAMPLES] of weighted errors;
+    inactive slots are 0 (reference pads likewise,
+    objective_functions.py:233-236)."""
+    coeffs = aligned_coeffs(prim, s, sc)
+
+    # ---- keyframe constraints: evaluate spline at kf frames (one matmul)
+    b_kf = bspline.basis_matrix(prim.knots_s, sc.kf_frame)  # [K, n_basis]
+    frames_kf = jnp.matmul(b_kf, coeffs, precision=jax.lax.Precision.HIGHEST)
+    pos_all, ori_all = fk_global(skeleton, frames_kf)  # [K, nodes, 3/4]
+    idx = jnp.arange(MAX_KF)
+    jpos = pos_all[idx, sc.kf_node]  # [K, 3]
+    jori = ori_all[idx, sc.kf_node]  # [K, 4]
+    pos_err = jnp.sqrt(jnp.maximum(
+        jnp.sum(((jpos - sc.kf_pos) * sc.kf_pos_mask) ** 2, axis=-1), 1e-12))
+    # orientation: absolute relative-rotation angle
+    dot = jnp.abs(jnp.sum(quat.normalize(jori) * sc.kf_quat, axis=-1))
+    ang = 2.0 * jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    kf_res = sc.kf_active * sc.kf_weight * (pos_err + sc.kf_has_quat * ang)
+
+    # ---- 2D direction constraint (error in degrees, reference parity)
+    b_dir = bspline.basis_matrix(prim.knots_s, sc.dir_frame[None])  # [1, n_basis]
+    frame_dir = jnp.matmul(b_dir, coeffs, precision=jax.lax.Precision.HIGHEST)[0]
+    heading = quat.rotate_vec(quat.normalize(frame_dir[3:7]),
+                              jnp.array([0.0, 0.0, 1.0]))
+    motion_dir = jnp.stack([heading[0], heading[2]])
+    motion_dir = motion_dir / jnp.maximum(jnp.linalg.norm(motion_dir), 1e-10)
+    cos_a = jnp.clip(jnp.dot(sc.dir_target, motion_dir), -1.0, 1.0)
+    dir_res = sc.dir_active * sc.dir_weight * jnp.rad2deg(jnp.arccos(cos_a))
+
+    # ---- transition pose constraint at frame 0
+    frame0 = coeffs[0]  # clamped spline: first coeff == first frame
+    pose_pos, _ = fk_global(skeleton, frame0)
+    pose_err = jnp.mean(jnp.linalg.norm(pose_pos - sc.pose_points, axis=-1))
+    pose_res = sc.pose_active * sc.pose_weight * pose_err
+
+    # ---- trajectory constraint: sampled canonical frames, advancing arc
+    t_samples = jnp.linspace(0.0, 1.0, TRAJ_SAMPLES) * jnp.maximum(sc.n_canonical - 1.0, 1.0)
+    b_tr = bspline.basis_matrix(prim.knots_s, t_samples)  # [S, n_basis]
+    frames_tr = jnp.matmul(b_tr, coeffs, precision=jax.lax.Precision.HIGHEST)
+    pos_tr, _ = fk_global(skeleton, frames_tr)
+    root_tr = pos_tr[:, sc.traj_node]  # [S, 3]
+
+    def traj_step(min_arc, p):
+        _, arc, d = spline_path.closest_point(sc.traj, p, min_arc)
+        return arc, d
+
+    _, traj_d = jax.lax.scan(traj_step, sc.traj_min_arc, root_tr)
+    traj_res = sc.traj_active * sc.traj_weight * traj_d
+
+    return jnp.concatenate([kf_res, dir_res[None], pose_res[None], traj_res])
+
+
+def evaluate_error(skeleton: Skeleton, prim: MotionPrimitive,
+                   sc: StepConstraints, s: jax.Array) -> jax.Array:
+    """Scalar constraint error: sum of residuals, except trajectory residuals
+    enter as their average (reference trajectory_constraint.py:84
+    `evaluate_motion_sample` averages; other constraints sum)."""
+    res = evaluate_residuals(skeleton, prim, sc, s)
+    base = jnp.sum(res[: MAX_KF + 2])
+    traj = res[MAX_KF + 2:]
+    n_active = jnp.where(jnp.any(traj > 0), 1.0, 0.0)
+    return base + n_active * jnp.mean(traj)
+
+
+# ---------------------------------------------------------------------------
+# Host-side builders
+# ---------------------------------------------------------------------------
+
+def set_keyframe_constraint(sc: StepConstraints, slot: int, skeleton: Skeleton,
+                            joint: str, canonical_keyframe: float,
+                            position=None, quat_wxyz=None,
+                            weight: float = 1.0) -> StepConstraints:
+    pos = np.zeros(3, np.float32)
+    mask = np.zeros(3, np.float32)
+    if position is not None:
+        p = np.asarray(position, np.float32)
+        mask = (~np.isnan(p)).astype(np.float32)
+        pos = np.where(np.isnan(p), 0.0, p)
+    has_q = 0.0
+    q = np.array([1.0, 0, 0, 0], np.float32)
+    if quat_wxyz is not None:
+        q = np.asarray(quat_wxyz, np.float32)
+        has_q = 1.0
+    return sc.replace(
+        kf_active=sc.kf_active.at[slot].set(1.0),
+        kf_node=sc.kf_node.at[slot].set(skeleton.index_of(joint)),
+        kf_pos=sc.kf_pos.at[slot].set(pos),
+        kf_pos_mask=sc.kf_pos_mask.at[slot].set(mask),
+        kf_quat=sc.kf_quat.at[slot].set(q),
+        kf_has_quat=sc.kf_has_quat.at[slot].set(has_q),
+        kf_frame=sc.kf_frame.at[slot].set(float(canonical_keyframe)),
+        kf_weight=sc.kf_weight.at[slot].set(weight),
+    )
+
+
+def set_direction_constraint(sc: StepConstraints, dir_xz,
+                             canonical_keyframe: float,
+                             weight: float = 1.0) -> StepConstraints:
+    d = np.asarray(dir_xz, np.float32)
+    d = d / max(np.linalg.norm(d), 1e-10)
+    return sc.replace(dir_active=jnp.asarray(1.0),
+                      dir_target=jnp.asarray(d),
+                      dir_frame=jnp.asarray(float(canonical_keyframe)),
+                      dir_weight=jnp.asarray(float(weight)))
+
+
+def set_pose_constraint(sc: StepConstraints, skeleton: Skeleton,
+                        target_frame, weight: float = 1.0) -> StepConstraints:
+    pts, _ = fk_global(skeleton, jnp.asarray(target_frame, jnp.float32))
+    return sc.replace(pose_active=jnp.asarray(1.0), pose_points=pts,
+                      pose_weight=jnp.asarray(float(weight)))
+
+
+def set_trajectory_constraint(sc: StepConstraints, skeleton: Skeleton,
+                              traj: spline_path.PathSpline, joint: str,
+                              min_arc_length: float = 0.0,
+                              weight: float = 1.0) -> StepConstraints:
+    return sc.replace(traj_active=jnp.asarray(1.0), traj=traj,
+                      traj_node=jnp.asarray(skeleton.index_of(joint), jnp.int32),
+                      traj_min_arc=jnp.asarray(float(min_arc_length)),
+                      traj_weight=jnp.asarray(float(weight)))
+
+
+def set_alignment_from_prev(sc: StepConstraints, prev_last) -> StepConstraints:
+    return sc.replace(has_prev=jnp.asarray(1.0),
+                      prev_last=jnp.asarray(prev_last, jnp.float32))
+
+
+def set_alignment_from_start_pose(sc: StepConstraints, position,
+                                  orientation_y_deg: float) -> StepConstraints:
+    q, d = align.transform_from_start_pose(
+        jnp.asarray(position, jnp.float32),
+        jnp.asarray(float(orientation_y_deg)))
+    return sc.replace(has_prev=jnp.asarray(0.0), start_q=q, start_delta=d)

@@ -1,0 +1,196 @@
+"""Arc-length parameterized trajectory splines.
+
+Replaces the reference's `ParameterizedSpline` + `CatmullRomSpline` +
+`RelativeArcLengthMap` (reference constraints/spatial_constraints/splines/
+parameterized_spline.py:41-325, catmull_rom_spline.py:33-183,
+arc_length_map.py:26-189) with a data-oriented, jittable design:
+
+  * control points padded to a static maximum, true count traced;
+  * Catmull-Rom evaluation is a gather + one 4-vector dot per query,
+    vectorized over query batches;
+  * the arc-length table (granularity 1000, reference default) is built in
+    one vectorized pass; arc-length queries are `jnp.interp` on the table;
+  * closest-point search = masked argmin over the table + fixed-iteration
+    parabolic refinement (replaces scipy minimize / SegmentList recursion —
+    SURVEY.md §7 "Hard parts").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+GRANULARITY = 1000  # reference ParameterizedSpline granularity
+
+# Catmull-Rom base matrix (reference catmull_rom_spline.py:51-54)
+_CR_BASE = np.array([[-1.0, 3.0, -3.0, 1.0],
+                     [2.0, -5.0, 4.0, -1.0],
+                     [-1.0, 0.0, 1.0, 0.0],
+                     [0.0, 2.0, 0.0, 0.0]], np.float32)
+
+
+@struct.dataclass
+class PathSpline:
+    """Padded Catmull-Rom spline + arc-length table."""
+
+    points: jax.Array  # [P_max + 3, 3] extended control points
+    #                    ([p0] + points + [pn, pn], reference :70)
+    n_points: jax.Array  # int32 true control point count
+    table_u: jax.Array  # [G+1] parameter grid
+    table_arc: jax.Array  # [G+1] cumulative arc length at grid
+    unconstrained: jax.Array  # [3] bool mask of unconstrained dims (e.g. Y)
+
+    @property
+    def full_arc_length(self) -> jax.Array:
+        return self.table_arc[-1]
+
+
+def _eval_u(points: jax.Array, n_points: jax.Array, u: jax.Array) -> jax.Array:
+    """Catmull-Rom point at parameter u in [0, 1] (batched over u).
+
+    points: extended control array [P_max+3, 3]; real segment count =
+    n_points - 1 (reference catmull_rom_spline.py:119-158).
+    """
+    n_seg = jnp.maximum(n_points - 1, 1).astype(u.dtype)
+    scaled = jnp.clip(u, 0.0, 1.0) * n_seg
+    idx = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, (n_points - 2).astype(jnp.int32))
+    local = scaled - idx.astype(u.dtype)
+    # control points p[idx-1+1 .. idx+2+1] in the extended array (offset +1
+    # for the leading auxiliary point)
+    base = idx  # extended index of p_{i-1} is idx, since extended[0] = p0
+    p = jnp.stack([
+        points[base], points[base + 1], points[base + 2], points[base + 3]
+    ], axis=-2)  # [..., 4, 3]
+    w = jnp.stack([local ** 3, local ** 2, local, jnp.ones_like(local)], axis=-1)
+    return 0.5 * jnp.einsum("...w,wc,...cd->...d", w, jnp.asarray(_CR_BASE), p)
+
+
+def _tangent_u(points: jax.Array, n_points: jax.Array, u: jax.Array,
+               eps: float = 5e-4) -> jax.Array:
+    """Finite-difference tangent (reference uses eval deltas likewise)."""
+    a = _eval_u(points, n_points, jnp.clip(u - eps, 0.0, 1.0))
+    b = _eval_u(points, n_points, jnp.clip(u + eps, 0.0, 1.0))
+    d = b - a
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-10)
+
+
+def build(control_points: np.ndarray, max_points: int = 32,
+          unconstrained_dims=(), granularity: int = GRANULARITY) -> PathSpline:
+    """Host-side constructor from filtered control points [P, 3].
+
+    Pads to max_points; the arc-length table is computed with jitted batch
+    evaluation at granularity+1 samples (reference arc_length_map.py:26-80)."""
+    cp = np.asarray(control_points, np.float32)
+    p = cp.shape[0]
+    assert p >= 2, "need at least 2 control points"
+    assert p <= max_points, f"too many control points ({p} > {max_points})"
+    ext = np.concatenate([cp[:1], cp, cp[-1:], cp[-1:]], axis=0)
+    padded = np.zeros((max_points + 3, 3), np.float32)
+    padded[: ext.shape[0]] = ext
+    padded[ext.shape[0]:] = ext[-1]
+    unc = np.zeros(3, bool)
+    for d in unconstrained_dims:
+        unc[d] = True
+    return _finalize(jnp.asarray(padded), jnp.asarray(p, jnp.int32),
+                     jnp.asarray(unc), granularity)
+
+
+@functools.partial(jax.jit, static_argnames=("granularity",))
+def _finalize(padded, n_points, unconstrained, granularity: int):
+    u = jnp.linspace(0.0, 1.0, granularity + 1)
+    pts = _eval_u(padded, n_points, u)
+    seg = jnp.linalg.norm(pts[1:] - pts[:-1], axis=-1)
+    arc = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seg)])
+    return PathSpline(points=padded, n_points=n_points, table_u=u,
+                      table_arc=arc, unconstrained=unconstrained)
+
+
+# ---------------------------------------------------------------------------
+# Queries (jittable, batched)
+# ---------------------------------------------------------------------------
+
+def point_at_u(sp: PathSpline, u: jax.Array) -> jax.Array:
+    return _eval_u(sp.points, sp.n_points, u)
+
+
+def u_at_arc_length(sp: PathSpline, arc: jax.Array) -> jax.Array:
+    """Monotone interp on the arc-length table
+    (reference arc_length_map.py:100-140 map_relative_arc_length semantics)."""
+    return jnp.interp(arc, sp.table_arc, sp.table_u)
+
+
+def point_at_arc_length(sp: PathSpline, arc: jax.Array) -> jax.Array:
+    """reference parameterized_spline.py `query_point_by_absolute_arc_length`."""
+    return point_at_u(sp, u_at_arc_length(sp, arc))
+
+
+def tangent_at_arc_length(sp: PathSpline, arc: jax.Array) -> jax.Array:
+    return _tangent_u(sp.points, sp.n_points, u_at_arc_length(sp, arc))
+
+
+def point_and_dir_at_arc_length(sp: PathSpline, arc: jax.Array):
+    """(position, 2D direction) at an arc length — the locomotion goal query
+    (reference locomotion_constraints_builder.py:152-182)."""
+    u = u_at_arc_length(sp, arc)
+    pos = point_at_u(sp, u)
+    tan = _tangent_u(sp.points, sp.n_points, u)
+    dir2d = jnp.stack([tan[..., 0], tan[..., 2]], axis=-1)
+    dir2d = dir2d / jnp.maximum(jnp.linalg.norm(dir2d, axis=-1, keepdims=True), 1e-10)
+    return pos, dir2d
+
+
+def closest_point(sp: PathSpline, point: jax.Array,
+                  min_arc_length: jax.Array = 0.0, n_refine: int = 8):
+    """Closest point on the spline at arc length >= min_arc_length.
+
+    Table argmin + fixed-iteration ternary refinement between the two
+    neighbouring grid cells (replaces the reference's SegmentList recursion /
+    scipy minimize, parameterized_spline.py:275-324).
+
+    Unconstrained dims are excluded from the distance (reference
+    trajectory constraints ignore None components).
+
+    Returns (closest_pos [3], arc_length, distance).
+    """
+    mask_dim = jnp.where(sp.unconstrained, 0.0, 1.0)
+    pts = _eval_u(sp.points, sp.n_points, sp.table_u)  # [G+1, 3] (cached by XLA CSE)
+    d2 = jnp.sum(((pts - point) * mask_dim) ** 2, axis=-1)
+    valid = sp.table_arc >= jnp.asarray(min_arc_length) - 1e-6
+    d2 = jnp.where(valid, d2, jnp.inf)
+    i = jnp.argmin(d2)
+    lo = sp.table_u[jnp.maximum(i - 1, 0)]
+    hi = sp.table_u[jnp.minimum(i + 1, sp.table_u.shape[0] - 1)]
+
+    def dist(u):
+        p = _eval_u(sp.points, sp.n_points, u)
+        return jnp.sum(((p - point) * mask_dim) ** 2, axis=-1)
+
+    def body(_, carry):
+        lo, hi = carry
+        m1 = lo + (hi - lo) / 3.0
+        m2 = hi - (hi - lo) / 3.0
+        keep_lo = dist(m1) < dist(m2)
+        return (jnp.where(keep_lo, lo, m1), jnp.where(keep_lo, m2, hi))
+
+    lo, hi = jax.lax.fori_loop(0, n_refine, body, (lo, hi))
+    u_best = 0.5 * (lo + hi)
+    pos = point_at_u(sp, u_best)
+    arc = jnp.interp(u_best, sp.table_u, sp.table_arc)
+    d = jnp.sqrt(dist(u_best))
+    return pos, arc, d
+
+
+def transform(sp: PathSpline, q_y: jax.Array, delta: jax.Array) -> PathSpline:
+    """Rigid 2D transform of the whole spline (used when constraints are
+    moved into a primitive's local frame, reference
+    motion_primitive_constraints.py:268-330)."""
+    from . import quat as quat_ops
+    new_pts = quat_ops.rotate_vec(q_y[None, :], sp.points) + delta[None, :]
+    seg_pts = _eval_u(new_pts, sp.n_points, sp.table_u)
+    seg = jnp.linalg.norm(seg_pts[1:] - seg_pts[:-1], axis=-1)
+    arc = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seg)])
+    return sp.replace(points=new_pts, table_arc=arc)

@@ -1,0 +1,223 @@
+"""Action + per-step constraint assembly.
+
+Host-side replacement for the reference's `ActionConstraintsBuilder`
+(constraints/action_constraints_builder.py:44-321),
+`MotionPrimitiveConstraintsBuilder` (motion_primitive_constraints_builder.py)
+and `LocomotionConstraintsBuilder` (locomotion_constraints_builder.py): turns
+parsed input specs into arc-length-parameterized trajectory splines and
+per-step compiled `StepConstraints`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..constraints import compiled
+from ..constraints.input_reader import ActionSpec, KeyframeConstraintSpec, MGInput
+from ..models.graph import MotionStateGraph
+from ..models.skeleton import Skeleton
+from ..ops import spline_path
+
+ALIGNING_ROOT_JOINT = "Hips"  # anim_utils skeleton.aligning_root_node default
+
+
+@dataclasses.dataclass
+class ActionConstraintSet:
+    """Per-action constraints (reference ActionConstraints record,
+    action_constraints.py:26-68)."""
+
+    action_name: str
+    root_trajectory: Optional[spline_path.PathSpline] = None
+    root_unconstrained_dims: tuple = ()
+    # mp_name -> list of specs (ordered per reference keyframe reader)
+    keyframe_constraints: Dict[str, List[KeyframeConstraintSpec]] = dataclasses.field(default_factory=dict)
+    annotations: dict = dataclasses.field(default_factory=dict)
+    start_pose_position: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    start_pose_orientation_y: float = 0.0
+    cycled_next: bool = False
+
+    def check_end_condition(self, prev_root_pos, travelled_arc_length,
+                            arc_length_offset, full_arc_length,
+                            last_control_point) -> bool:
+        """reference action_constraints.py:53-68: end when close to the end
+        point or nearly the whole path travelled."""
+        distance_to_end = float(np.linalg.norm(last_control_point - prev_root_pos))
+        keep_going = (distance_to_end > arc_length_offset / 2 and
+                      travelled_arc_length < full_arc_length - arc_length_offset)
+        return not keep_going
+
+
+def _aligning_joint(skeleton: Skeleton) -> str:
+    if ALIGNING_ROOT_JOINT in skeleton.node_names:
+        return ALIGNING_ROOT_JOINT
+    return skeleton.animated_joints[0]
+
+
+def build_action_constraints(graph: MotionStateGraph, mg_input: MGInput,
+                             config: dict) -> List[ActionConstraintSet]:
+    """reference ActionConstraintsBuilder.build_list_from_input_file:75."""
+    skeleton = graph.skeleton
+    root_joint = _aligning_joint(skeleton)
+    out = []
+    names = [a.name for a in mg_input.actions]
+    for idx, spec in enumerate(mg_input.actions):
+        acs = ActionConstraintSet(action_name=spec.name)
+        acs.annotations = dict(spec.annotations)
+        acs.cycled_next = idx + 1 < len(names) and names[idx + 1] == spec.name
+        acs.start_pose_position = np.asarray(mg_input.start_pose_position, np.float32)
+
+        # root trajectory: the entry for the aligning root joint (reference
+        # action_constraints_builder.py:275-321)
+        for traj in spec.trajectories:
+            if traj.joint in (root_joint, "Hips"):
+                acs.root_trajectory = spline_path.build(
+                    traj.control_points,
+                    max_points=compiled.spline_path_max_points(),
+                    unconstrained_dims=traj.unconstrained_dims)
+                acs.root_unconstrained_dims = traj.unconstrained_dims
+
+        # start orientation: explicit or estimated from trajectory tangent
+        # (reference action_constraints_builder.py estimates from tangent)
+        if mg_input.start_pose_orientation is not None:
+            acs.start_pose_orientation_y = float(mg_input.start_pose_orientation[1])
+        elif acs.root_trajectory is not None:
+            _, d = spline_path.point_and_dir_at_arc_length(
+                acs.root_trajectory, jnp.asarray(0.0))
+            d = np.asarray(d)
+            acs.start_pose_orientation_y = float(np.degrees(np.arctan2(d[0], d[1])))
+
+        # keyframe constraints ordered by motion primitive via label maps
+        # (reference keyframe_constraint_reader.py:89-127)
+        group = graph.node_groups.get(spec.name)
+        if group is not None:
+            for kc in spec.keyframe_constraints:
+                mp_names = group.label_to_motion_primitive_map.get(kc.keyframe_label, [])
+                for mp_name in mp_names:
+                    acs.keyframe_constraints.setdefault(mp_name, []).append(kc)
+        out.append(acs)
+    return out
+
+
+def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
+                           node_key, travelled_arc_length: float,
+                           prev_frames: Optional[np.ndarray],
+                           is_last_step: bool,
+                           config: dict) -> compiled.StepConstraints:
+    """Per-step constraint assembly (reference
+    motion_primitive_constraints_builder.py:98-220 +
+    locomotion_constraints_builder.py:54-120)."""
+    skeleton = graph.skeleton
+    node = graph.nodes[node_key]
+    prim = node.primitive
+    n_canonical = prim.n_canonical_frames
+    tf = config["trajectory_following_settings"]
+
+    sc = compiled.empty_step_constraints(skeleton, n_canonical)
+    slot = 0
+
+    # ---- locomotion constraints from the root trajectory
+    if acs.root_trajectory is not None:
+        if not is_last_step:
+            step_length = node.average_step_length * tf["heuristic_step_length_factor"]
+            goal_arc_length = travelled_arc_length + step_length
+        else:
+            goal_arc_length = float(np.asarray(acs.root_trajectory.full_arc_length))
+        goal, goal_dir = spline_path.point_and_dir_at_arc_length(
+            acs.root_trajectory, jnp.asarray(goal_arc_length))
+        goal = np.asarray(goal, np.float64)
+        for d in acs.root_unconstrained_dims:
+            goal[d] = np.nan
+        root_joint = _aligning_joint(skeleton)
+        end_kf = _label_keyframe(graph, node_key, "end", n_canonical)
+        if tf["position_constraint_factor"] > 0.0:
+            sc = compiled.set_keyframe_constraint(
+                sc, slot, skeleton, root_joint, end_kf, position=goal,
+                weight=tf["position_constraint_factor"])
+            slot += 1
+        if tf["dir_constraint_factor"] > 0.0:
+            d = np.asarray(goal_dir, np.float32)
+            sc = compiled.set_direction_constraint(
+                sc, d, end_kf, weight=tf["dir_constraint_factor"])
+        if tf.get("generate_half_step_constraint", False):
+            half_arc = 0.5 * travelled_arc_length + 0.5 * goal_arc_length
+            half_goal, _ = spline_path.point_and_dir_at_arc_length(
+                acs.root_trajectory, jnp.asarray(half_arc))
+            half_goal = np.asarray(half_goal, np.float64)
+            for d_ in acs.root_unconstrained_dims:
+                half_goal[d_] = np.nan
+            mid_kf = _label_keyframe(graph, node_key, "middle", n_canonical)
+            sc = compiled.set_keyframe_constraint(
+                sc, slot, skeleton, root_joint, mid_kf, position=half_goal,
+                weight=tf["position_constraint_factor"])
+            slot += 1
+        # transition pose constraint
+        if (tf.get("use_transition_constraint", False)
+                and tf["transition_pose_constraint_factor"] > 0.0
+                and prev_frames is not None and len(prev_frames) > 0):
+            sc = compiled.set_pose_constraint(
+                sc, skeleton, prev_frames[-1],
+                weight=tf["transition_pose_constraint_factor"])
+        # trajectory-following residuals over the whole step
+        sc = compiled.set_trajectory_constraint(
+            sc, skeleton, acs.root_trajectory, _aligning_joint(skeleton),
+            min_arc_length=travelled_arc_length, weight=1.0)
+
+    # ---- user keyframe constraints for this primitive
+    mp_name = node_key[1]
+    for kc in acs.keyframe_constraints.get(mp_name, []):
+        if slot >= compiled.MAX_KF:
+            break
+        kf = _label_keyframe(graph, node_key, kc.keyframe_label, n_canonical)
+        if kf is None:
+            continue
+        joint = kc.joint if kc.joint in skeleton.node_names else _aligning_joint(skeleton)
+        quat_wxyz = None
+        if not np.any(np.isnan(kc.orientation)):
+            from ..models.skeleton import _np_from_euler
+            quat_wxyz = _np_from_euler(kc.orientation, "rxyz")
+        sc = compiled.set_keyframe_constraint(
+            sc, slot, skeleton, joint, kf,
+            position=kc.position, quat_wxyz=quat_wxyz,
+            weight=tf["position_constraint_factor"])
+        slot += 1
+        # pose constraint on last step with user constraints (reference
+        # motion_primitive_constraints_builder.py:157-160)
+        if (is_last_step and tf["transition_pose_constraint_factor"] > 0.0
+                and prev_frames is not None and len(prev_frames) > 0
+                and float(np.asarray(sc.pose_active)) == 0.0):
+            sc = compiled.set_pose_constraint(
+                sc, skeleton, prev_frames[-1],
+                weight=tf["transition_pose_constraint_factor"])
+
+    # ---- alignment state
+    if prev_frames is not None and len(prev_frames) > 0:
+        sc = compiled.set_alignment_from_prev(sc, prev_frames[-1])
+    else:
+        sc = compiled.set_alignment_from_start_pose(
+            sc, acs.start_pose_position, acs.start_pose_orientation_y)
+    return sc
+
+
+def _label_keyframe(graph: MotionStateGraph, node_key, label: str,
+                    n_canonical: int):
+    """Label -> canonical keyframe via group annotations, model keyframes or
+    the start/middle/end defaults (reference action_meta_info.py:134-155)."""
+    group = graph.node_groups[node_key[0]]
+    kf = group.map_label_to_keyframe(node_key[1], label, n_canonical)
+    if kf is None:
+        prim_kf = graph.nodes[node_key].primitive.keyframe_for_label(label)
+        if prim_kf is not None:
+            kf = prim_kf
+    if kf is None:
+        if label == "start":
+            kf = 0
+        elif label == "middle":
+            kf = n_canonical // 2
+        elif label in ("end", "lastFrame"):
+            kf = n_canonical - 1
+    return kf

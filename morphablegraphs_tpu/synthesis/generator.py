@@ -1,0 +1,125 @@
+"""Per-step constrained latent selection: best-of-N sampling + LM refinement.
+
+Replaces the reference's `MotionPrimitiveGenerator`
+(motion_generator/motion_primitive_generator.py:47-263) and its scipy
+`leastsq` local optimization (optimization/least_squares.py):
+
+  * `random_discrete` mode: N GMM samples scored under the compiled
+    constraint set with one vmapped evaluation (reference loops Python,
+    :192-207 — Hot Loop A in SURVEY.md);
+  * local refinement: fixed-iteration Levenberg-Marquardt with exact
+    jacobians via `jax.jacfwd` over the residual vector (the reference uses
+    MINPACK leastsq with numeric diff; residual semantics match
+    objective_functions.py:239-267 — error_scale * residual +
+    quality_scale * negative GMM log-likelihood added to active slots).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..constraints import compiled
+from ..models.primitive import MotionPrimitive, sample_latent
+from ..models.skeleton import Skeleton
+from ..ops import gmm as gmm_ops
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("n_samples",))
+def best_of_n(skeleton: Skeleton, key: jax.Array, prim: MotionPrimitive,
+              sc: compiled.StepConstraints, n_samples: int = 100):
+    """Draw n samples from the GMM and keep the best under the constraint
+    error (reference motion_primitive_generator.py:192-207).
+
+    Returns (s_best [L], error_best).
+    """
+    samples = sample_latent(key, prim, n_samples)
+    errors = jax.vmap(lambda s: compiled.evaluate_error(skeleton, prim, sc, s))(samples)
+    i = jnp.argmin(errors)
+    return samples[i], errors[i]
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("n_iters",))
+def refine_lm(skeleton: Skeleton, prim: MotionPrimitive,
+              sc: compiled.StepConstraints, s0: jax.Array,
+              n_iters: int = 10, error_scale: float = 1.0,
+              quality_scale: float = 0.1, init_lambda: float = 1e-2):
+    """Levenberg-Marquardt on the weighted residual vector + naturalness.
+
+    Residual layout matches the reference (objective_functions.py:239-267):
+    each active residual r_i -> error_scale * r_i + quality_scale * NLL(s),
+    padded slots stay 0.  Damped normal equations with adaptive lambda,
+    fixed iteration count (jit-friendly; reference caps at 500 MINPACK
+    iterations, which converges in far fewer on these small problems).
+
+    Returns (s_opt, final_constraint_error).
+    """
+    active = _active_mask(sc)
+
+    def residuals(s):
+        res = compiled.evaluate_residuals(skeleton, prim, sc, s)
+        nll = -gmm_ops.log_prob(prim.gmm, s)
+        return active * (error_scale * res + quality_scale * nll)
+
+    n = s0.shape[0]
+    eye = jnp.eye(n)
+
+    def body(carry, _):
+        s, lam = carry
+        r = residuals(s)
+        err = jnp.sum(r * r)
+        j = jax.jacfwd(residuals)(s)  # [R, L]
+        a = jnp.matmul(j.T, j, precision=jax.lax.Precision.HIGHEST) + lam * eye
+        g = jnp.matmul(j.T, r, precision=jax.lax.Precision.HIGHEST)
+        delta = jnp.linalg.solve(a, g)
+        s_new = s - delta
+        r_new = residuals(s_new)
+        err_new = jnp.sum(r_new * r_new)
+        improved = err_new < err
+        s = jnp.where(improved, s_new, s)
+        lam = jnp.where(improved, lam * 0.3, lam * 5.0)
+        return (s, lam), err_new
+
+    (s_opt, _), _ = jax.lax.scan(body, (s0, jnp.asarray(init_lambda)),
+                                 None, length=n_iters)
+    final_err = compiled.evaluate_error(skeleton, prim, sc, s_opt)
+    return s_opt, final_err
+
+
+def _active_mask(sc: compiled.StepConstraints) -> jax.Array:
+    traj_mask = jnp.broadcast_to(sc.traj_active, (compiled.TRAJ_SAMPLES,))
+    return jnp.concatenate([sc.kf_active, sc.dir_active[None],
+                            sc.pose_active[None], traj_mask])
+
+
+def generate_constrained_sample(key: jax.Array, skeleton: Skeleton,
+                                prim: MotionPrimitive,
+                                sc: compiled.StepConstraints,
+                                config: dict):
+    """Full per-step selection (reference
+    motion_primitive_generator.py:126-178): best-of-N, then LM when the error
+    exceeds the activation threshold and local optimization is enabled.
+
+    Returns (s, error) as device arrays.
+    """
+    n = int(config.get("n_random_samples", 100))
+    s, err = best_of_n(skeleton, key, prim, sc, n_samples=n)
+    opt = config.get("local_optimization_settings", {})
+    mode = config.get("local_optimization_mode", "all")
+    threshold = float(opt.get("start_error_threshold", 0.0))
+    if mode != "none" and float(err) >= threshold:
+        s_ref, err_ref = refine_lm(
+            skeleton, prim, sc, s,
+            n_iters=int(config.get("lm_iterations", 10)),
+            error_scale=float(opt.get("error_scale_factor", 1.0)),
+            quality_scale=float(opt.get("quality_scale_factor", 0.1)))
+        # keep the better of the two (reference keeps the optimizer output;
+        # LM with adaptive damping never worsens the residual objective, but
+        # the *constraint* error may differ from the damped objective)
+        better = err_ref < err
+        s = jnp.where(better, s_ref, s)
+        err = jnp.minimum(err, err_ref)
+    return s, err

@@ -1,0 +1,299 @@
+"""Top-level constrained synthesis: input dict -> quaternion frames.
+
+Host-driven orchestration (planner decisions, step loop) around jitted step
+kernels — the redesign of the reference's `MotionGenerator.generate_motion`
+(motion_generator/motion_generator.py:88-386) and `GraphWalkPlanner`
+(graph_walk_planner.py:35-278).  Each inner-loop evaluation (option scoring,
+best-of-N, LM refinement) runs as one vmapped XLA computation instead of the
+reference's Python objective loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..constraints import compiled
+from ..constraints.input_reader import MGInput, read_input
+from ..models import primitive as prim_mod
+from ..models.graph import (MotionStateGraph, NODE_TYPE_END, NODE_TYPE_SINGLE,
+                            NODE_TYPE_STANDARD, NODE_TYPE_CYCLE_END)
+from ..ops import align, spline_path
+from ..utils.config import default_config
+from . import action_builder, generator
+
+
+@dataclasses.dataclass
+class GraphWalkEntry:
+    """One synthesis step (reference graph_walk.py:44-77)."""
+
+    node_key: tuple
+    parameters: np.ndarray
+    arc_length: float
+    start_frame: int
+    end_frame: int
+    error: float = 0.0
+
+
+@dataclasses.dataclass
+class MotionResult:
+    frames: np.ndarray  # [T, D] quaternion frames (time-warped)
+    steps: List[GraphWalkEntry]
+    action_ranges: List[tuple]  # (action_name, start_frame, end_frame)
+    stats: dict
+
+
+class MotionGenerator:
+    """reference motion_generator.py:41-147 facade."""
+
+    def __init__(self, graph: MotionStateGraph, config: Optional[dict] = None,
+                 seed: int = 0):
+        self.graph = graph
+        self.config = config or default_config()
+        self.key = jax.random.PRNGKey(seed)
+        self._start_transform = None  # (q_y, delta) used to place step one
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # ------------------------------------------------------------------
+    def generate_motion(self, mg_input: dict, complete_motion_vector: bool = True,
+                        activate_joint_mapping: bool = False,
+                        activate_coordinate_transform: bool = False) -> MotionResult:
+        t_start = time.time()
+        parsed = read_input(mg_input,
+                            activate_coordinate_transform=activate_coordinate_transform,
+                            activate_joint_mapping=activate_joint_mapping)
+        action_sets = action_builder.build_action_constraints(
+            self.graph, parsed, self.config)
+
+        steps: List[GraphWalkEntry] = []
+        frames: Optional[np.ndarray] = None
+        action_ranges = []
+        prev_node_key = None
+        for acs in action_sets:
+            start_frame = 0 if frames is None else len(frames)
+            frames, prev_node_key = self._generate_action(
+                acs, frames, steps, prev_node_key)
+            action_ranges.append((acs.action_name, start_frame,
+                                  0 if frames is None else len(frames)))
+
+        # final conversion with time warping (reference
+        # graph_walk.py:112-176 convert_to_annotated_motion)
+        warped = self._convert_with_time_warp(steps)
+
+        stats = {
+            "n_steps": len(steps),
+            "time": time.time() - t_start,
+            "average_error": float(np.mean([s.error for s in steps])) if steps else 0.0,
+        }
+        return MotionResult(frames=warped, steps=steps,
+                            action_ranges=action_ranges, stats=stats)
+
+    # ------------------------------------------------------------------
+    def _generate_action(self, acs, frames, steps, prev_node_key,
+                         max_steps: int = 100):
+        """reference motion_generator.py:157-199 per-action loop."""
+        graph = self.graph
+        group = graph.node_groups[acs.action_name]
+        travelled = 0.0
+        full_arc = (float(np.asarray(acs.root_trajectory.full_arc_length))
+                    if acs.root_trajectory is not None else 0.0)
+        arc_of_end = self._end_step_arc_length(acs)
+
+        node_key = self._best_start_node(acs, frames, prev_node_key)
+        frames, travelled, err = self._generate_step(
+            acs, node_key, frames, steps, travelled, is_last_step=False)
+        node_type = graph.nodes[node_key].node_type
+
+        n = 0
+        while not self._is_end_state(node_type, acs, frames, travelled,
+                                     arc_of_end, full_arc) and n < max_steps:
+            node_key, next_type = self._best_transition_node(
+                acs, node_key, frames, travelled, arc_of_end)
+            if node_key is None:
+                break
+            frames, travelled, err = self._generate_step(
+                acs, node_key, frames, steps, travelled,
+                is_last_step=(next_type == NODE_TYPE_END))
+            node_type = graph.nodes[node_key].node_type
+            n += 1
+        return frames, node_key
+
+    def _is_end_state(self, node_type, acs, frames, travelled, arc_of_end,
+                      full_arc):
+        if node_type in (NODE_TYPE_END, NODE_TYPE_SINGLE):
+            return True
+        if acs.root_trajectory is not None and travelled >= full_arc:
+            return True
+        return False
+
+    def _end_step_arc_length(self, acs) -> float:
+        """Average step length of the action's end states (reference
+        motion_generator.py get_end_step_arc_length)."""
+        group = self.graph.node_groups[acs.action_name]
+        lengths = [self.graph.nodes[(acs.action_name, s)].average_step_length
+                   for s in group.end_states
+                   if (acs.action_name, s) in self.graph.nodes]
+        factor = self.config["trajectory_following_settings"]["end_step_length_factor"]
+        return float(np.mean(lengths)) * factor if lengths else 0.0
+
+    # -- planner -------------------------------------------------------
+    def _best_start_node(self, acs, frames, prev_node_key):
+        """reference graph_walk_planner.py:89-96."""
+        group = self.graph.node_groups[acs.action_name]
+        options = [(acs.action_name, s) for s in group.start_states
+                   if (acs.action_name, s) in self.graph.nodes]
+        if prev_node_key is not None:
+            edges = self.graph.nodes[prev_node_key].outgoing_edges
+            linked = [o for o in options if o in edges]
+            if linked:
+                options = linked
+        if not options:
+            options = list(group.node_keys)
+        if len(options) == 1:
+            return options[0]
+        return self._select_best_option(acs, options, frames, travelled=0.0)
+
+    def _best_transition_node(self, acs, prev_key, frames, travelled,
+                              arc_of_end):
+        """reference graph_walk_planner.py:97-154: transition type from the
+        trajectory end condition, then option scoring."""
+        graph = self.graph
+        if acs.root_trajectory is not None:
+            root_pos = frames[-1][:3]
+            last_cp = np.asarray(acs.root_trajectory.points[
+                int(np.asarray(acs.root_trajectory.n_points))])
+            ended = acs.check_end_condition(
+                root_pos, travelled, arc_of_end,
+                float(np.asarray(acs.root_trajectory.full_arc_length)), last_cp)
+            next_type = NODE_TYPE_END if ended else NODE_TYPE_STANDARD
+        else:
+            n_std = self.graph.nodes[prev_key].edges_of_type(NODE_TYPE_STANDARD)
+            next_type = NODE_TYPE_STANDARD if n_std else NODE_TYPE_END
+            if acs.cycled_next and next_type == NODE_TYPE_END:
+                next_type = NODE_TYPE_CYCLE_END
+        options = graph.nodes[prev_key].edges_of_type(next_type)
+        if not options:
+            # fall back to any transition type (reference resets planner)
+            for t in (NODE_TYPE_STANDARD, NODE_TYPE_END):
+                options = graph.nodes[prev_key].edges_of_type(t)
+                if options:
+                    next_type = t
+                    break
+        if not options:
+            return None, None
+        if len(options) == 1:
+            return options[0], next_type
+        best = self._select_best_option(acs, options, frames, travelled)
+        return best, next_type
+
+    def _select_best_option(self, acs, options, frames, travelled):
+        """Score each option with best-of-K GMM samples under its own step
+        constraints (reference graph_walk_planner.py:184-226)."""
+        k = int(self.config.get("planner_samples_per_option", 10))
+        best, best_err = options[0], np.inf
+        for option in options:
+            sc = action_builder.build_step_constraints(
+                self.graph, acs, option, travelled,
+                frames, is_last_step=False, config=self.config)
+            prim = self.graph.nodes[option].primitive
+            _, err = generator.best_of_n(self.graph.skeleton, self._next_key(),
+                                         prim, sc, n_samples=k)
+            err = float(err)
+            if err < best_err:
+                best, best_err = option, err
+        return best
+
+    # -- step ----------------------------------------------------------
+    def _generate_step(self, acs, node_key, frames, steps, travelled,
+                       is_last_step):
+        """reference motion_generator.py:201-268."""
+        graph = self.graph
+        prim = graph.nodes[node_key].primitive
+        sc = action_builder.build_step_constraints(
+            graph, acs, node_key, travelled, frames, is_last_step, self.config)
+
+        has_constraints = (float(np.asarray(sc.kf_active).sum())
+                           + float(np.asarray(sc.dir_active))
+                           + float(np.asarray(sc.traj_active))) > 0
+        if has_constraints:
+            s, err = generator.generate_constrained_sample(
+                self._next_key(), graph.skeleton, prim, sc, self.config)
+            err = float(err)
+        else:
+            s = prim_mod.sample_latent(self._next_key(), prim, 1)[0]
+            err = 0.0
+        s_np = np.asarray(s)
+
+        new_frames, n_frames, _ = prim_mod.back_project(
+            prim, s, max_frames=_pad_frames(prim.n_canonical_frames),
+            use_time=False)
+        new_frames = np.asarray(new_frames)[: int(n_frames)]
+
+        start_frame = 0 if frames is None else len(frames)
+        frames = self._append(frames, new_frames, acs)
+
+        if acs.root_trajectory is not None:
+            _, new_arc, _ = spline_path.closest_point(
+                acs.root_trajectory, jnp.asarray(frames[-1][:3], jnp.float32),
+                jnp.asarray(travelled, jnp.float32))
+            travelled = float(new_arc)
+
+        steps.append(GraphWalkEntry(node_key=node_key, parameters=s_np,
+                                    arc_length=travelled,
+                                    start_frame=start_frame,
+                                    end_frame=len(frames) - 1, error=err))
+        return frames, travelled, err
+
+    def _append(self, frames, new_frames, acs):
+        window = self.config["smoothing_settings"]["spatial_smoothing_window"]
+        if frames is None or len(frames) == 0:
+            q, d = align.transform_from_start_pose(
+                jnp.asarray(acs.start_pose_position, jnp.float32),
+                jnp.asarray(float(acs.start_pose_orientation_y)))
+            self._start_transform = (q, d)
+            placed = np.asarray(align.transform_frames(
+                jnp.asarray(new_frames, jnp.float32), q, d))
+            return placed
+        aligned = np.asarray(align.align_clip(
+            jnp.asarray(frames[-1], jnp.float32),
+            jnp.asarray(new_frames, jnp.float32), window))
+        return np.concatenate([frames, aligned], axis=0)
+
+    # -- final conversion ----------------------------------------------
+    def _convert_with_time_warp(self, steps) -> np.ndarray:
+        """Re-project every step WITH its time warp and re-concatenate
+        (reference graph_walk.py:154-176)."""
+        frames = None
+        for step in steps:
+            prim = self.graph.nodes[step.node_key].primitive
+            f, n, _ = prim_mod.back_project(
+                prim, jnp.asarray(step.parameters),
+                max_frames=_pad_frames(prim.n_canonical_frames * 2),
+                use_time=True)
+            f = np.asarray(f)[: int(n)]
+            if frames is None:
+                frames = f if self._start_transform is None else np.asarray(
+                    align.transform_frames(jnp.asarray(f),
+                                           self._start_transform[0],
+                                           self._start_transform[1]))
+            else:
+                window = self.config["smoothing_settings"]["spatial_smoothing_window"]
+                aligned = np.asarray(align.align_clip(
+                    jnp.asarray(frames[-1], jnp.float32),
+                    jnp.asarray(f, jnp.float32), window))
+                frames = np.concatenate([frames, aligned], axis=0)
+        return frames if frames is not None else np.zeros((0, 0), np.float32)
+
+
+def _pad_frames(n: int, multiple: int = 32) -> int:
+    """Round up to a multiple to bound the number of jit recompiles."""
+    return ((n + multiple - 1) // multiple) * multiple

@@ -1,0 +1,220 @@
+"""Constraint system tests: input parsing (example_input.json), compiled
+evaluation semantics, generator best-of-N + LM refinement."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from morphablegraphs_tpu.constraints import compiled, input_reader
+from morphablegraphs_tpu.models import graph as graph_mod
+from morphablegraphs_tpu.models import primitive as prim_mod
+from morphablegraphs_tpu.models import skeleton as sk
+from morphablegraphs_tpu.ops import spline_path
+from morphablegraphs_tpu.synthesis import generator
+
+from fixtures import TEST_BVH, make_graph_dict
+
+EXAMPLE_INPUT = "/root/reference/examples/example_input.json"
+
+
+# ---------------------------------------------------------------------------
+# input reader
+# ---------------------------------------------------------------------------
+
+def test_parse_example_input():
+    with open(EXAMPLE_INPUT) as f:
+        data = json.load(f)
+    parsed = input_reader.read_input(data, activate_coordinate_transform=True)
+    assert [a.name for a in parsed.actions] == ["walk", "pickRight", "carryRight", "placeRight"]
+    walk = parsed.actions[0]
+    assert len(walk.trajectories) == 1
+    traj = walk.trajectories[0]
+    assert traj.joint == "Hips"
+    # CAD -> OpenGL: null z becomes unconstrained height (dim 1)
+    assert traj.unconstrained_dims == (1,)
+    assert traj.control_points.shape[0] == 6
+    # first control point: [530.1, 268.8, null] -> [530.1, 0, -268.8]
+    np.testing.assert_allclose(traj.control_points[0],
+                               [530.11029052734, 0.0, -268.851318359375],
+                               atol=1e-3)
+    pick = parsed.actions[1]
+    assert len(pick.keyframe_constraints) == 1
+    kc = pick.keyframe_constraints[0]
+    assert kc.joint == "RightHand"
+    assert kc.keyframe_label == "start_contact"
+    assert not np.any(np.isnan(kc.position))
+    assert "start_contact" in pick.annotations
+    # start pose
+    np.testing.assert_allclose(parsed.start_pose_position,
+                               [530.11029052734, 0.0, -268.851318359375], atol=1e-3)
+
+
+def test_parse_without_transform():
+    with open(EXAMPLE_INPUT) as f:
+        data = json.load(f)
+    parsed = input_reader.read_input(data, activate_coordinate_transform=False)
+    traj = parsed.actions[0].trajectories[0]
+    assert traj.unconstrained_dims == (2,)
+    np.testing.assert_allclose(traj.control_points[0], [530.11029052734, 268.851318359375, 0.0], atol=1e-3)
+
+
+def test_parse_tasks_variant():
+    with open(EXAMPLE_INPUT) as f:
+        data = json.load(f)
+    wrapped = {"startPose": data["startPose"],
+               "tasks": [{"elementaryActions": data["elementaryActions"]}]}
+    parsed = input_reader.read_input(wrapped)
+    assert len(parsed.actions) == 4
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(ValueError):
+        input_reader.read_input({"foo": 1})
+
+
+# ---------------------------------------------------------------------------
+# compiled constraint evaluation
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def setup():
+    graph = graph_mod.build_graph_from_dict(make_graph_dict())
+    skel, _ = sk.load_bvh(TEST_BVH)
+    graph.skeleton = skel
+    prim = graph.nodes[("walk", "leftStance")].primitive
+    return graph, skel, prim
+
+
+def test_keyframe_position_constraint_error(setup):
+    graph, skel, prim = setup
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    s = np.zeros(prim.n_latent, np.float32)
+    # evaluate where the hips actually end up with the mean motion, then
+    # constrain exactly there -> error 0
+    coeffs = np.asarray(compiled.aligned_coeffs(prim, jnp.asarray(s), sc))
+    from morphablegraphs_tpu.ops import bspline
+    end_frame = np.asarray(bspline.evaluate(
+        jnp.asarray(coeffs), prim.knots_s,
+        jnp.asarray([float(prim.n_canonical_frames - 1)])))[0]
+    hips_pos = np.asarray(sk.fk_positions(skel, jnp.asarray(end_frame)))[skel.index_of("Hips")]
+
+    sc2 = compiled.set_keyframe_constraint(sc, 0, skel, "Hips",
+                                           prim.n_canonical_frames - 1,
+                                           position=hips_pos)
+    err = float(compiled.evaluate_error(skel, prim, sc2, jnp.asarray(s)))
+    assert err < 1e-2
+    # offset target by 5 in x -> error ~5
+    sc3 = compiled.set_keyframe_constraint(sc, 0, skel, "Hips",
+                                           prim.n_canonical_frames - 1,
+                                           position=hips_pos + np.array([5.0, 0, 0]))
+    err3 = float(compiled.evaluate_error(skel, prim, sc3, jnp.asarray(s)))
+    assert abs(err3 - 5.0) < 0.1
+
+
+def test_nan_components_masked(setup):
+    graph, skel, prim = setup
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    s = np.zeros(prim.n_latent, np.float32)
+    target = np.array([0.0, np.nan, 0.0])  # y unconstrained
+    sc = compiled.set_keyframe_constraint(sc, 0, skel, "Hips", 0, position=target)
+    err = float(compiled.evaluate_error(skel, prim, sc, jnp.asarray(s)))
+    # y offset (~90 hips height + 90 offset) must NOT appear in the error
+    coeffs = np.asarray(compiled.aligned_coeffs(prim, jnp.asarray(s), sc))
+    frame0 = coeffs[0]
+    hips = np.asarray(sk.fk_positions(skel, jnp.asarray(frame0)))[skel.index_of("Hips")]
+    expected = np.sqrt(hips[0] ** 2 + hips[2] ** 2)
+    assert abs(err - expected) < 0.5
+
+
+def test_direction_constraint_degrees(setup):
+    graph, skel, prim = setup
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    s = jnp.zeros(prim.n_latent)
+    coeffs = np.asarray(compiled.aligned_coeffs(prim, s, sc))
+    from morphablegraphs_tpu.ops import quat as quat_ops
+    heading = np.asarray(quat_ops.rotate_vec(
+        jnp.asarray(coeffs[-1][3:7] / np.linalg.norm(coeffs[-1][3:7])),
+        jnp.asarray([0.0, 0.0, 1.0])))
+    dir_now = np.array([heading[0], heading[2]])
+    dir_now /= np.linalg.norm(dir_now)
+    sc_same = compiled.set_direction_constraint(sc, dir_now, prim.n_canonical_frames - 1)
+    err_same = float(compiled.evaluate_error(skel, prim, sc_same, s))
+    assert err_same < 1.0  # < 1 degree
+    # rotate target by 90 degrees -> ~90 deg error (x0.8 default weight n/a here)
+    dir_rot = np.array([dir_now[1], -dir_now[0]])
+    sc_rot = compiled.set_direction_constraint(sc, dir_rot, prim.n_canonical_frames - 1)
+    err_rot = float(compiled.evaluate_error(skel, prim, sc_rot, s))
+    assert abs(err_rot - 90.0) < 2.0
+
+
+def test_alignment_in_evaluation(setup):
+    """With prev frames set, the candidate is evaluated as if aligned."""
+    graph, skel, prim = setup
+    s = jnp.zeros(prim.n_latent)
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    prev_last = np.zeros(skel.n_frame_params, np.float32)
+    prev_last[:3] = [50.0, 90.0, -20.0]
+    prev_last[3:7] = [1, 0, 0, 0]
+    for j in range(1, skel.n_animated):
+        prev_last[3 + 4 * j] = 1.0
+    sc = compiled.set_alignment_from_prev(sc, prev_last)
+    coeffs = np.asarray(compiled.aligned_coeffs(prim, s, sc))
+    # first coefficient row's root position must coincide with prev in XZ
+    assert abs(coeffs[0][0] - 50.0) < 1e-3
+    assert abs(coeffs[0][2] - (-20.0)) < 1e-3
+
+
+def test_trajectory_constraint_monotone(setup):
+    graph, skel, prim = setup
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    s = jnp.zeros(prim.n_latent)
+    # trajectory roughly along the mean motion root path
+    coeffs = np.asarray(compiled.aligned_coeffs(prim, s, sc))
+    root_pts = coeffs[:, :3].copy()
+    root_pts[:, 1] = 0.0
+    traj = spline_path.build(root_pts[:: max(1, len(root_pts) // 6)][:6],
+                             unconstrained_dims=(1,))
+    sc = compiled.set_trajectory_constraint(sc, skel, traj, "Hips")
+    err = float(compiled.evaluate_error(skel, prim, sc, s))
+    assert np.isfinite(err)
+    assert err < 50.0  # following its own root path loosely
+
+
+# ---------------------------------------------------------------------------
+# generator
+# ---------------------------------------------------------------------------
+
+def test_best_of_n_beats_single_sample(setup):
+    graph, skel, prim = setup
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    target = np.array([10.0, np.nan, 30.0])
+    sc = compiled.set_keyframe_constraint(sc, 0, skel, "Hips",
+                                          prim.n_canonical_frames - 1,
+                                          position=target)
+    key = jax.random.PRNGKey(0)
+    s1, e1 = generator.best_of_n(skel, key, prim, sc, n_samples=1)
+    s100, e100 = generator.best_of_n(skel, key, prim, sc, n_samples=100)
+    assert float(e100) <= float(e1)
+
+
+def test_lm_refinement_reduces_error(setup):
+    graph, skel, prim = setup
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    target = np.array([10.0, np.nan, 25.0])
+    sc = compiled.set_keyframe_constraint(sc, 0, skel, "Hips",
+                                          prim.n_canonical_frames - 1,
+                                          position=target)
+    key = jax.random.PRNGKey(1)
+    s0, e0 = generator.best_of_n(skel, key, prim, sc, n_samples=10)
+    s_opt, e_opt = generator.refine_lm(skel, prim, sc, s0, n_iters=10,
+                                       quality_scale=0.001)
+    assert float(e_opt) < float(e0) * 1.001
+    assert float(e_opt) < 2.0, float(e_opt)  # near-exact reach
+    # with zero naturalness the constraint is met almost exactly
+    _, e_exact = generator.refine_lm(skel, prim, sc, s0, n_iters=30,
+                                     quality_scale=0.0)
+    assert float(e_exact) < 0.05, float(e_exact)

@@ -1,0 +1,107 @@
+"""End-to-end constrained synthesis (BASELINE.md config 3 shape): trajectory-
+following walk through the full generate_motion path."""
+
+import numpy as np
+import pytest
+
+from morphablegraphs_tpu.models import graph as graph_mod
+from morphablegraphs_tpu.models import skeleton as sk
+from morphablegraphs_tpu.synthesis.motion_generator import MotionGenerator
+from morphablegraphs_tpu.utils.config import default_config
+
+from fixtures import TEST_BVH, make_graph_dict
+
+
+WALK_INPUT = {
+    "startPose": {"position": [0, 0, 0], "orientation": [0, 0, 0]},
+    "elementaryActions": [
+        {
+            "action": "walk",
+            "constraints": [{
+                "joint": "Hips",
+                "trajectoryConstraints": [
+                    {"position": [0.0, None, 0.0]},
+                    {"position": [5.0, None, 40.0]},
+                    {"position": [15.0, None, 80.0]},
+                    {"position": [20.0, None, 120.0]},
+                ],
+            }],
+        },
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def graph():
+    g = graph_mod.build_graph_from_dict(make_graph_dict())
+    skel, _ = sk.load_bvh(TEST_BVH)
+    g.skeleton = skel
+    return g
+
+
+@pytest.fixture(scope="module")
+def result(graph):
+    cfg = default_config()
+    cfg["n_random_samples"] = 30
+    cfg["lm_iterations"] = 5
+    gen = MotionGenerator(graph, cfg, seed=0)
+    return gen.generate_motion(WALK_INPUT, activate_coordinate_transform=False)
+
+
+def test_motion_generated(result):
+    assert result.frames is not None
+    assert len(result.frames) > 30
+    assert not np.any(np.isnan(result.frames))
+    assert len(result.steps) >= 2
+
+
+def test_walk_follows_trajectory(result):
+    """Root path should head toward the trajectory end point."""
+    end_target = np.array([20.0, 120.0])  # x, z
+    final_root = result.frames[-1][:3]
+    d_end = np.linalg.norm(np.array([final_root[0], final_root[2]]) - end_target)
+    start_d = np.linalg.norm(end_target)  # distance from origin
+    assert d_end < start_d * 0.5, (d_end, final_root)
+    # intermediate frames: max distance from path is bounded
+    assert result.stats["average_error"] < 100.0
+
+
+def test_steps_recorded(result):
+    for step in result.steps:
+        assert step.node_key[0] == "walk"
+        assert step.parameters.shape[0] > 0
+    # first step starts at a start state, walk ends at end state or runs out
+    assert result.steps[0].node_key[1] == "beginLeftStance"
+    assert result.action_ranges[0][0] == "walk"
+
+
+def test_seams_are_smooth(result):
+    root = result.frames[:, :3]
+    jumps = np.linalg.norm(np.diff(root, axis=0), axis=1)
+    assert np.max(jumps) < 10.0, np.max(jumps)
+
+
+def test_keyframe_constraint_action(graph):
+    """A pick-like action with an end-position keyframe constraint."""
+    cfg = default_config()
+    cfg["n_random_samples"] = 30
+    cfg["lm_iterations"] = 8
+    mg_input = {
+        "startPose": {"position": [0, 0, 0], "orientation": [0, 0, 0]},
+        "elementaryActions": [
+            {
+                "action": "walk",
+                "constraints": [{
+                    "joint": "Hips",
+                    "keyframeConstraints": [{
+                        "position": [10.0, None, 35.0],
+                        "semanticAnnotation": {"end": True},
+                    }],
+                }],
+            },
+        ],
+    }
+    gen = MotionGenerator(graph, cfg, seed=1)
+    res = gen.generate_motion(mg_input, activate_coordinate_transform=False)
+    assert res.frames is not None and len(res.frames) > 10
+    assert not np.any(np.isnan(res.frames))

@@ -1,0 +1,90 @@
+"""Arc-length parameterized spline tests (reference ParameterizedSpline
+semantics, parameterized_spline.py:41-325)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from morphablegraphs_tpu.ops import spline_path
+
+
+CONTROL_POINTS = np.array([
+    [0.0, 0.0, 0.0],
+    [10.0, 0.0, 5.0],
+    [20.0, 0.0, 5.0],
+    [30.0, 0.0, 0.0],
+    [40.0, 0.0, -10.0],
+], np.float32)
+
+
+def _build():
+    return spline_path.build(CONTROL_POINTS, unconstrained_dims=(1,))
+
+
+def test_endpoints():
+    sp = _build()
+    p0 = np.asarray(spline_path.point_at_u(sp, jnp.asarray(0.0)))
+    p1 = np.asarray(spline_path.point_at_u(sp, jnp.asarray(1.0)))
+    np.testing.assert_allclose(p0, CONTROL_POINTS[0], atol=1e-4)
+    np.testing.assert_allclose(p1, CONTROL_POINTS[-1], atol=1e-4)
+
+
+def test_interpolates_control_points():
+    """Catmull-Rom passes through its control points."""
+    sp = _build()
+    n_seg = len(CONTROL_POINTS) - 1
+    for i, cp in enumerate(CONTROL_POINTS):
+        u = i / n_seg
+        p = np.asarray(spline_path.point_at_u(sp, jnp.asarray(u)))
+        np.testing.assert_allclose(p, cp, atol=1e-3)
+
+
+def test_arc_length_table():
+    sp = _build()
+    full = float(np.asarray(sp.full_arc_length))
+    # chord length lower bound, loose upper bound
+    chord = np.sum(np.linalg.norm(np.diff(CONTROL_POINTS, axis=0), axis=1))
+    assert full >= chord - 1e-3
+    assert full < chord * 1.5
+    # midpoint query lands on the curve
+    p = np.asarray(spline_path.point_at_arc_length(sp, jnp.asarray(full / 2)))
+    assert np.all(np.isfinite(p))
+
+
+def test_point_at_arc_length_even_spacing():
+    sp = _build()
+    full = float(np.asarray(sp.full_arc_length))
+    arcs = np.linspace(0, full, 20)
+    pts = np.asarray(spline_path.point_at_arc_length(sp, jnp.asarray(arcs, jnp.float32)))
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    # arc-length parameterization -> nearly equal spacing
+    assert np.std(seg) / np.mean(seg) < 0.12
+
+
+def test_tangent_direction():
+    sp = _build()
+    _, d = spline_path.point_and_dir_at_arc_length(sp, jnp.asarray(0.0))
+    d = np.asarray(d)
+    # initial direction roughly towards +x (first segment goes +x,+z)
+    assert d[0] > 0.5
+
+
+def test_closest_point():
+    sp = _build()
+    # query near a known curve point
+    target = np.asarray(spline_path.point_at_u(sp, jnp.asarray(0.4)))
+    q = target + np.array([0.0, 5.0, 2.0], np.float32)  # offset in y (unconstrained) & z
+    pos, arc, dist = spline_path.closest_point(sp, jnp.asarray(q))
+    pos = np.asarray(pos)
+    # found point should be close to target in constrained dims
+    assert abs(pos[0] - target[0]) < 2.5
+    assert float(dist) <= np.linalg.norm((q - target) * np.array([1, 0, 1])) + 1e-3
+
+
+def test_closest_point_min_arc_monotone():
+    sp = _build()
+    full = float(np.asarray(sp.full_arc_length))
+    q = jnp.asarray(CONTROL_POINTS[0])
+    # constrained to arc >= 60% of the path, result must respect that
+    _, arc, _ = spline_path.closest_point(sp, q, jnp.asarray(0.6 * full))
+    assert float(arc) >= 0.6 * full - 1.0
