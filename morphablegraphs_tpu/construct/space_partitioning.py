@@ -1,0 +1,249 @@
+"""Latent-space search index: cluster tree + TPU brute-force search.
+
+Replaces reference space_partitioning/ (cluster_tree.py:43-218,
+cluster_tree_node.py, kdtree.py, feature_cluster_tree.py:55-357,
+clustering.py, features.py).
+
+Two search paths:
+  * `search_best_exhaustive` — vmapped objective over ALL stored samples +
+    argmin.  On TPU this is one batched matmul chain over 10k candidates and
+    is both exact and faster than tree traversal (SURVEY.md §7.8 explicitly
+    allows demonstrating this); it is the default.
+  * `ClusterTree` — KMeans hierarchy matching the reference's structure
+    (n_subdivisions=4, max_level=4, KDTree-free leaf argmin) with beam
+    search, kept for behavioral parity and for loading reference-format
+    tree JSON; search evaluates each level's cluster means as one batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pickle
+from typing import Callable, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# KMeans (replaces sklearn KMeans in reference clustering.py)
+# ---------------------------------------------------------------------------
+
+def kmeans(rng: np.random.Generator, x: np.ndarray, k: int,
+           n_iters: int = 25) -> np.ndarray:
+    """Lloyd's algorithm with kmeans++ seeding; returns labels [N]."""
+    n = x.shape[0]
+    centers = [x[rng.integers(n)]]
+    for _ in range(1, k):
+        d2 = np.min(np.stack([np.sum((x - c) ** 2, axis=1) for c in centers]), axis=0)
+        p = d2 / max(d2.sum(), 1e-12)
+        centers.append(x[rng.choice(n, p=p)])
+    centers = np.stack(centers)
+    c = jnp.asarray(centers, jnp.float32)
+    xs = jnp.asarray(x, jnp.float32)
+
+    @jax.jit
+    def step(c):
+        d = jnp.sum((xs[:, None, :] - c[None]) ** 2, axis=-1)  # [N, K]
+        labels = jnp.argmin(d, axis=-1)
+        one_hot = jax.nn.one_hot(labels, k, dtype=xs.dtype)
+        counts = one_hot.sum(0)
+        sums = one_hot.T @ xs
+        new_c = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), c)
+        return new_c, labels
+
+    labels = None
+    for _ in range(n_iters):
+        c, labels = step(c)
+    return np.asarray(labels)
+
+
+# ---------------------------------------------------------------------------
+# Exhaustive search (TPU default)
+# ---------------------------------------------------------------------------
+
+def search_best_exhaustive(objective_batched: Callable[[jax.Array], jax.Array],
+                           data: jax.Array):
+    """Evaluate the objective on every stored sample and take the argmin.
+
+    objective_batched: [N, L] -> [N] errors (vmap the per-sample objective).
+    Returns (best_error, best_sample).
+    """
+    errors = objective_batched(data)
+    i = jnp.argmin(errors)
+    return errors[i], data[i]
+
+
+# ---------------------------------------------------------------------------
+# Cluster tree (parity structure)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class TreeNode:
+    mean: np.ndarray
+    indices: np.ndarray  # indices into the data array
+    children: List["TreeNode"]
+
+    @property
+    def is_leaf(self) -> bool:
+        return not self.children
+
+
+class ClusterTree:
+    """Recursive-KMeans hierarchy (reference cluster_tree.py defaults:
+    4 subdivisions x 4 levels; leaves keep their sample indices)."""
+
+    def __init__(self, n_subdivisions: int = 4, max_level: int = 4):
+        self.n_subdivisions = n_subdivisions
+        self.max_level = max_level
+        self.data: Optional[np.ndarray] = None
+        self.root: Optional[TreeNode] = None
+
+    # -- construction (reference cluster_tree_node_builder.py:37-209) -----
+    def construct(self, data: np.ndarray, seed: int = 0):
+        self.data = np.asarray(data, np.float32)
+        rng = np.random.default_rng(seed)
+        self.root = self._build(rng, np.arange(len(self.data)), 0)
+
+    def _build(self, rng, indices: np.ndarray, level: int) -> TreeNode:
+        subset = self.data[indices]
+        mean = subset.mean(axis=0)
+        if level >= self.max_level or len(indices) <= self.n_subdivisions:
+            return TreeNode(mean=mean, indices=indices, children=[])
+        labels = kmeans(rng, subset, self.n_subdivisions)
+        children = []
+        for c in range(self.n_subdivisions):
+            sub = indices[labels == c]
+            if len(sub) > 0:
+                children.append(self._build(rng, sub, level + 1))
+        if len(children) <= 1:
+            return TreeNode(mean=mean, indices=indices, children=[])
+        return TreeNode(mean=mean, indices=indices, children=children)
+
+    # -- search (reference cluster_tree.py:117-149 beam search) -----------
+    def find_best_example(self, objective_batched, n_candidates: int = 4):
+        """Beam search: keep the n_candidates best clusters per level by
+        evaluating cluster means as one batch; at the leaves evaluate all
+        member samples as one batch.  Returns (error, sample)."""
+        frontier = [self.root]
+        leaves: List[TreeNode] = []
+        while frontier:
+            children = []
+            for node in frontier:
+                if node.is_leaf:
+                    leaves.append(node)
+                else:
+                    children.extend(node.children)
+            if not children:
+                break
+            means = jnp.asarray(np.stack([c.mean for c in children]))
+            errs = np.asarray(objective_batched(means))
+            order = np.argsort(errs)[: self.n_candidates_effective(n_candidates, len(children))]
+            frontier = [children[i] for i in order]
+        # evaluate all samples of the surviving leaves in one batch
+        if not leaves:
+            leaves = frontier
+        idx = np.concatenate([l.indices for l in leaves])
+        cand = jnp.asarray(self.data[idx])
+        errs = np.asarray(objective_batched(cand))
+        i = int(np.argmin(errs))
+        return float(errs[i]), self.data[idx[i]]
+
+    @staticmethod
+    def n_candidates_effective(n_candidates, n_children):
+        return min(n_candidates, n_children)
+
+    # -- serialization (reference cluster_tree.py:63-94 json+data layout) --
+    def save(self, prefix: str):
+        meta = {"n_subdivisions": self.n_subdivisions,
+                "max_level": self.max_level,
+                "root": self._node_to_json(self.root)}
+        with open(prefix + "_cluster_tree.json", "w") as f:
+            json.dump(meta, f)
+        self.data.astype(np.float32).tofile(prefix + "_cluster_tree.data")
+
+    def _node_to_json(self, node: TreeNode) -> dict:
+        return {"mean": node.mean.tolist(),
+                "indices": node.indices.tolist(),
+                "children": [self._node_to_json(c) for c in node.children]}
+
+    @classmethod
+    def load(cls, prefix: str, n_dims: int) -> "ClusterTree":
+        with open(prefix + "_cluster_tree.json") as f:
+            meta = json.load(f)
+        tree = cls(meta["n_subdivisions"], meta["max_level"])
+        tree.data = np.fromfile(prefix + "_cluster_tree.data",
+                                np.float32).reshape(-1, n_dims)
+        tree.root = cls._node_from_json(meta["root"])
+        return tree
+
+    @classmethod
+    def _node_from_json(cls, d: dict) -> TreeNode:
+        return TreeNode(mean=np.asarray(d["mean"], np.float32),
+                        indices=np.asarray(d["indices"], np.int64),
+                        children=[cls._node_from_json(c) for c in d["children"]])
+
+
+def load_reference_feature_tree_json(tree_data: dict) -> ClusterTree:
+    """Load the reference's FeatureClusterTree JSON form
+    ({data, features, options, root}, feature_cluster_tree.py:293-348) into
+    a ClusterTree over the LATENT data (features are only used to build)."""
+    tree = ClusterTree(
+        n_subdivisions=tree_data.get("options", {}).get("n_subdivisions_per_level", 4),
+        max_level=tree_data.get("options", {}).get("n_levels", 4))
+    tree.data = np.asarray(tree_data["data"], np.float32)
+
+    def parse(node) -> TreeNode:
+        indices = np.asarray(node.get("indices", []), np.int64)
+        mean = (tree.data[indices].mean(axis=0) if len(indices)
+                else np.zeros(tree.data.shape[1], np.float32))
+        children = [parse(c) for c in node.get("children", [])]
+        return TreeNode(mean=mean, indices=indices, children=children)
+
+    tree.root = parse(tree_data["root"])
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# Builder (reference construction/cluster_tree_builder.py:114-266)
+# ---------------------------------------------------------------------------
+
+def build_cluster_tree_for_primitive(key: jax.Array, prim, n_samples: int = 10000,
+                                     n_subdivisions: int = 4,
+                                     max_level: int = 4,
+                                     spatial_only: bool = True,
+                                     seed: int = 0) -> ClusterTree:
+    """Sample latents from the primitive's GMM and build the tree
+    (reference samples 10k and clusters the spatial dims only)."""
+    from ..models import primitive as prim_mod
+    lat = np.asarray(prim_mod.sample_latent(key, prim, n_samples))
+    if spatial_only:
+        cluster_data = lat[:, : prim.n_spatial]
+    else:
+        cluster_data = lat
+    tree = ClusterTree(n_subdivisions, max_level)
+    # cluster on (possibly reduced) data but store the full latents
+    tree.data = lat.astype(np.float32)
+    rng = np.random.default_rng(seed)
+    tree.root = _build_on_features(tree, rng, cluster_data.astype(np.float32),
+                                   np.arange(len(lat)), 0)
+    return tree
+
+
+def _build_on_features(tree: ClusterTree, rng, features: np.ndarray,
+                       indices: np.ndarray, level: int) -> TreeNode:
+    mean = tree.data[indices].mean(axis=0)
+    if level >= tree.max_level or len(indices) <= tree.n_subdivisions:
+        return TreeNode(mean=mean, indices=indices, children=[])
+    labels = kmeans(rng, features[indices], tree.n_subdivisions)
+    children = []
+    for c in range(tree.n_subdivisions):
+        sub = indices[labels == c]
+        if len(sub) > 0:
+            children.append(_build_on_features(tree, rng, features, sub, level + 1))
+    if len(children) <= 1:
+        return TreeNode(mean=mean, indices=indices, children=[])
+    return TreeNode(mean=mean, indices=indices, children=children)

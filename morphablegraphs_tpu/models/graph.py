@@ -235,6 +235,10 @@ def build_graph_from_dict(graph_dict: dict, skeleton: Optional[Skeleton] = None,
             prim = load_primitive_json(desc["mm"], name=f"{action}_{mp_name}")
             graph.nodes[key] = GraphNode(key=key, primitive=prim)
             group.node_keys.append(key)
+            if "space_partition_json" in desc:
+                from ..construct.space_partitioning import load_reference_feature_tree_json
+                graph.nodes[key].cluster_tree = load_reference_feature_tree_json(
+                    desc["space_partition_json"])
             # keyframes from model files feed the label maps
             # (reference motion_state_graph_loader.py:292-305)
             kf = desc["mm"].get("keyframes", {})

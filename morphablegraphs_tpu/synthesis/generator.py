@@ -95,18 +95,36 @@ def _active_mask(sc: compiled.StepConstraints) -> jax.Array:
                             sc.pose_active[None], traj_mask])
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def search_candidates(skeleton: Skeleton, prim: MotionPrimitive,
+                      sc: compiled.StepConstraints, candidates: jax.Array):
+    """Score a fixed candidate set (cluster-tree data) under the constraint
+    error — the TPU replacement for the reference's objective-directed tree
+    traversal (cluster_tree.py:117-149): exhaustive vmapped argmin is exact
+    and one batched computation (SURVEY.md §7.8)."""
+    errors = jax.vmap(lambda s: compiled.evaluate_error(skeleton, prim, sc, s))(candidates)
+    i = jnp.argmin(errors)
+    return candidates[i], errors[i]
+
+
 def generate_constrained_sample(key: jax.Array, skeleton: Skeleton,
                                 prim: MotionPrimitive,
                                 sc: compiled.StepConstraints,
-                                config: dict):
+                                config: dict, cluster_tree=None):
     """Full per-step selection (reference
-    motion_primitive_generator.py:126-178): best-of-N, then LM when the error
-    exceeds the activation threshold and local optimization is enabled.
+    motion_primitive_generator.py:126-178): cluster-tree search or best-of-N,
+    then LM when the error exceeds the activation threshold and local
+    optimization is enabled.
 
     Returns (s, error) as device arrays.
     """
-    n = int(config.get("n_random_samples", 100))
-    s, err = best_of_n(skeleton, key, prim, sc, n_samples=n)
+    mode = config.get("constrained_sampling_mode", "random_discrete")
+    if mode == "cluster_tree_search" and cluster_tree is not None:
+        s, err = search_candidates(skeleton, prim, sc,
+                                   jnp.asarray(cluster_tree.data))
+    else:
+        n = int(config.get("n_random_samples", 100))
+        s, err = best_of_n(skeleton, key, prim, sc, n_samples=n)
     opt = config.get("local_optimization_settings", {})
     mode = config.get("local_optimization_mode", "all")
     threshold = float(opt.get("start_error_threshold", 0.0))

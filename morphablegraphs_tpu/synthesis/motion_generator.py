@@ -226,7 +226,8 @@ class MotionGenerator:
                            + float(np.asarray(sc.traj_active))) > 0
         if has_constraints:
             s, err = generator.generate_constrained_sample(
-                self._next_key(), graph.skeleton, prim, sc, self.config)
+                self._next_key(), graph.skeleton, prim, sc, self.config,
+                cluster_tree=graph.nodes[node_key].cluster_tree)
             err = float(err)
         else:
             s = prim_mod.sample_latent(self._next_key(), prim, 1)[0]

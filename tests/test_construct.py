@@ -1,0 +1,188 @@
+"""Construction pipeline tests: DTW, fPCA, GMM-EM, full constructor
+round-trip (reference test strategy SURVEY.md §4: train -> load -> sample)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from morphablegraphs_tpu.construct import constructor, dtw, fpca, gmm_trainer
+from morphablegraphs_tpu.models import primitive as prim_mod
+from morphablegraphs_tpu.models import skeleton as sk
+from morphablegraphs_tpu.ops import bspline
+
+from fixtures import TEST_BVH, make_legacy_model_json
+
+
+# ---------------------------------------------------------------------------
+# DTW
+# ---------------------------------------------------------------------------
+
+def _random_cloud(rng, n_frames=30, n_joints=5):
+    base = rng.standard_normal((n_joints, 3)) * 10
+    clouds = []
+    for t in range(n_frames):
+        offset = np.array([t * 0.5, 0.0, t * 0.3])
+        clouds.append(base + offset + rng.standard_normal((n_joints, 3)) * 0.05)
+    return np.stack(clouds)
+
+
+def test_pair_distance_transform_invariant():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((6, 3)) * 5
+    theta = 1.1
+    rot = np.array([[np.cos(theta), 0, np.sin(theta)], [0, 1, 0],
+                    [-np.sin(theta), 0, np.cos(theta)]])
+    b = a @ rot.T + np.array([7.0, 0.0, -3.0])
+    d = float(dtw.pair_distance(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)))
+    assert d < 1e-3  # rotation about Y + XZ translation is factored out
+    # a y-offset is NOT factored out
+    b2 = a + np.array([0.0, 5.0, 0.0])
+    d2 = float(dtw.pair_distance(jnp.asarray(a, jnp.float32), jnp.asarray(b2, jnp.float32)))
+    assert abs(d2 - 5.0) < 1e-3
+
+
+def test_dtw_identity():
+    rng = np.random.default_rng(1)
+    x = _random_cloud(rng)
+    path, grid = dtw.run_dtw(x, x)
+    wf = dtw.get_warping_function(path)
+    # warping of a motion against itself is near-identity
+    assert len(wf) == len(x)
+    assert np.max(np.abs(np.asarray(wf) - np.arange(len(x)))) <= 1
+
+
+def test_dtw_speed_change():
+    rng = np.random.default_rng(2)
+    x = _random_cloud(rng, n_frames=30)
+    # y = x slowed down 2x (each frame doubled)
+    y = np.repeat(x, 2, axis=0)
+    path, _ = dtw.run_dtw(x, y)
+    wf = dtw.get_warping_function(path)
+    # frame i of x maps to ~2i of y
+    assert abs(wf[10] - 20) <= 3
+    assert abs(wf[25] - 50) <= 4
+
+
+# ---------------------------------------------------------------------------
+# GMM-EM
+# ---------------------------------------------------------------------------
+
+def test_gmm_em_recovers_components():
+    rng = np.random.default_rng(3)
+    n = 300
+    a = rng.multivariate_normal([5, 0, 0], np.eye(3) * 0.3, n // 2)
+    b = rng.multivariate_normal([-5, 2, 1], np.eye(3) * 0.5, n // 2)
+    x = np.concatenate([a, b])
+    w, mu, cov, ll = gmm_trainer.fit_gmm(x, 2, seed=0)
+    mus = sorted(mu.tolist())
+    np.testing.assert_allclose(mus[0], [-5, 2, 1], atol=0.3)
+    np.testing.assert_allclose(mus[1], [5, 0, 0], atol=0.3)
+    np.testing.assert_allclose(sorted(w), [0.5, 0.5], atol=0.05)
+
+
+def test_gmm_bic_selection():
+    rng = np.random.default_rng(4)
+    a = rng.multivariate_normal([4, 0], np.eye(2) * 0.2, 100)
+    b = rng.multivariate_normal([-4, 0], np.eye(2) * 0.2, 100)
+    x = np.concatenate([a, b])
+    model = gmm_trainer.train(x, max_k=5)
+    assert len(model["gmm_weights"]) == 2
+    assert abs(sum(model["gmm_weights"]) - 1.0) < 1e-4
+
+
+def test_gmm_matches_sklearn_loglik():
+    """EM should reach a log-likelihood comparable to sklearn's."""
+    from sklearn.mixture import GaussianMixture
+    rng = np.random.default_rng(5)
+    x = np.concatenate([
+        rng.multivariate_normal([3, 1], [[0.5, 0.1], [0.1, 0.3]], 80),
+        rng.multivariate_normal([-2, -1], [[0.4, 0], [0, 0.6]], 120)])
+    w, mu, cov, ll = gmm_trainer.fit_gmm(x, 2, seed=1)
+    skg = GaussianMixture(2, covariance_type="full", random_state=0).fit(x)
+    ll_ours = ll / len(x)
+    ll_sk = skg.score(x)
+    assert ll_ours > ll_sk - 0.1, (ll_ours, ll_sk)
+
+
+# ---------------------------------------------------------------------------
+# fPCA
+# ---------------------------------------------------------------------------
+
+def test_fpca_spatial_roundtrip():
+    """Data generated from a low-rank functional model is recovered."""
+    rng = np.random.default_rng(6)
+    n_samples, t, d = 12, 40, 11
+    n_basis = 8
+    knots = bspline.clamped_knots(n_basis, t)
+    true_mean = rng.standard_normal((n_basis, d)) * 2
+    # keep quat-channel dots positive so hemisphere alignment never flips
+    # (flips on random data would break the low-rank structure)
+    true_mean[:, 3:] += 8.0
+    true_modes = rng.standard_normal((3, n_basis, d))
+    motions = []
+    for _ in range(n_samples):
+        alpha = rng.standard_normal(3)
+        coeffs = true_mean + np.tensordot(alpha, true_modes, axes=1)
+        motions.append(np.asarray(bspline.evaluate(
+            jnp.asarray(coeffs, jnp.float32), jnp.asarray(knots, jnp.float32),
+            jnp.arange(t, dtype=jnp.float32))))
+    motions = np.stack(motions)
+    result = fpca.fpca_spatial(motions, n_basis, fraction=0.999)
+    assert result.eigenvectors.shape[0] <= 4  # ~3 modes + noise
+    # reconstruction: project + backproject reproduces the coefficients
+    recon = result.parameters @ result.eigenvectors + result.mean
+    coeffs_fit = fpca.fit_functional_data(motions, n_basis).reshape(n_samples, -1)
+    # scale baked back in means recon compares against raw (unscaled) coeffs
+    err = np.abs(recon - coeffs_fit).max()
+    assert err < 0.2, err
+
+
+def test_fpca_temporal_roundtrip():
+    rng = np.random.default_rng(7)
+    warps = []
+    for _ in range(10):
+        inc = np.exp(rng.standard_normal(50) * 0.2)
+        warps.append(np.cumsum(inc) - 1.0)
+    result = fpca.fpca_temporal(warps, n_basis=8, n_components=3)
+    assert result.eigenvectors.shape == (8, 3)
+    assert result.parameters.shape == (10, 3)
+
+
+# ---------------------------------------------------------------------------
+# Full constructor round-trip
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("version", [1, 2, 3])
+def test_constructor_roundtrip(version):
+    """Train on synthetic clips sampled from a known model, export JSON,
+    re-load with the runtime loader, sample frames (the reference's
+    run_construction.py:212-220 sanity loop)."""
+    skel, _ = sk.load_bvh(TEST_BVH)
+    src = prim_mod.load_primitive_json(make_legacy_model_json(seed=9, n_joints=4))
+    key = jax.random.PRNGKey(0)
+    motions = {}
+    for i in range(6):
+        key, sub = jax.random.split(key)
+        s = prim_mod.sample_latent(sub, src, 1)[0]
+        frames, n, _ = prim_mod.back_project(src, s, 96, use_time=True)
+        motions[i] = np.asarray(frames)[: int(n)]
+
+    c = constructor.MotionModelConstructor(skel, {"max_gmm_components": 3,
+                                                  "npc_temporal": 2})
+    c.set_motions(motions)
+    model_json = c.construct_model("test_walk", version=version)
+
+    prim = prim_mod.load_primitive_json(model_json)
+    assert prim.n_spatial > 0
+    assert prim.has_time
+    key2 = jax.random.PRNGKey(1)
+    frames, n, _ = prim_mod.sample_frames(key2, prim, 128, use_time=True)
+    f = np.asarray(frames)[: int(n)]
+    assert not np.any(np.isnan(f))
+    # spatial alignment zeroes the root start (incl. height, reference
+    # motion_model_constructor.py:258-262), so sampled roots sit near 0
+    assert abs(f[:, 1].mean()) < 30.0
+    # quaternion channels stay in plausible range
+    assert np.abs(f[:, 3:]).max() < 5.0
