@@ -1,0 +1,158 @@
+"""Inverse kinematics kernels: damped least-squares, CCD, look-at.
+
+Replaces the anim_utils `MotionEditing` surface the reference depends on
+(SURVEY.md §2.9: L-BFGS-B IK `modify_motion_vector`, CCD `run_ccd`,
+`edit_motion_to_look_at_target`) with jittable fixed-iteration solvers:
+
+  * `solve_ik` — Gauss-Newton / damped least squares over per-joint rotation
+    deltas (exponential map), exact jacobians via `jax.jacfwd`; vmappable
+    over frames so a whole motion's keyframe constraints solve in one batch;
+  * `ccd_step`/`run_ccd` — cyclic coordinate descent along a static chain;
+  * `look_at` — single-joint orientation edit pointing a local axis at a
+    world target.
+
+Constraint layout is padded/masked (MAX_IK_CONSTRAINTS slots) so the solver
+has a static shape regardless of how many constraints a frame carries.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models.skeleton import Skeleton, fk_global
+from . import quat
+
+MAX_IK_CONSTRAINTS = 4
+
+
+def _apply_deltas(skel: Skeleton, frame: jax.Array, deltas: jax.Array,
+                  joint_mask: jax.Array) -> jax.Array:
+    """frame' with q_j <- exp(delta_j) * q_j for unmasked joints.
+
+    deltas: [J, 3] rotation vectors; joint_mask: [J] 0/1.
+    """
+    j = skel.n_animated
+    quats = frame[3:].reshape(j, 4)
+    # smooth quaternion exp: dq = [cos|h|, h * sinc(|h|)] with h = delta/2.
+    # sinc keeps the jacobian finite at delta = 0 (norm() is not
+    # differentiable there, which poisons jacfwd with NaNs).
+    half = deltas * 0.5
+    angle_sq = jnp.sum(half * half, axis=-1, keepdims=True)
+    angle = jnp.sqrt(angle_sq + 1e-16)
+    dq = jnp.concatenate([jnp.cos(angle), half * jnp.sinc(angle / jnp.pi)], axis=-1)
+    new_quats = quat.multiply(dq, quats)
+    new_quats = jnp.where(joint_mask[:, None] > 0, new_quats, quats)
+    return jnp.concatenate([frame[:3], new_quats.reshape(-1)])
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("n_iters",))
+def solve_ik(skel: Skeleton, frame: jax.Array,
+             target_nodes: jax.Array, target_positions: jax.Array,
+             constraint_mask: jax.Array, joint_mask: jax.Array = None,
+             n_iters: int = 10, damping: float = 0.5):
+    """Damped least-squares IK on one frame.
+
+    target_nodes: [C] skeleton node indices; target_positions: [C, 3];
+    constraint_mask: [C] 0/1; joint_mask: [J] which joints may move
+    (default: all except none).  Returns the edited frame.
+    """
+    j = skel.n_animated
+    if joint_mask is None:
+        joint_mask = jnp.ones(j)
+
+    def residuals(deltas):
+        f = _apply_deltas(skel, frame, deltas.reshape(j, 3), joint_mask)
+        pos, _ = fk_global(skel, f)
+        diff = (pos[target_nodes] - target_positions) * constraint_mask[:, None]
+        return diff.reshape(-1)
+
+    def body(deltas, _):
+        r = residuals(deltas)
+        jac = jax.jacfwd(residuals)(deltas)  # [3C, 3J]
+        a = jnp.matmul(jac.T, jac, precision=jax.lax.Precision.HIGHEST)
+        a = a + damping * jnp.eye(a.shape[0])
+        g = jnp.matmul(jac.T, r, precision=jax.lax.Precision.HIGHEST)
+        deltas = deltas - jnp.linalg.solve(a, g)
+        return deltas, jnp.sum(r * r)
+
+    # small nonzero start: at singular configurations (e.g. fully extended
+    # legs asked to move along the limb axis) the jacobian at exactly zero
+    # deltas has no component toward the target and Gauss-Newton stalls.
+    deltas0 = jnp.full(j * 3, 0.02)
+    deltas, errs = jax.lax.scan(body, deltas0, None, length=n_iters)
+    return _apply_deltas(skel, frame, deltas.reshape(j, 3), joint_mask)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   static_argnames=("n_iters",))
+def run_ccd(skel: Skeleton, chain: tuple, effector_node: int,
+            frame: jax.Array, target: jax.Array, n_iters: int = 5):
+    """Cyclic coordinate descent: chain is a static tuple of animated-joint
+    indices ordered child -> root (anim_utils run_ccd semantics)."""
+
+    def one_pass(frame, _):
+        for joint_idx in chain:
+            pos, ori = fk_global(skel, frame)
+            eff = pos[effector_node]
+            node_idx = skel.index_of(skel.animated_joints[joint_idx])
+            pivot = pos[node_idx]
+            v1 = eff - pivot
+            v2 = target - pivot
+            v1 = v1 / jnp.maximum(jnp.linalg.norm(v1), 1e-10)
+            v2 = v2 / jnp.maximum(jnp.linalg.norm(v2), 1e-10)
+            # world-space rotation aligning v1 to v2
+            axis = jnp.cross(v1, v2)
+            s = jnp.linalg.norm(axis)
+            c = jnp.dot(v1, v2)
+            angle = jnp.arctan2(s, c)
+            axis = axis / jnp.maximum(s, 1e-10)
+            half = angle * 0.5
+            q_world = jnp.concatenate([jnp.cos(half)[None], jnp.sin(half) * axis])
+            # convert to the joint's local frame: q_local' = q_p^-1 q_w q_p q_local
+            parent_node = skel.parents[node_idx]
+            if parent_node >= 0:
+                p_ori = ori[parent_node]
+            else:
+                p_ori = jnp.array([1.0, 0, 0, 0])
+            q_rel = quat.multiply(quat.conjugate(p_ori),
+                                  quat.multiply(q_world, p_ori))
+            sl = 3 + 4 * joint_idx
+            q_old = jax.lax.dynamic_slice(frame, (sl,), (4,))
+            q_new = quat.normalize(quat.multiply(q_rel, q_old))
+            frame = jax.lax.dynamic_update_slice(frame, q_new, (sl,))
+        return frame, None
+
+    frame, _ = jax.lax.scan(one_pass, frame, None, length=n_iters)
+    return frame
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def look_at(skel: Skeleton, head_joint_idx: int, frame: jax.Array,
+            target: jax.Array, local_dir=(0.0, 0.0, 1.0)):
+    """Rotate the head joint so its local `local_dir` points at the world
+    target (anim_utils edit_motion_to_look_at_target core edit)."""
+    pos, ori = fk_global(skel, frame)
+    node_idx = skel.index_of(skel.animated_joints[head_joint_idx])
+    head_pos = pos[node_idx]
+    head_ori = ori[node_idx]
+    cur_dir = quat.rotate_vec(head_ori, jnp.asarray(local_dir))
+    want = target - head_pos
+    want = want / jnp.maximum(jnp.linalg.norm(want), 1e-10)
+    axis = jnp.cross(cur_dir, want)
+    s = jnp.linalg.norm(axis)
+    c = jnp.dot(cur_dir, want)
+    angle = jnp.arctan2(s, c)
+    axis = axis / jnp.maximum(s, 1e-10)
+    half = angle * 0.5
+    q_world = jnp.concatenate([jnp.cos(half)[None], jnp.sin(half) * axis])
+    parent_node = skel.parents[node_idx]
+    p_ori = jnp.where(parent_node >= 0, ori[jnp.maximum(parent_node, 0)],
+                      jnp.array([1.0, 0, 0, 0]))
+    q_rel = quat.multiply(quat.conjugate(p_ori), quat.multiply(q_world, p_ori))
+    sl = 3 + 4 * head_joint_idx
+    q_old = jax.lax.dynamic_slice(frame, (sl,), (4,))
+    q_new = quat.normalize(quat.multiply(q_rel, q_old))
+    return jax.lax.dynamic_update_slice(frame, q_new, (sl,))

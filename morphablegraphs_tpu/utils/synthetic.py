@@ -49,6 +49,81 @@ Frame Time: 0.033333
 
 N_JOINTS = 3  # animated joints: Hips, Spine, Head, Leg -> 4 actually
 
+# A legged humanoid for grounding / IK tests: 10 animated joints.
+WALK_BVH = """HIERARCHY
+ROOT Hips
+{
+  OFFSET 0.0 90.0 0.0
+  CHANNELS 6 Xposition Yposition Zposition Xrotation Yrotation Zrotation
+  JOINT Spine
+  {
+    OFFSET 0.0 20.0 0.0
+    CHANNELS 3 Xrotation Yrotation Zrotation
+    JOINT Head
+    {
+      OFFSET 0.0 25.0 0.0
+      CHANNELS 3 Xrotation Yrotation Zrotation
+      End Site
+      {
+        OFFSET 0.0 15.0 0.0
+      }
+    }
+  }
+  JOINT LeftUpLeg
+  {
+    OFFSET 9.0 -5.0 0.0
+    CHANNELS 3 Xrotation Yrotation Zrotation
+    JOINT LeftLeg
+    {
+      OFFSET 0.0 -40.0 0.0
+      CHANNELS 3 Xrotation Yrotation Zrotation
+      JOINT LeftFoot
+      {
+        OFFSET 0.0 -40.0 0.0
+        CHANNELS 3 Xrotation Yrotation Zrotation
+        JOINT LeftToeBase
+        {
+          OFFSET 0.0 -5.0 12.0
+          CHANNELS 3 Xrotation Yrotation Zrotation
+          End Site
+          {
+            OFFSET 0.0 0.0 5.0
+          }
+        }
+      }
+    }
+  }
+  JOINT RightUpLeg
+  {
+    OFFSET -9.0 -5.0 0.0
+    CHANNELS 3 Xrotation Yrotation Zrotation
+    JOINT RightLeg
+    {
+      OFFSET 0.0 -40.0 0.0
+      CHANNELS 3 Xrotation Yrotation Zrotation
+      JOINT RightFoot
+      {
+        OFFSET 0.0 -40.0 0.0
+        CHANNELS 3 Xrotation Yrotation Zrotation
+        JOINT RightToeBase
+        {
+          OFFSET 0.0 -5.0 12.0
+          CHANNELS 3 Xrotation Yrotation Zrotation
+          End Site
+          {
+            OFFSET 0.0 0.0 5.0
+          }
+        }
+      }
+    }
+  }
+}
+MOTION
+Frames: 1
+Frame Time: 0.033333
+0 90 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0
+"""
+
 
 def make_legacy_model_json(seed=0, n_canonical_frames=50, n_basis=12,
                            n_joints=4, k_s=5, k_t=2, n_components=3,

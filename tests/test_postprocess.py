@@ -1,0 +1,152 @@
+"""IK / grounding / export tests (reference post-processing surface,
+motion_generator.py:281-352 + annotated_motion_vector.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from morphablegraphs_tpu.models import skeleton as sk
+from morphablegraphs_tpu.ops import ik as ik_ops
+from morphablegraphs_tpu.serve.export import AnnotatedMotion, KeyframeEvent
+from morphablegraphs_tpu.synthesis import grounding, postprocess
+
+from fixtures import WALK_BVH
+
+
+@pytest.fixture(scope="module")
+def skel():
+    s, _ = sk.load_bvh(WALK_BVH)
+    return s
+
+
+def _rest_frame(skel):
+    f = np.zeros(skel.n_frame_params, np.float32)
+    f[:3] = [0, 90, 0]
+    for j in range(skel.n_animated):
+        f[3 + 4 * j] = 1.0
+    return f
+
+
+def test_solve_ik_reaches_target(skel):
+    frame = _rest_frame(skel)
+    foot_idx = skel.index_of("LeftFoot")
+    pos = np.asarray(sk.fk_positions(skel, jnp.asarray(frame)))
+    start = pos[foot_idx]
+    target = start + np.array([5.0, 10.0, 5.0], np.float32)
+
+    nodes = np.zeros(ik_ops.MAX_IK_CONSTRAINTS, np.int32)
+    targets = np.zeros((ik_ops.MAX_IK_CONSTRAINTS, 3), np.float32)
+    mask = np.zeros(ik_ops.MAX_IK_CONSTRAINTS, np.float32)
+    nodes[0] = foot_idx
+    targets[0] = target
+    mask[0] = 1.0
+    joint_mask = np.ones(skel.n_animated, np.float32)
+    joint_mask[0] = 0.0  # root fixed
+    out = np.asarray(ik_ops.solve_ik(skel, jnp.asarray(frame),
+                                     jnp.asarray(nodes), jnp.asarray(targets),
+                                     jnp.asarray(mask), jnp.asarray(joint_mask),
+                                     n_iters=15))
+    new_pos = np.asarray(sk.fk_positions(skel, jnp.asarray(out)))[foot_idx]
+    err = np.linalg.norm(new_pos - target)
+    assert err < 1.0, err
+    # root untouched
+    np.testing.assert_allclose(out[:3], frame[:3], atol=1e-5)
+    np.testing.assert_allclose(out[3:7], frame[3:7], atol=1e-5)
+
+
+def test_ccd_reaches_target(skel):
+    frame = _rest_frame(skel)
+    foot_node = skel.index_of("RightFoot")
+    chain = (skel.animated_index_of("RightLeg"), skel.animated_index_of("RightUpLeg"))
+    pos = np.asarray(sk.fk_positions(skel, jnp.asarray(frame)))
+    target = pos[foot_node] + np.array([8.0, 15.0, 0.0], np.float32)
+    out = np.asarray(ik_ops.run_ccd(skel, chain, foot_node, jnp.asarray(frame),
+                                    jnp.asarray(target), n_iters=30))
+    new_pos = np.asarray(sk.fk_positions(skel, jnp.asarray(out)))[foot_node]
+    assert np.linalg.norm(new_pos - target) < 0.5
+
+
+def test_look_at(skel):
+    frame = _rest_frame(skel)
+    head_idx = skel.animated_index_of("Head")
+    target = jnp.asarray([50.0, 135.0, 50.0])
+    out = ik_ops.look_at(skel, head_idx, jnp.asarray(frame), target)
+    pos, ori = sk.fk_global(skel, out)
+    node = skel.index_of("Head")
+    from morphablegraphs_tpu.ops import quat as quat_ops
+    gaze = np.asarray(quat_ops.rotate_vec(ori[node], jnp.asarray([0.0, 0, 1.0])))
+    want = np.asarray(target) - np.asarray(pos[node])
+    want /= np.linalg.norm(want)
+    assert np.dot(gaze, want) > 0.99
+
+
+def test_move_to_ground(skel):
+    frames = np.tile(_rest_frame(skel), (20, 1))
+    frames[:, 1] += 25.0  # float above ground
+    out = grounding.move_to_ground(skel, frames)
+    pos = np.asarray(sk.fk_positions(skel, jnp.asarray(out[0])))
+    feet_y = min(pos[skel.index_of("LeftFoot")][1], pos[skel.index_of("RightFoot")][1])
+    assert abs(feet_y) < 0.1
+
+
+def test_ground_step_touches_ground(skel):
+    frames = np.tile(_rest_frame(skel), (30, 1))
+    # hips BVH offset is (0, 90, 0) and feet hang 85 below the hips, so a
+    # root channel of y = -8 puts the feet 3 units below the ground
+    frames[:, :3] = [0, -8.0, 0]
+    ground = grounding.SceneInterface(constant_height=0.0)
+    pos_before = np.asarray(sk.fk_positions(skel, jnp.asarray(frames[0])))
+    y_before = pos_before[skel.index_of("RightFoot")][1]
+    assert y_before < 0  # sanity: penetrating
+    out = grounding.ground_step(skel, frames, "leftStance", 0, 29, ground)
+    pos0 = np.asarray(sk.fk_positions(skel, jnp.asarray(out[0])))
+    # start stance foot (right) pulled to the ground at the first frame
+    assert abs(pos0[skel.index_of("RightFoot")][1]) < 1.0
+
+
+def test_apply_ik_constraints_blending(skel):
+    frames = np.tile(_rest_frame(skel), (60, 1))
+    pos = np.asarray(sk.fk_positions(skel, jnp.asarray(frames[30])))
+    target = pos[skel.index_of("LeftFoot")] + np.array([4.0, 8.0, 0.0])
+    c = postprocess.IKConstraint(frame_idx=30, joint="LeftFoot", position=target)
+    out = postprocess.apply_ik_constraints(skel, frames, [c],
+                                           interpolation_window=20)
+    new_pos = np.asarray(sk.fk_positions(skel, jnp.asarray(out[30])))
+    assert np.linalg.norm(new_pos[skel.index_of("LeftFoot")] - target) < 1.5
+    # far frames untouched
+    np.testing.assert_allclose(out[0], frames[0], atol=1e-5)
+    np.testing.assert_allclose(out[59], frames[59], atol=1e-5)
+
+
+def test_unity_export(skel):
+    frames = np.tile(_rest_frame(skel), (4, 1))
+    motion = AnnotatedMotion(skel, frames,
+                             action_ranges=[("walk", 0, 4)],
+                             events=[KeyframeEvent(2, "attach",
+                                                   {"joint": "RightHand",
+                                                    "target": "box"})])
+    unity = motion.to_unity_format()
+    assert len(unity["frames"]) == 4
+    f0 = unity["frames"][0]
+    assert f0["rootTranslation"] == {"x": -0.0, "y": 90.0, "z": 0.0}
+    assert len(f0["rotations"]) == len([n for n in skel.node_names
+                                        if not n.endswith("_EndSite")])
+    # handedness: w negated
+    assert f0["rotations"][0]["w"] == -1.0
+    assert unity["events"][0]["keyframe"] == 2
+    ann = motion.frame_annotation()
+    assert ann["elementaryActionSequence"][0]["elementaryAction"] == "walk"
+
+
+def test_export_files(skel, tmp_path):
+    frames = np.tile(_rest_frame(skel), (3, 1))
+    motion = AnnotatedMotion(skel, frames, action_ranges=[("walk", 0, 3)])
+    prefix = str(tmp_path / "out")
+    motion.export(prefix)
+    import os, json
+    assert os.path.exists(prefix + ".bvh")
+    ann = json.load(open(prefix + "_annotations.json"))
+    assert "elementaryActionSequence" in ann
+    acts = json.load(open(prefix + "_actions.json"))
+    assert "events" in acts
