@@ -143,6 +143,13 @@ def evaluate_residuals(skeleton: Skeleton, prim: MotionPrimitive,
     inactive slots are 0 (reference pads likewise,
     objective_functions.py:233-236)."""
     coeffs = aligned_coeffs(prim, s, sc)
+    return residuals_from_coeffs(skeleton, prim, sc, coeffs)
+
+
+def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
+                          sc: StepConstraints, coeffs: jax.Array) -> jax.Array:
+    """Residuals given already-aligned coefficients (used by the global
+    multi-step optimizer where alignment chains across steps)."""
 
     # ---- keyframe constraints: evaluate spline at kf frames (one matmul)
     b_kf = bspline.basis_matrix(prim.knots_s, sc.kf_frame)  # [K, n_basis]

@@ -39,6 +39,8 @@ class GraphWalkEntry:
     start_frame: int
     end_frame: int
     error: float = 0.0
+    step_constraints: object = None  # compiled.StepConstraints for global opt
+    time_constraints: tuple = ()  # ((canonical_keyframe, desired_time_s), ...)
 
 
 @dataclasses.dataclass
@@ -87,6 +89,7 @@ class MotionGenerator:
 
         # final conversion with time warping (reference
         # graph_walk.py:112-176 convert_to_annotated_motion)
+        self._maybe_optimize_time(steps)
         warped = self._convert_with_time_warp(steps)
 
         stats = {
@@ -125,6 +128,7 @@ class MotionGenerator:
                 is_last_step=(next_type == NODE_TYPE_END))
             node_type = graph.nodes[node_key].node_type
             n += 1
+        frames = self._maybe_optimize_globally(steps, frames)
         return frames, node_key
 
     def _is_end_state(self, node_type, acs, frames, travelled, arc_of_end,
@@ -248,10 +252,20 @@ class MotionGenerator:
                 jnp.asarray(travelled, jnp.float32))
             travelled = float(new_arc)
 
+        time_cs = []
+        for kc in acs.keyframe_constraints.get(node_key[1], []):
+            if kc.time is not None:
+                kf = action_builder._label_keyframe(graph, node_key,
+                                                    kc.keyframe_label,
+                                                    prim.n_canonical_frames)
+                if kf is not None:
+                    time_cs.append((int(kf), float(kc.time)))
         steps.append(GraphWalkEntry(node_key=node_key, parameters=s_np,
                                     arc_length=travelled,
                                     start_frame=start_frame,
-                                    end_frame=len(frames) - 1, error=err))
+                                    end_frame=len(frames) - 1, error=err,
+                                    step_constraints=sc,
+                                    time_constraints=tuple(time_cs)))
         return frames, travelled, err
 
     def _append(self, frames, new_frames, acs):
@@ -268,6 +282,80 @@ class MotionGenerator:
             jnp.asarray(frames[-1], jnp.float32),
             jnp.asarray(new_frames, jnp.float32), window))
         return np.concatenate([frames, aligned], axis=0)
+
+    def _maybe_optimize_globally(self, steps, frames):
+        """Windowed multi-step spatial refinement after an action
+        (reference graph_walk_optimizer.py:60-118)."""
+        cfg = self.config
+        if cfg.get("global_spatial_optimization_mode", "none") == "none":
+            return frames
+        settings = cfg["global_spatial_optimization_settings"]
+        window = [s for s in steps if s.step_constraints is not None][-int(settings["max_steps"]):]
+        if len(window) < 2:
+            return frames
+        avg_err = float(np.mean([s.error for s in window]))
+        if avg_err < float(settings.get("start_error_threshold", 0.0)):
+            return frames
+        from . import global_opt
+        prims = [self.graph.nodes[s.node_key].primitive for s in window]
+        scs = [s.step_constraints for s in window]
+        params = [s.parameters for s in window]
+        new_params, final_err = global_opt.optimize_spatial_over_steps(
+            self.graph.skeleton, prims, scs, params,
+            quality_scale=float(settings.get("quality_scale_factor", 100.0)) * 1e-6)
+        for s, p in zip(window, new_params):
+            s.parameters = p
+        return self._rebuild_frames(steps)
+
+    def _rebuild_frames(self, steps):
+        """Re-assemble the motion buffer from (possibly updated) step
+        parameters (reference re-projects after update_spatial_parameters,
+        graph_walk.py:190-219)."""
+        frames = None
+        window = self.config["smoothing_settings"]["spatial_smoothing_window"]
+        for step in steps:
+            prim = self.graph.nodes[step.node_key].primitive
+            f, n, _ = prim_mod.back_project(
+                prim, jnp.asarray(step.parameters),
+                max_frames=_pad_frames(prim.n_canonical_frames),
+                use_time=False)
+            f = np.asarray(f)[: int(n)]
+            if frames is None:
+                if self._start_transform is not None:
+                    f = np.asarray(align.transform_frames(
+                        jnp.asarray(f), *self._start_transform))
+                frames = f
+            else:
+                aligned = np.asarray(align.align_clip(
+                    jnp.asarray(frames[-1], jnp.float32),
+                    jnp.asarray(f, jnp.float32), window))
+                frames = np.concatenate([frames, aligned], axis=0)
+            step.start_frame = len(frames) - len(f)
+            step.end_frame = len(frames) - 1
+        return frames
+
+    def _maybe_optimize_time(self, steps):
+        """Global time optimization over steps carrying desired_time
+        keyframe constraints (reference optimize_time_parameters_over_graph_walk)."""
+        if not self.config.get("use_global_time_optimization", True):
+            return
+        constrained = []
+        for i, s in enumerate(steps):
+            for (kf, t) in s.time_constraints:
+                constrained.append((i, kf, t))
+        if not constrained:
+            return
+        from . import global_opt
+        prims = [self.graph.nodes[s.node_key].primitive for s in steps]
+        params = [s.parameters for s in steps]
+        skel = self.graph.skeleton
+        frame_time = skel.frame_time if skel is not None else 1.0 / 30
+        settings = self.config["global_time_optimization_settings"]
+        new_params = global_opt.optimize_time_over_steps(
+            prims, params, constrained, frame_time,
+            quality_scale=float(settings.get("quality_scale_factor", 1e-4)))
+        for s, p in zip(steps, new_params):
+            s.parameters = p
 
     # -- final conversion ----------------------------------------------
     def _convert_with_time_warp(self, steps) -> np.ndarray:
