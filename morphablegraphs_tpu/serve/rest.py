@@ -1,0 +1,139 @@
+"""REST service: constrained synthesis over HTTP.
+
+Replaces reference examples/mg_rest_interface.py:98-423 (Tornado app with
+POST /run_morphablegraphs, /generate_motion, /get_skeleton,
+/set_configuration).  The reference's *parallel* variant forks one process
+per core, each with its own graph (mg_rest_interface_parallel.py:10-265);
+on TPU the equivalent scaling story is batching requests into the vmapped
+generator, so this server keeps one model instance and serves sequentially,
+with the crowd path available for bulk requests.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+import tornado.ioloop
+import tornado.web
+
+from ..constraints.input_reader import read_input
+from ..models.graph import MotionStateGraph, load_graph
+from ..models.skeleton import write_bvh
+from ..synthesis.motion_generator import MotionGenerator
+from ..utils.config import default_config
+from .export import AnnotatedMotion, events_from_result
+
+
+class MGContext:
+    """Shared state: graph + generator + config (reference MGRestApplication)."""
+
+    def __init__(self, graph: MotionStateGraph, config: Optional[dict] = None,
+                 activate_joint_mapping: bool = False,
+                 activate_coordinate_transform: bool = False):
+        self.graph = graph
+        self.config = config or default_config()
+        self.generator = MotionGenerator(graph, self.config)
+        self.activate_joint_mapping = activate_joint_mapping
+        self.activate_coordinate_transform = activate_coordinate_transform
+
+    def run(self, mg_input: dict, output_mode: str = "bvh") -> dict:
+        result = self.generator.generate_motion(
+            mg_input,
+            activate_joint_mapping=self.activate_joint_mapping,
+            activate_coordinate_transform=self.activate_coordinate_transform)
+        parsed = read_input(
+            mg_input,
+            activate_coordinate_transform=self.activate_coordinate_transform)
+        annotations_per_action = [a.annotations for a in parsed.actions]
+        events = events_from_result(self.graph, result, annotations_per_action)
+        motion = AnnotatedMotion(self.graph.skeleton, result.frames,
+                                 result.action_ranges, events, mg_input)
+        if output_mode == "Unity":
+            return motion.to_unity_format()
+        return {
+            "bvh": motion.generate_bvh_string(),
+            "annotation": motion.keyframe_events_dict(),
+            "event_list": motion.frame_annotation(),
+        }
+
+
+class _Handler(tornado.web.RequestHandler):
+    def initialize(self, ctx: MGContext):
+        self.ctx = ctx
+
+
+class GenerateMotionHandler(_Handler):
+    """POST /run_morphablegraphs and /generate_motion
+    (reference mg_rest_interface.py:98-163)."""
+
+    def post(self):
+        try:
+            mg_input = json.loads(self.request.body)
+        except json.JSONDecodeError:
+            self.set_status(400)
+            self.write({"error": "invalid JSON"})
+            return
+        try:
+            output_mode = mg_input.get("outputMode", "bvh")
+            result = self.ctx.run(mg_input, output_mode)
+            self.write(json.dumps(result))
+        except (KeyError, ValueError) as e:
+            self.set_status(400)
+            self.write({"error": str(e)})
+
+
+class GetSkeletonHandler(_Handler):
+    """GET /get_skeleton -> skeleton BVH string (reference :165-180)."""
+
+    def get(self):
+        skel = self.ctx.graph.skeleton
+        rest = np.zeros((1, skel.n_frame_params), np.float32)
+        for j in range(skel.n_animated):
+            rest[0, 3 + 4 * j] = 1.0
+        self.write(write_bvh(skel, rest))
+
+    def post(self):
+        self.get()
+
+
+class SetConfigurationHandler(_Handler):
+    """POST /set_configuration -> merge algorithm config at runtime
+    (reference :204-233)."""
+
+    def post(self):
+        try:
+            update = json.loads(self.request.body)
+        except json.JSONDecodeError:
+            self.set_status(400)
+            self.write({"error": "invalid JSON"})
+            return
+        from ..utils.config import _merge
+        _merge(self.ctx.config, update)
+        self.ctx.generator.config = self.ctx.config
+        self.write({"success": True})
+
+
+def make_app(ctx: MGContext) -> tornado.web.Application:
+    return tornado.web.Application([
+        (r"/run_morphablegraphs", GenerateMotionHandler, {"ctx": ctx}),
+        (r"/generate_motion", GenerateMotionHandler, {"ctx": ctx}),
+        (r"/get_skeleton", GetSkeletonHandler, {"ctx": ctx}),
+        (r"/set_configuration", SetConfigurationHandler, {"ctx": ctx}),
+    ])
+
+
+def main(graph_path: str, port: int = 8889, config: Optional[dict] = None):
+    """reference mg_rest_interface.py:381-423 main: load graph zip, serve."""
+    graph = load_graph(graph_path)
+    ctx = MGContext(graph, config)
+    app = make_app(ctx)
+    app.listen(port)
+    print(f"serving morphablegraphs on :{port}")
+    tornado.ioloop.IOLoop.current().start()
+
+
+if __name__ == "__main__":
+    import sys
+    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 8889)

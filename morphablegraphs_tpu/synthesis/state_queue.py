@@ -1,0 +1,152 @@
+"""Thread-safe motion state queue for interactive/streaming synthesis.
+
+Replaces reference motion_generator/mg_state_queue.py:48-301: the planner
+thread pushes aligned motion states, the consumer (game engine bridge) pops
+them and streams frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..models.skeleton import Skeleton
+from ..ops import align, quat
+
+
+@dataclasses.dataclass
+class MotionState:
+    """Playback buffer (anim_utils MotionState subset used by the server)."""
+
+    frames: np.ndarray
+    frame_time: float
+    frame_idx: int = 0
+
+    @property
+    def n_frames(self) -> int:
+        return len(self.frames)
+
+    def update(self, dt: float) -> bool:
+        """Advance playback; returns False when finished."""
+        self.frame_idx += max(int(round(dt / self.frame_time)), 1)
+        return self.frame_idx < self.n_frames
+
+    def get_pose(self) -> np.ndarray:
+        return self.frames[min(self.frame_idx, self.n_frames - 1)]
+
+
+@dataclasses.dataclass
+class StateQueueEntry:
+    """reference mg_state_queue.py:48-58."""
+
+    node_key: tuple
+    node_type: str
+    state: MotionState
+    pose_buffer: List[np.ndarray]
+
+
+class MGStateQueue:
+    """reference mg_state_queue.py:59-160 (mutex-guarded deque)."""
+
+    def __init__(self, skeleton: Skeleton, frame_time: float,
+                 blend_window: int = 20, buffer_size: int = 10):
+        self.skeleton = skeleton
+        self.frame_time = frame_time
+        self.blend_window = blend_window
+        self.buffer_size = buffer_size
+        self._queue: List[StateQueueEntry] = []
+        self._mutex = threading.Lock()
+
+    # -- queue ops -----------------------------------------------------
+    def append(self, entry: StateQueueEntry):
+        with self._mutex:
+            self._queue.append(entry)
+
+    def pop(self) -> Optional[StateQueueEntry]:
+        with self._mutex:
+            if self._queue:
+                return self._queue.pop(0)
+        return None
+
+    def peek(self) -> Optional[StateQueueEntry]:
+        with self._mutex:
+            return self._queue[0] if self._queue else None
+
+    def __len__(self):
+        with self._mutex:
+            return len(self._queue)
+
+    def clear(self):
+        with self._mutex:
+            self._queue.clear()
+
+    # -- state construction (reference build_state :108-130) -----------
+    def build_state(self, frames: np.ndarray,
+                    pose_buffer: Optional[List[np.ndarray]],
+                    ignore_rotation: bool = False) -> MotionState:
+        frames = np.asarray(frames, np.float32)
+        if pose_buffer:
+            prev_last = np.asarray(pose_buffer[-1], np.float32).copy()
+            if ignore_rotation:
+                prev_last[3:7] = [1, 0, 0, 0]
+            aligned = np.asarray(align.align_clip(
+                jnp.asarray(prev_last), jnp.asarray(frames), self.blend_window))
+        else:
+            aligned = frames
+        return MotionState(frames=aligned, frame_time=self.frame_time)
+
+    def add_state(self, node_key: tuple, node_type: str, frames: np.ndarray,
+                  pose_buffer: Optional[List[np.ndarray]]):
+        state = self.build_state(frames, pose_buffer)
+        new_buffer = (list(pose_buffer) if pose_buffer else []) + list(state.frames)
+        new_buffer = new_buffer[-self.buffer_size:]
+        entry = StateQueueEntry(node_key, node_type, state, new_buffer)
+        self.append(entry)
+        return entry
+
+    # -- corrections (reference :198-260) -------------------------------
+    def apply_end_orientation_correction(self, frames: np.ndarray,
+                                         target_dir_xz: np.ndarray,
+                                         window: Optional[int] = None) -> np.ndarray:
+        """Slerp-blend the root orientation toward a target heading over the
+        final `window` frames."""
+        frames = np.asarray(frames, np.float32).copy()
+        window = window or self.blend_window
+        n = len(frames)
+        target_angle = float(np.arctan2(target_dir_xz[0], target_dir_xz[1]))
+        q_target_final = None
+        for i in range(max(n - window, 0), n):
+            t = (i - (n - window)) / max(window - 1, 1)
+            cur_q = jnp.asarray(frames[i, 3:7])
+            cur_angle = float(align.heading_angle(cur_q))
+            dq = quat.about_y(jnp.asarray(target_angle - cur_angle))
+            target_q = quat.multiply(dq, cur_q)
+            blended = quat.slerp(cur_q, target_q, jnp.asarray(t, jnp.float32))
+            frames[i, 3:7] = np.asarray(blended)
+        return frames
+
+    def apply_end_pos_correction(self, frames: np.ndarray,
+                                 target_pos: np.ndarray,
+                                 window: Optional[int] = None) -> np.ndarray:
+        """Linear-blend the root XZ position toward a target over the final
+        window (reference :228-260)."""
+        frames = np.asarray(frames, np.float32).copy()
+        window = window or self.blend_window
+        n = len(frames)
+        delta = np.asarray(target_pos, np.float32) - frames[-1, :3]
+        delta[1] = 0.0
+        for i in range(max(n - window, 0), n):
+            t = (i - (n - window)) / max(window - 1, 1)
+            frames[i, :3] += delta * t
+        return frames
+
+    def generate_idle_state(self, idle_frames: np.ndarray,
+                            pose_buffer: Optional[List[np.ndarray]],
+                            node_key=("walk", "idle")) -> StateQueueEntry:
+        """reference :160-197: hold an idle clip aligned to the buffer."""
+        return self.add_state(node_key, "idle", idle_frames, pose_buffer)

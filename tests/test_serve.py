@@ -1,0 +1,223 @@
+"""Serve layer tests: REST API, CLI, state queue, interactive planner."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from morphablegraphs_tpu.models import graph as graph_mod
+from morphablegraphs_tpu.models import skeleton as sk
+from morphablegraphs_tpu.synthesis.state_planner import MGStatePlanner, MGStatePlanningSettings
+from morphablegraphs_tpu.synthesis.state_queue import MGStateQueue, MotionState
+from morphablegraphs_tpu.utils.config import default_config
+
+from fixtures import TEST_BVH, make_graph_dict
+
+
+@pytest.fixture(scope="module")
+def graph():
+    g = graph_mod.build_graph_from_dict(make_graph_dict())
+    skel, _ = sk.load_bvh(TEST_BVH)
+    g.skeleton = skel
+    return g
+
+
+# ---------------------------------------------------------------------------
+# state queue
+# ---------------------------------------------------------------------------
+
+def _frames(n, d=19, z0=0.0):
+    f = np.zeros((n, d), np.float32)
+    f[:, 2] = z0 + np.arange(n)
+    for j in range(4):
+        f[:, 3 + 4 * j] = 1.0
+    return f
+
+
+def test_state_queue_fifo(graph):
+    q = MGStateQueue(graph.skeleton, 1 / 30)
+    e1 = q.add_state(("walk", "a"), "start", _frames(10), None)
+    e2 = q.add_state(("walk", "b"), "standard", _frames(10), e1.pose_buffer)
+    assert len(q) == 2
+    assert q.pop().node_key == ("walk", "a")
+    assert q.pop().node_key == ("walk", "b")
+    assert q.pop() is None
+
+
+def test_state_queue_alignment(graph):
+    q = MGStateQueue(graph.skeleton, 1 / 30)
+    e1 = q.add_state(("walk", "a"), "start", _frames(10), None)
+    # second clip far away -> must be aligned to the end of the first
+    far = _frames(10, z0=500.0)
+    e2 = q.add_state(("walk", "b"), "standard", far, e1.pose_buffer)
+    seam_prev = e1.pose_buffer[-1][:3]
+    seam_next = e2.state.frames[0][:3]
+    assert np.linalg.norm(np.asarray(seam_next) - np.asarray(seam_prev)) < 1.0
+
+
+def test_motion_state_playback():
+    ms = MotionState(_frames(10), frame_time=1 / 30)
+    assert ms.update(1 / 30)
+    assert ms.frame_idx == 1
+    for _ in range(20):
+        ms.update(1 / 30)
+    assert not ms.update(1 / 30) or ms.frame_idx >= 9
+
+
+def test_end_corrections(graph):
+    q = MGStateQueue(graph.skeleton, 1 / 30)
+    frames = _frames(30)
+    corrected = q.apply_end_pos_correction(frames, np.array([10.0, 0, 40.0]),
+                                           window=10)
+    np.testing.assert_allclose(corrected[-1][:3], [10.0, 0.0, 40.0], atol=0.5)
+    np.testing.assert_allclose(corrected[0], frames[0], atol=1e-5)
+    rotated = q.apply_end_orientation_correction(frames, np.array([1.0, 0.0]),
+                                                 window=10)
+    from morphablegraphs_tpu.ops import align
+    import jax.numpy as jnp
+    final_heading = float(align.heading_angle(jnp.asarray(rotated[-1][3:7])))
+    assert abs(final_heading - np.pi / 2) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# interactive planner
+# ---------------------------------------------------------------------------
+
+def test_state_planner_fsm(graph):
+    p = MGStatePlanner(graph)
+    assert p.get_next_node_type("idle", False) == "start"
+    assert p.get_next_node_type("start", False) == "standard"
+    assert p.get_next_node_type("standard", False) == "standard"
+    assert p.get_next_node_type("standard", True) == "end"
+    assert p.get_next_node_type("end", False) == "idle"
+
+
+def test_state_planner_locomotion(graph):
+    settings = MGStatePlanningSettings(n_samples=10, step_target_threshold=15.0,
+                                       max_steps_per_target=10)
+    p = MGStatePlanner(graph, settings)
+    buf = p.generate_motion_states_from_action_sequence(
+        [{"action": "walk", "controlPoints": [[0, 0, 40], [0, 0, 90]]}])
+    assert len(p.state_queue) > 0
+    # states play back contiguously
+    prev_end = None
+    while True:
+        e = p.state_queue.pop()
+        if e is None:
+            break
+        assert not np.any(np.isnan(e.state.frames))
+        if prev_end is not None:
+            assert np.linalg.norm(e.state.frames[0][:3] - prev_end) < 5.0
+        prev_end = e.state.frames[-1][:3]
+
+
+def test_upper_body_overlay(graph):
+    p = MGStatePlanner(graph)
+    base = _frames(20)
+    gesture = _frames(10)
+    skel = graph.skeleton
+    sl = skel.quat_slice("Spine")
+    gesture[:, sl] = [0.0, 1.0, 0.0, 0.0]  # distinctive spine rotation
+    out = p.overlay_upper_body(base, gesture)
+    np.testing.assert_allclose(out[:, sl], np.tile([0, 1, 0, 0], (20, 1)), atol=1e-6)
+    # root untouched
+    np.testing.assert_allclose(out[:, :3], base[:, :3], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# REST API (Tornado test client)
+# ---------------------------------------------------------------------------
+
+def test_rest_api(graph):
+    os.environ["ASYNC_TEST_TIMEOUT"] = "500"  # first generate compiles kernels
+    import tornado.testing
+    from morphablegraphs_tpu.serve.rest import MGContext, make_app
+
+    cfg = default_config()
+    cfg["n_random_samples"] = 10
+    cfg["lm_iterations"] = 2
+    ctx = MGContext(graph, cfg)
+
+    class Case(tornado.testing.AsyncHTTPTestCase):
+        def get_app(self):
+            return make_app(ctx)
+
+        def test_skeleton(self):
+            resp = self.fetch("/get_skeleton")
+            assert resp.code == 200
+            assert b"HIERARCHY" in resp.body
+
+        def test_generate(self):
+            mg_input = {
+                "startPose": {"position": [0, 0, 0], "orientation": [0, 0, 0]},
+                "elementaryActions": [{
+                    "action": "walk",
+                    "constraints": [{
+                        "joint": "Hips",
+                        "trajectoryConstraints": [
+                            {"position": [0, None, 0]},
+                            {"position": [5, None, 60]},
+                        ],
+                    }],
+                }],
+            }
+            resp = self.fetch("/run_morphablegraphs", method="POST",
+                              body=json.dumps(mg_input), request_timeout=480)
+            assert resp.code == 200
+            data = json.loads(resp.body)
+            assert "bvh" in data
+            assert "HIERARCHY" in data["bvh"]
+            assert "annotation" in data
+
+        def test_bad_json(self):
+            resp = self.fetch("/run_morphablegraphs", method="POST",
+                              body="not json{")
+            assert resp.code == 400
+
+        def test_set_configuration(self):
+            resp = self.fetch("/set_configuration", method="POST",
+                              body=json.dumps({"n_random_samples": 5}))
+            assert resp.code == 200
+            assert ctx.config["n_random_samples"] == 5
+
+    for name in ["test_skeleton", "test_bad_json", "test_set_configuration",
+                 "test_generate"]:
+        case = Case(name)
+        case.setUp()
+        try:
+            getattr(case, name)()
+        finally:
+            case.tearDown()
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def test_cli_train_and_run(tmp_path, graph):
+    import jax
+    from morphablegraphs_tpu.models import primitive as prim_mod
+    from morphablegraphs_tpu.serve import cli
+
+    # create BVH clips from the fixture model
+    clip_dir = tmp_path / "clips"
+    clip_dir.mkdir()
+    src = graph.nodes[("walk", "leftStance")].primitive
+    skel = graph.skeleton
+    key = jax.random.PRNGKey(0)
+    for i in range(4):
+        key, sub = jax.random.split(key)
+        s = prim_mod.sample_latent(sub, src, 1)[0]
+        frames, n, _ = prim_mod.back_project(src, s, 64, use_time=True)
+        sk.write_bvh(skel, np.asarray(frames)[: int(n)],
+                     str(clip_dir / f"clip{i}.bvh"))
+
+    out = cli.train_model(str(clip_dir), "cli_walk",
+                          str(tmp_path / "cli_walk_mm.json"),
+                          config={"max_gmm_components": 2, "npc_temporal": 2})
+    assert os.path.exists(out)
+    prim = prim_mod.load_primitive(out)
+    assert prim.n_spatial > 0
+    # sample BVH exported by the round-trip check
+    assert os.path.exists(str(tmp_path / "cli_walk_sample.bvh"))
