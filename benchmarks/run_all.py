@@ -1,0 +1,171 @@
+"""BASELINE.md benchmark configs 1-5 (SURVEY.md §7.12).
+
+Each config prints one JSON line; run on the real TPU (default env) for
+headline numbers or with JAX_PLATFORMS=cpu for smoke runs.
+
+  1 unconstrained primitive: sample -> back-project parity vs CPU oracle
+  2 multi-primitive graph walk: seam correctness + throughput
+  3 constrained synthesis: trajectory + keyframe constraint errors
+  4 cluster-tree search vs exhaustive candidate scoring
+  5 batched crowd: 1024 characters, frames/sec/chip
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for _p in (_REPO, os.path.join(_REPO, "tests")):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
+
+
+def _setup():
+    from morphablegraphs_tpu.models import graph as graph_mod
+    from morphablegraphs_tpu.models import skeleton as sk
+    from morphablegraphs_tpu.utils.synthetic import TEST_BVH, make_graph_dict
+    graph = graph_mod.build_graph_from_dict(make_graph_dict())
+    skel, _ = sk.load_bvh(TEST_BVH)
+    graph.skeleton = skel
+    return graph, graph_mod.stack_graph(graph)
+
+
+def config1_unconstrained():
+    """Pose error vs the scipy oracle + single-primitive throughput."""
+    sys.path.insert(0, "tests")
+    from morphablegraphs_tpu.models import primitive as prim_mod
+    from morphablegraphs_tpu.utils.synthetic import make_legacy_model_json
+    from reference_oracle import OracleMotionPrimitive
+
+    data = make_legacy_model_json(seed=0)
+    prim = prim_mod.load_primitive_json(data)
+    oracle = OracleMotionPrimitive(data)
+    errs = []
+    for seed in range(5):
+        s = np.random.default_rng(seed).standard_normal(prim.n_latent) * 0.5
+        frames, n, _ = prim_mod.back_project(prim, jnp.asarray(s, jnp.float32),
+                                             96, use_time=True)
+        ref, _ = oracle.frames(s, use_time=True)
+        errs.append(float(np.max(np.abs(np.asarray(frames)[: int(n)] - ref))))
+    pose_err = max(errs)
+    return {"metric": "config1_pose_error_vs_cpu_reference", "value": pose_err,
+            "unit": "abs", "vs_baseline": 1e-3 / max(pose_err, 1e-12)}
+
+
+def config2_graph_walk():
+    from morphablegraphs_tpu.synthesis import walk as walk_mod
+    graph, stacked = _setup()
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    buf, n_valid, ids, _ = walk_mod.random_walk(
+        jax.random.PRNGKey(0), stacked, start, n_steps=6, max_step_frames=64)
+    frames = np.asarray(buf)[: int(n_valid)]
+    root = frames[:, :3]
+    max_jump = float(np.max(np.linalg.norm(np.diff(root, axis=0), axis=1)))
+    return {"metric": "config2_graph_walk_max_seam_jump", "value": max_jump,
+            "unit": "cm/frame", "vs_baseline": 1.0 if max_jump < 10 else 0.0}
+
+
+def config3_constrained():
+    from morphablegraphs_tpu.synthesis.motion_generator import MotionGenerator
+    from morphablegraphs_tpu.utils.config import default_config
+    graph, _ = _setup()
+    cfg = default_config()
+    cfg["n_random_samples"] = 50
+    cfg["lm_iterations"] = 5
+    gen = MotionGenerator(graph, cfg, seed=0)
+    mg_input = {
+        "startPose": {"position": [0, 0, 0], "orientation": [0, 0, 0]},
+        "elementaryActions": [{
+            "action": "walk",
+            "constraints": [{"joint": "Hips", "trajectoryConstraints": [
+                {"position": [0.0, None, 0.0]},
+                {"position": [8.0, None, 60.0]},
+                {"position": [15.0, None, 120.0]}]}],
+        }],
+    }
+    t0 = time.perf_counter()
+    res = gen.generate_motion(mg_input, activate_coordinate_transform=False)
+    dt = time.perf_counter() - t0
+    return {"metric": "config3_constrained_avg_error", "value":
+            round(res.stats["average_error"], 3), "unit": "cm",
+            "vs_baseline": round(dt, 1)}
+
+
+def config4_cluster_search():
+    from morphablegraphs_tpu.constraints import compiled
+    from morphablegraphs_tpu.construct import space_partitioning as sp
+    from morphablegraphs_tpu.synthesis import generator
+    graph, _ = _setup()
+    skel = graph.skeleton
+    prim = graph.nodes[("walk", "leftStance")].primitive
+    tree = sp.build_cluster_tree_for_primitive(jax.random.PRNGKey(0), prim,
+                                               n_samples=10000)
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    sc = compiled.set_keyframe_constraint(
+        sc, 0, skel, "Hips", prim.n_canonical_frames - 1,
+        position=np.array([8.0, np.nan, 28.0]))
+    candidates = jnp.asarray(tree.data)
+    s, err = generator.search_candidates(skel, prim, sc, candidates)  # warmup
+    jax.block_until_ready(err)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        s, err = generator.search_candidates(skel, prim, sc, candidates)
+        jax.block_until_ready(err)
+    dt = (time.perf_counter() - t0) / 10
+
+    def obj(x):
+        return jax.vmap(lambda c: compiled.evaluate_error(skel, prim, sc, c))(x)
+    t1 = time.perf_counter()
+    beam_err, _ = tree.find_best_example(obj, n_candidates=4)
+    beam_dt = time.perf_counter() - t1
+    return {"metric": "config4_exhaustive_10k_search_latency",
+            "value": round(dt * 1000, 2), "unit": "ms",
+            "vs_baseline": round(beam_err / max(float(err), 1e-9), 3)}
+
+
+def config5_crowd():
+    from morphablegraphs_tpu.synthesis import walk as walk_mod
+    graph, stacked = _setup()
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    n_chars, n_steps = 1024, 8
+
+    @jax.jit
+    def crowd(g, keys):
+        return jax.vmap(lambda k: walk_mod.random_walk(
+            k, g, jnp.asarray(start, jnp.int32), n_steps=n_steps,
+            max_step_frames=64))(keys)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), n_chars)
+    buf, n_valid, _, _ = crowd(stacked, keys)
+    jax.block_until_ready(buf)
+    total, t0 = 0, time.perf_counter()
+    for i in range(5):
+        keys = jax.random.split(jax.random.PRNGKey(i + 1), n_chars)
+        buf, n_valid, _, _ = crowd(stacked, keys)
+        jax.block_until_ready(buf)
+        total += int(jnp.sum(n_valid))
+    fps = total / (time.perf_counter() - t0)
+    return {"metric": "config5_crowd_frames_per_sec_per_chip",
+            "value": round(fps, 1), "unit": "frames/s",
+            "vs_baseline": round(fps / 10000.0, 3)}
+
+
+CONFIGS = {"1": config1_unconstrained, "2": config2_graph_walk,
+           "3": config3_constrained, "4": config4_cluster_search,
+           "5": config5_crowd}
+
+
+def main():
+    which = sys.argv[1:] or list(CONFIGS)
+    for k in which:
+        print(json.dumps(CONFIGS[k]()))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,13 @@ class StepConstraints:
     dir_target: jax.Array  # [2] normalized (x, z)
     dir_frame: jax.Array  # f32
     dir_weight: jax.Array  # f32
+    # look-at constraint: joint gaze direction toward a world target at a
+    # keyframe (reference look_at_constraint.py:36)
+    la_active: jax.Array  # f32 0/1
+    la_node: jax.Array  # i32 skeleton node index (head)
+    la_target: jax.Array  # [3]
+    la_frame: jax.Array  # f32
+    la_weight: jax.Array  # f32
     # transition pose constraint (frame 0 point cloud)
     pose_active: jax.Array  # f32 0/1
     pose_points: jax.Array  # [J, 3] target joint positions
@@ -85,7 +92,7 @@ class StepConstraints:
 
     @property
     def n_residuals(self) -> int:
-        return MAX_KF + 2 + TRAJ_SAMPLES
+        return MAX_KF + 3 + TRAJ_SAMPLES
 
 
 def empty_step_constraints(skeleton: Skeleton,
@@ -101,6 +108,9 @@ def empty_step_constraints(skeleton: Skeleton,
         kf_weight=jnp.ones(MAX_KF),
         dir_active=jnp.asarray(0.0), dir_target=jnp.array([0.0, 1.0]),
         dir_frame=jnp.asarray(0.0), dir_weight=jnp.asarray(1.0),
+        la_active=jnp.asarray(0.0), la_node=jnp.asarray(0, jnp.int32),
+        la_target=jnp.zeros(3), la_frame=jnp.asarray(0.0),
+        la_weight=jnp.asarray(1.0),
         pose_active=jnp.asarray(0.0), pose_points=jnp.zeros((j, 3)),
         pose_weight=jnp.asarray(1.0),
         traj_active=jnp.asarray(0.0), traj=dummy_spline,
@@ -136,18 +146,22 @@ def aligned_coeffs(prim: MotionPrimitive, s: jax.Array,
     return align.transform_frames(coeffs, q_y, delta)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("use_traj",))
 def evaluate_residuals(skeleton: Skeleton, prim: MotionPrimitive,
-                       sc: StepConstraints, s: jax.Array) -> jax.Array:
-    """Residual vector [MAX_KF + 2 + TRAJ_SAMPLES] of weighted errors;
+                       sc: StepConstraints, s: jax.Array,
+                       use_traj: bool = True) -> jax.Array:
+    """Residual vector [MAX_KF + 3 + TRAJ_SAMPLES] of weighted errors;
     inactive slots are 0 (reference pads likewise,
-    objective_functions.py:233-236)."""
+    objective_functions.py:233-236).  use_traj=False compiles out the
+    trajectory branch entirely (its residual slots stay 0) — the expensive
+    part when a step carries no path constraint."""
     coeffs = aligned_coeffs(prim, s, sc)
-    return residuals_from_coeffs(skeleton, prim, sc, coeffs)
+    return residuals_from_coeffs(skeleton, prim, sc, coeffs, use_traj=use_traj)
 
 
 def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
-                          sc: StepConstraints, coeffs: jax.Array) -> jax.Array:
+                          sc: StepConstraints, coeffs: jax.Array,
+                          use_traj: bool = True) -> jax.Array:
     """Residuals given already-aligned coefficients (used by the global
     multi-step optimizer where alignment chains across steps)."""
 
@@ -175,6 +189,18 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
     cos_a = jnp.clip(jnp.dot(sc.dir_target, motion_dir), -1.0, 1.0)
     dir_res = sc.dir_active * sc.dir_weight * jnp.rad2deg(jnp.arccos(cos_a))
 
+    # ---- look-at constraint: gaze angle toward target (degrees)
+    b_la = bspline.basis_matrix(prim.knots_s, sc.la_frame[None])
+    frame_la = jnp.matmul(b_la, coeffs, precision=jax.lax.Precision.HIGHEST)[0]
+    pos_la, ori_la = fk_global(skeleton, frame_la)
+    head_pos = pos_la[sc.la_node]
+    head_ori = ori_la[sc.la_node]
+    gaze = quat.rotate_vec(quat.normalize(head_ori), jnp.array([0.0, 0.0, 1.0]))
+    want = sc.la_target - head_pos
+    want = want / jnp.maximum(jnp.linalg.norm(want), 1e-10)
+    cos_la = jnp.clip(jnp.dot(gaze, want), -1.0, 1.0)
+    la_res = sc.la_active * sc.la_weight * jnp.rad2deg(jnp.arccos(cos_la))
+
     # ---- transition pose constraint at frame 0
     frame0 = coeffs[0]  # clamped spline: first coeff == first frame
     pose_pos, _ = fk_global(skeleton, frame0)
@@ -182,30 +208,35 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
     pose_res = sc.pose_active * sc.pose_weight * pose_err
 
     # ---- trajectory constraint: sampled canonical frames, advancing arc
-    t_samples = jnp.linspace(0.0, 1.0, TRAJ_SAMPLES) * jnp.maximum(sc.n_canonical - 1.0, 1.0)
-    b_tr = bspline.basis_matrix(prim.knots_s, t_samples)  # [S, n_basis]
-    frames_tr = jnp.matmul(b_tr, coeffs, precision=jax.lax.Precision.HIGHEST)
-    pos_tr, _ = fk_global(skeleton, frames_tr)
-    root_tr = pos_tr[:, sc.traj_node]  # [S, 3]
+    if use_traj:
+        t_samples = jnp.linspace(0.0, 1.0, TRAJ_SAMPLES) * jnp.maximum(sc.n_canonical - 1.0, 1.0)
+        b_tr = bspline.basis_matrix(prim.knots_s, t_samples)  # [S, n_basis]
+        frames_tr = jnp.matmul(b_tr, coeffs, precision=jax.lax.Precision.HIGHEST)
+        pos_tr, _ = fk_global(skeleton, frames_tr)
+        root_tr = pos_tr[:, sc.traj_node]  # [S, 3]
 
-    def traj_step(min_arc, p):
-        _, arc, d = spline_path.closest_point(sc.traj, p, min_arc)
-        return arc, d
+        def traj_step(min_arc, p):
+            _, arc, d = spline_path.closest_point(sc.traj, p, min_arc)
+            return arc, d
 
-    _, traj_d = jax.lax.scan(traj_step, sc.traj_min_arc, root_tr)
-    traj_res = sc.traj_active * sc.traj_weight * traj_d
+        _, traj_d = jax.lax.scan(traj_step, sc.traj_min_arc, root_tr)
+        traj_res = sc.traj_active * sc.traj_weight * traj_d
+    else:
+        traj_res = jnp.zeros(TRAJ_SAMPLES)
 
-    return jnp.concatenate([kf_res, dir_res[None], pose_res[None], traj_res])
+    return jnp.concatenate([kf_res, dir_res[None], la_res[None],
+                            pose_res[None], traj_res])
 
 
 def evaluate_error(skeleton: Skeleton, prim: MotionPrimitive,
-                   sc: StepConstraints, s: jax.Array) -> jax.Array:
+                   sc: StepConstraints, s: jax.Array,
+                   use_traj: bool = True) -> jax.Array:
     """Scalar constraint error: sum of residuals, except trajectory residuals
     enter as their average (reference trajectory_constraint.py:84
     `evaluate_motion_sample` averages; other constraints sum)."""
-    res = evaluate_residuals(skeleton, prim, sc, s)
-    base = jnp.sum(res[: MAX_KF + 2])
-    traj = res[MAX_KF + 2:]
+    res = evaluate_residuals(skeleton, prim, sc, s, use_traj=use_traj)
+    base = jnp.sum(res[: MAX_KF + 3])
+    traj = res[MAX_KF + 3:]
     n_active = jnp.where(jnp.any(traj > 0), 1.0, 0.0)
     return base + n_active * jnp.mean(traj)
 
@@ -250,6 +281,16 @@ def set_direction_constraint(sc: StepConstraints, dir_xz,
                       dir_target=jnp.asarray(d),
                       dir_frame=jnp.asarray(float(canonical_keyframe)),
                       dir_weight=jnp.asarray(float(weight)))
+
+
+def set_look_at_constraint(sc: StepConstraints, skeleton: Skeleton,
+                           joint: str, target, canonical_keyframe: float,
+                           weight: float = 1.0) -> StepConstraints:
+    return sc.replace(la_active=jnp.asarray(1.0),
+                      la_node=jnp.asarray(skeleton.index_of(joint), jnp.int32),
+                      la_target=jnp.asarray(np.asarray(target, np.float32)),
+                      la_frame=jnp.asarray(float(canonical_keyframe)),
+                      la_weight=jnp.asarray(float(weight)))
 
 
 def set_pose_constraint(sc: StepConstraints, skeleton: Skeleton,

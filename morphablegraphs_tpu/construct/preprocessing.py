@@ -1,0 +1,135 @@
+"""Preprocessing: foot-contact detection, walk segmentation, normalization.
+
+Replaces reference construction/preprocessing/ (bitvector.py foot-contact
+bitvectors + keyframe detection + motion splitting — the segmentation used
+to cut walk clips into stance primitives, SURVEY.md §2.5 —,
+motion_normalization.py, keyframe_detection.py, segmentation.py).
+Contact detection is a vectorized JAX computation over the whole clip.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.skeleton import Skeleton, fk_positions
+from ..ops import quat as quat_ops
+
+DEFAULT_FEATURES = ("LeftFoot", "RightFoot")
+
+
+def calc_contact_bitvector(skeleton: Skeleton, frames: np.ndarray,
+                           features=DEFAULT_FEATURES, threshold: float = 0.2,
+                           smoothing_window: int = 5) -> Dict[str, np.ndarray]:
+    """Per-frame ground-contact booleans per foot joint (reference
+    bitvector.py calc_bitvector_walking :117-230): contact when the squared
+    joint speed is below the threshold AND the joint is near its minimum
+    height; short flickers removed by majority-vote smoothing."""
+    pos = np.asarray(fk_positions(skeleton, jnp.asarray(frames, jnp.float32)))
+    out = {}
+    for f in features:
+        if f not in skeleton.node_names:
+            continue
+        p = pos[:, skeleton.index_of(f)]  # [T, 3]
+        vel2 = np.sum(np.diff(p, axis=0) ** 2, axis=-1)
+        vel2 = np.concatenate([vel2, vel2[-1:]])
+        low_speed = vel2 < threshold
+        y = p[:, 1]
+        near_ground = y < (y.min() + max(threshold * 10, 1.0))
+        bv = (low_speed & near_ground).astype(np.int8)
+        out[f] = smooth_bitvector(bv, smoothing_window)
+    return out
+
+
+def smooth_bitvector(bv: np.ndarray, window: int = 5) -> np.ndarray:
+    """Majority vote over a sliding window (reference bitvector smoothing
+    :80-113 removes segments shorter than the threshold)."""
+    bv = np.asarray(bv, np.int8)
+    if window <= 1 or len(bv) < window:
+        return bv
+    kernel = np.ones(window)
+    counts = np.convolve(bv, kernel, mode="same")
+    return (counts > window / 2).astype(np.int8)
+
+
+def detect_walking_keyframes(skeleton: Skeleton, frames: np.ndarray,
+                             features=DEFAULT_FEATURES,
+                             threshold: float = 0.2) -> Dict[str, List[int]]:
+    """Contact-release frames per foot (reference
+    detect_walking_keyframes :254-330: a keyframe is where the bitvector
+    drops 1 -> 0, i.e. the foot leaves the ground)."""
+    bitvectors = calc_contact_bitvector(skeleton, frames, features, threshold)
+    keyframes = {}
+    for f, bv in bitvectors.items():
+        drops = [i for i in range(1, len(bv)) if bv[i] == 0 and bv[i - 1] == 1]
+        keyframes[f] = drops
+    return keyframes
+
+
+def split_walk_motion(skeleton: Skeleton, frames: np.ndarray,
+                      features=DEFAULT_FEATURES,
+                      threshold: float = 0.2) -> List[dict]:
+    """Cut a walk clip into alternating stance segments (reference
+    splitt_motion :359-430).  Returns [{start_idx, end_idx, stance_foot}]
+    in the section format the constructor's split-DTW consumes
+    (motion_model_constructor.py:304-350)."""
+    keyframes = detect_walking_keyframes(skeleton, frames, features, threshold)
+    marks = []
+    for f, kfs in keyframes.items():
+        marks += [(k, f) for k in kfs]
+    marks.sort()
+    sections = []
+    prev = 0
+    for k, f in marks:
+        if k - prev >= 5:  # ignore degenerate segments
+            stance = "left" if "Right" in f else "right"  # released foot swings
+            sections.append({"start_idx": prev, "end_idx": k,
+                             "stance_foot": stance})
+            prev = k
+    if len(frames) - prev >= 5:
+        sections.append({"start_idx": prev, "end_idx": len(frames),
+                         "stance_foot": "both"})
+    return sections
+
+
+# ---------------------------------------------------------------------------
+# Normalization (reference motion_normalization.py)
+# ---------------------------------------------------------------------------
+
+def normalize_motion(frames: np.ndarray, ref_orientation=(0.0, -1.0),
+                     zero_height: bool = False) -> np.ndarray:
+    """Translate the root start to the origin and rotate the first frame's
+    heading onto the reference direction (reference MotionNormalization:
+    translate to ground/origin + orientation alignment)."""
+    from .constructor import align_frames_spatially
+    out = align_frames_spatially({0: frames}, ref_orientation)[0]
+    if zero_height:
+        out[:, 1] -= out[0, 1]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Keyframe detection by pose distance (reference keyframe_detection.py:31-141)
+# ---------------------------------------------------------------------------
+
+def detect_keyframes_by_pose_distance(skeleton: Skeleton, frames: np.ndarray,
+                                      reference_pose: np.ndarray,
+                                      n_keyframes: int = 1) -> List[int]:
+    """Frames whose pose point-cloud is closest to a reference pose — local
+    minima of the transform-invariant distance curve."""
+    from .dtw import pair_distance
+    clouds = np.asarray(fk_positions(skeleton, jnp.asarray(frames, jnp.float32)))
+    ref_cloud = np.asarray(fk_positions(skeleton, jnp.asarray(reference_pose, jnp.float32)))
+    d = np.asarray(pair_distance(jnp.asarray(clouds), jnp.asarray(ref_cloud)[None]))
+    order = np.argsort(d)
+    picked: List[int] = []
+    for i in order:
+        if all(abs(int(i) - p) > 10 for p in picked):
+            picked.append(int(i))
+        if len(picked) >= n_keyframes:
+            break
+    return sorted(picked)

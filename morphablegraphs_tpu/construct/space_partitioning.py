@@ -41,24 +41,19 @@ def kmeans(rng: np.random.Generator, x: np.ndarray, k: int,
         d2 = np.min(np.stack([np.sum((x - c) ** 2, axis=1) for c in centers]), axis=0)
         p = d2 / max(d2.sum(), 1e-12)
         centers.append(x[rng.choice(n, p=p)])
-    centers = np.stack(centers)
-    c = jnp.asarray(centers, jnp.float32)
-    xs = jnp.asarray(x, jnp.float32)
-
-    @jax.jit
-    def step(c):
-        d = jnp.sum((xs[:, None, :] - c[None]) ** 2, axis=-1)  # [N, K]
-        labels = jnp.argmin(d, axis=-1)
-        one_hot = jax.nn.one_hot(labels, k, dtype=xs.dtype)
-        counts = one_hot.sum(0)
-        sums = one_hot.T @ xs
-        new_c = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), c)
-        return new_c, labels
-
-    labels = None
+    c = np.stack(centers).astype(np.float64)
+    xs = np.asarray(x, np.float64)
+    # numpy Lloyd iterations: construction-time host work; dispatching tiny
+    # per-node kernels to a remote TPU costs more than the compute
+    labels = np.zeros(n, np.int64)
     for _ in range(n_iters):
-        c, labels = step(c)
-    return np.asarray(labels)
+        d = ((xs[:, None, :] - c[None]) ** 2).sum(-1)  # [N, K]
+        labels = np.argmin(d, axis=-1)
+        for j in range(k):
+            m = labels == j
+            if m.any():
+                c[j] = xs[m].mean(axis=0)
+    return labels
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,9 @@ def _bake_translation_scale(eigen: np.ndarray, mean: np.ndarray,
 
 def load_primitive_json(data: Dict[str, Any], name: str = "") -> MotionPrimitive:
     """Build the pytree from a parsed model JSON dict (any schema version)."""
+    if "spatial_coeffs" in data:  # single-exemplar static primitive
+        from .static_primitive import load_static_primitive_json
+        return load_static_primitive_json(data, name)
     if "sspm" in data:  # v3 / mgrd-style
         sspm, tspm, gmm_d = data["sspm"], data["tspm"], data["gmm"]
         eigen_s = np.asarray(sspm["eigen"], np.float64).T  # stored [k, D]

@@ -1,0 +1,60 @@
+"""Graph package writer: the inverse of graph.read_zip.
+
+The reference only ships a reader (utilities/zip_io.py); the writer closes
+the loop so graphs trained with the construction pipeline can be packaged in
+the same format version 2 layout the reference loads:
+  graph_definition.json, skeleton.bvh,
+  elementary_action_models/elementary_action_<a>/<a>_<mp>_mm.json
+  (+ meta_information.json, *_cluster_tree.json).
+"""
+
+from __future__ import annotations
+
+import json
+import zipfile
+from typing import Dict, Optional
+
+import numpy as np
+
+from .skeleton import Skeleton, write_bvh
+
+
+def write_graph_zip(path: str, skeleton: Skeleton,
+                    actions: Dict[str, dict],
+                    transitions: Dict[str, list],
+                    start_node: Optional[tuple] = None,
+                    action_definitions: Optional[dict] = None,
+                    format_version: float = 2.0):
+    """actions: {action_name: {"nodes": {mp_name: model_json},
+                               "info": meta_info_dict,
+                               "cluster_trees": {mp_name: tree_json}}}.
+    transitions: {"action_mp": ["action2_mp2", ...]}.
+    """
+    if not path.endswith(".zip"):
+        path += ".zip"
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        graph_def = {"formatVersion": format_version,
+                     "transitions": transitions}
+        if start_node is not None:
+            graph_def["startNode"] = list(start_node)
+        if action_definitions:
+            graph_def["actionDefinitions"] = action_definitions
+        zf.writestr("graph_definition.json", json.dumps(graph_def))
+
+        rest = np.zeros((1, skeleton.n_frame_params), np.float32)
+        for j in range(skeleton.n_animated):
+            rest[0, 3 + 4 * j] = 1.0
+        zf.writestr("skeleton.bvh", write_bvh(skeleton, rest))
+
+        for action, desc in actions.items():
+            prefix = f"elementary_action_models/elementary_action_{action}"
+            for mp_name, mm in desc.get("nodes", {}).items():
+                zf.writestr(f"{prefix}/{action}_{mp_name}_mm.json",
+                            json.dumps(mm))
+            if "info" in desc:
+                zf.writestr(f"{prefix}/meta_information.json",
+                            json.dumps(desc["info"]))
+            for mp_name, tree in desc.get("cluster_trees", {}).items():
+                zf.writestr(f"{prefix}/{action}_{mp_name}_cluster_tree.json",
+                            json.dumps(tree))
+    return path

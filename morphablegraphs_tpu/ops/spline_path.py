@@ -42,6 +42,8 @@ class PathSpline:
     n_points: jax.Array  # int32 true control point count
     table_u: jax.Array  # [G+1] parameter grid
     table_arc: jax.Array  # [G+1] cumulative arc length at grid
+    table_points: jax.Array  # [G+1, 3] spline points at the grid (cached so
+    #                          vmapped closest-point search reuses them)
     unconstrained: jax.Array  # [3] bool mask of unconstrained dims (e.g. Y)
 
     @property
@@ -106,7 +108,8 @@ def _finalize(padded, n_points, unconstrained, granularity: int):
     seg = jnp.linalg.norm(pts[1:] - pts[:-1], axis=-1)
     arc = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seg)])
     return PathSpline(points=padded, n_points=n_points, table_u=u,
-                      table_arc=arc, unconstrained=unconstrained)
+                      table_arc=arc, table_points=pts,
+                      unconstrained=unconstrained)
 
 
 # ---------------------------------------------------------------------------
@@ -157,8 +160,7 @@ def closest_point(sp: PathSpline, point: jax.Array,
     Returns (closest_pos [3], arc_length, distance).
     """
     mask_dim = jnp.where(sp.unconstrained, 0.0, 1.0)
-    pts = _eval_u(sp.points, sp.n_points, sp.table_u)  # [G+1, 3] (cached by XLA CSE)
-    d2 = jnp.sum(((pts - point) * mask_dim) ** 2, axis=-1)
+    d2 = jnp.sum(((sp.table_points - point) * mask_dim) ** 2, axis=-1)
     valid = sp.table_arc >= jnp.asarray(min_arc_length) - 1e-6
     d2 = jnp.where(valid, d2, jnp.inf)
     i = jnp.argmin(d2)
@@ -190,7 +192,7 @@ def transform(sp: PathSpline, q_y: jax.Array, delta: jax.Array) -> PathSpline:
     motion_primitive_constraints.py:268-330)."""
     from . import quat as quat_ops
     new_pts = quat_ops.rotate_vec(q_y[None, :], sp.points) + delta[None, :]
-    seg_pts = _eval_u(new_pts, sp.n_points, sp.table_u)
+    seg_pts = quat_ops.rotate_vec(q_y[None, :], sp.table_points) + delta[None, :]
     seg = jnp.linalg.norm(seg_pts[1:] - seg_pts[:-1], axis=-1)
     arc = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seg)])
-    return sp.replace(points=new_pts, table_arc=arc)
+    return sp.replace(points=new_pts, table_points=seg_pts, table_arc=arc)

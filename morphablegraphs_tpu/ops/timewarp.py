@@ -20,6 +20,31 @@ import jax
 import jax.numpy as jnp
 
 
+def interp_cubic(xq: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Cubic Hermite interpolation with central-difference slopes on a
+    monotone grid — a closer match to the reference's `splrep`-based
+    inversion than linear interp (keeps the <1e-3 pose budget,
+    BASELINE.md config 1)."""
+    n = x.shape[-1]
+    i = jnp.clip(jnp.searchsorted(x, xq) - 1, 0, n - 2)
+    x0, x1 = x[i], x[i + 1]
+    y0, y1 = y[i], y[i + 1]
+    h = jnp.maximum(x1 - x0, 1e-8)
+    t = jnp.clip((xq - x0) / h, 0.0, 1.0)
+    # central-difference slopes (one-sided at the ends)
+    im = jnp.maximum(i - 1, 0)
+    ip = jnp.minimum(i + 2, n - 1)
+    m0 = (y1 - y[im]) / jnp.maximum(x1 - x[im], 1e-8)
+    m1 = (y[ip] - y0) / jnp.maximum(x[ip] - x0, 1e-8)
+    t2 = t * t
+    t3 = t2 * t
+    h00 = 2 * t3 - 3 * t2 + 1
+    h10 = t3 - 2 * t2 + t
+    h01 = -2 * t3 + 3 * t2
+    h11 = t3 - t2
+    return h00 * y0 + h10 * h * m0 + h01 * y1 + h11 * h * m1
+
+
 def canonical_time_function(mean_t_d: jax.Array, eigen_t_d: jax.Array,
                             gamma: jax.Array) -> jax.Array:
     """t(t') = cumsum(exp(mean_t + T_discrete @ gamma)) - 1.
@@ -58,9 +83,9 @@ def invert_time_function(t_canonical: jax.Array, n_canonical: int,
     i = jnp.arange(max_frames, dtype=t_canonical.dtype)
     denom = jnp.maximum(num - 1.0, 1.0)
     interior = 1.0 + (t_end - 1.0) * (i - 1.0) / denom
-    # Invert by monotone interpolation: x = t(t'), y = t' = 0..F-1.
-    tprime = jnp.interp(interior, t_canonical,
-                        jnp.arange(n_canonical, dtype=t_canonical.dtype))
+    # Invert by monotone cubic interpolation: x = t(t'), y = t' = 0..F-1.
+    tprime = interp_cubic(interior, t_canonical,
+                          jnp.arange(n_canonical, dtype=t_canonical.dtype))
     out = jnp.where(i == 0, 0.0, tprime)
     last = n_frames - 1
     out = jnp.where(i >= last, float(n_canonical - 1), out)
@@ -113,7 +138,7 @@ def invert_time_function_dynamic(t_canonical: jax.Array, n_canonical: jax.Array,
     # final canonical frame.
     y = jnp.minimum(jnp.arange(f_max, dtype=t_canonical.dtype),
                     (n_canonical - 1).astype(t_canonical.dtype))
-    tprime = jnp.interp(interior, t_canonical, y)
+    tprime = interp_cubic(interior, t_canonical, y)
     out = jnp.where(i == 0, 0.0, tprime)
     last = n_frames - 1
     out = jnp.where(i >= last, (n_canonical - 1).astype(t_canonical.dtype), out)

@@ -27,16 +27,19 @@ from ..models.skeleton import Skeleton
 from ..ops import gmm as gmm_ops
 
 
-@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("n_samples",))
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("n_samples", "use_traj"))
 def best_of_n(skeleton: Skeleton, key: jax.Array, prim: MotionPrimitive,
-              sc: compiled.StepConstraints, n_samples: int = 100):
+              sc: compiled.StepConstraints, n_samples: int = 100,
+              use_traj: bool = True):
     """Draw n samples from the GMM and keep the best under the constraint
     error (reference motion_primitive_generator.py:192-207).
 
     Returns (s_best [L], error_best).
     """
     samples = sample_latent(key, prim, n_samples)
-    errors = jax.vmap(lambda s: compiled.evaluate_error(skeleton, prim, sc, s))(samples)
+    errors = jax.vmap(lambda s: compiled.evaluate_error(
+        skeleton, prim, sc, s, use_traj=use_traj))(samples)
     i = jnp.argmin(errors)
     return samples[i], errors[i]
 
@@ -92,17 +95,20 @@ def refine_lm(skeleton: Skeleton, prim: MotionPrimitive,
 def _active_mask(sc: compiled.StepConstraints) -> jax.Array:
     traj_mask = jnp.broadcast_to(sc.traj_active, (compiled.TRAJ_SAMPLES,))
     return jnp.concatenate([sc.kf_active, sc.dir_active[None],
-                            sc.pose_active[None], traj_mask])
+                            sc.la_active[None], sc.pose_active[None],
+                            traj_mask])
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("use_traj",))
 def search_candidates(skeleton: Skeleton, prim: MotionPrimitive,
-                      sc: compiled.StepConstraints, candidates: jax.Array):
+                      sc: compiled.StepConstraints, candidates: jax.Array,
+                      use_traj: bool = True):
     """Score a fixed candidate set (cluster-tree data) under the constraint
     error — the TPU replacement for the reference's objective-directed tree
     traversal (cluster_tree.py:117-149): exhaustive vmapped argmin is exact
     and one batched computation (SURVEY.md §7.8)."""
-    errors = jax.vmap(lambda s: compiled.evaluate_error(skeleton, prim, sc, s))(candidates)
+    errors = jax.vmap(lambda s: compiled.evaluate_error(
+        skeleton, prim, sc, s, use_traj=use_traj))(candidates)
     i = jnp.argmin(errors)
     return candidates[i], errors[i]
 
@@ -118,13 +124,17 @@ def generate_constrained_sample(key: jax.Array, skeleton: Skeleton,
 
     Returns (s, error) as device arrays.
     """
+    import numpy as _np
+    use_traj = bool(float(_np.asarray(sc.traj_active)) > 0)
     mode = config.get("constrained_sampling_mode", "random_discrete")
     if mode == "cluster_tree_search" and cluster_tree is not None:
         s, err = search_candidates(skeleton, prim, sc,
-                                   jnp.asarray(cluster_tree.data))
+                                   jnp.asarray(cluster_tree.data),
+                                   use_traj=use_traj)
     else:
         n = int(config.get("n_random_samples", 100))
-        s, err = best_of_n(skeleton, key, prim, sc, n_samples=n)
+        s, err = best_of_n(skeleton, key, prim, sc, n_samples=n,
+                           use_traj=use_traj)
     opt = config.get("local_optimization_settings", {})
     mode = config.get("local_optimization_mode", "all")
     threshold = float(opt.get("start_error_threshold", 0.0))

@@ -1,0 +1,124 @@
+"""Hand pose overlay: event-driven status machine for grasp poses.
+
+Replaces reference motion_generator/hand_pose_generator.py:33-188: hand
+states (standard / pick / place per hand) are switched by keyframe events
+(attach/detach/transfer); the active pose's hand-joint quaternions overwrite
+each frame, with slerp smoothing over a window (default 30) at transitions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..models.skeleton import Skeleton
+from ..ops import quat
+
+RIGHT_HAND_JOINTS_PREFIX = "Right"
+LEFT_HAND_JOINTS_PREFIX = "Left"
+DEFAULT_SMOOTHING_WINDOW = 30  # reference :158
+
+
+@dataclasses.dataclass
+class HandPose:
+    """One static hand pose: {joint_name: quaternion [4]}."""
+
+    name: str
+    joint_quats: Dict[str, np.ndarray]
+
+
+class HandPoseGenerator:
+    """reference hand_pose_generator.py:39-188."""
+
+    def __init__(self, skeleton: Skeleton,
+                 smoothing_window: int = DEFAULT_SMOOTHING_WINDOW):
+        self.skeleton = skeleton
+        self.pose_map: Dict[str, HandPose] = {}
+        self.status = {"Right": "standard", "Left": "standard"}
+        self.smoothing_window = smoothing_window
+
+    def init_from_desc(self, desc: dict):
+        """Load hand poses from the zip's hand_pose_info structure
+        (reference init_from_desc; poses stored as joint->quat maps)."""
+        for name, pose in desc.get("poses", {}).items():
+            self.pose_map[name] = HandPose(
+                name=name,
+                joint_quats={j: np.asarray(q, np.float32)
+                             for j, q in pose.items()})
+
+    def add_pose(self, name: str, joint_quats: Dict[str, np.ndarray]):
+        self.pose_map[name] = HandPose(name, {j: np.asarray(q, np.float32)
+                                              for j, q in joint_quats.items()})
+
+    def _status_for_event(self, event: str, current: str) -> str:
+        """attach -> pick pose, detach -> standard, transfer flips hands
+        (reference handle_event semantics :114-147)."""
+        if event == "attach":
+            return "pick"
+        if event == "detach":
+            return "standard"
+        return current
+
+    def set_pose_in_frame(self, frame: np.ndarray, pose_name: str,
+                          hand: str) -> np.ndarray:
+        """Overwrite the hand-joint quaternions of one frame (:147-158)."""
+        pose = self.pose_map.get(f"{hand}_{pose_name}") or self.pose_map.get(pose_name)
+        if pose is None:
+            return frame
+        out = frame.copy()
+        for joint, q in pose.joint_quats.items():
+            if joint in self.skeleton.animated_joints and joint.startswith(hand):
+                out[self.skeleton.quat_slice(joint)] = q
+        return out
+
+    def generate_hand_poses(self, frames: np.ndarray,
+                            events: List[dict]) -> np.ndarray:
+        """Walk the event list, overwrite hand joints per frame, smooth
+        transitions (:114-188).
+
+        events: [{keyframe, event, parameters: {joint: RightHand|LeftHand}}].
+        """
+        frames = np.asarray(frames, np.float32).copy()
+        switch_frames = []
+        status = {"Right": "standard", "Left": "standard"}
+        changes = sorted(events, key=lambda e: e.get("keyframe", 0))
+        ci = 0
+        for i in range(len(frames)):
+            while ci < len(changes) and changes[ci].get("keyframe", 0) <= i:
+                e = changes[ci]
+                joint = e.get("parameters", {}).get("joint", "")
+                hand = "Right" if joint.startswith("Right") else "Left"
+                new_status = self._status_for_event(e.get("event", ""), status[hand])
+                if new_status != status[hand]:
+                    status[hand] = new_status
+                    switch_frames.append(i)
+                ci += 1
+            for hand, st in status.items():
+                if st != "standard":
+                    frames[i] = self.set_pose_in_frame(frames[i], st, hand)
+        for sf in switch_frames:
+            frames = self.smooth_state_transition(frames, sf)
+        self.status = status
+        return frames
+
+    def smooth_state_transition(self, frames: np.ndarray, at_frame: int,
+                                window: Optional[int] = None) -> np.ndarray:
+        """Slerp-blend all joint quats across the transition (:158-188)."""
+        window = window or self.smoothing_window
+        n = len(frames)
+        lo = max(at_frame - window // 2, 0)
+        hi = min(at_frame + window // 2, n - 1)
+        if hi <= lo:
+            return frames
+        q_lo = frames[lo, 3:].reshape(-1, 4)
+        q_hi = frames[hi, 3:].reshape(-1, 4)
+        for i in range(lo, hi + 1):
+            t = (i - lo) / (hi - lo)
+            blended = np.asarray(quat.slerp(jnp.asarray(q_lo), jnp.asarray(q_hi),
+                                            jnp.asarray(t, jnp.float32)))
+            frames[i, 3:] = blended.reshape(-1)
+        return frames

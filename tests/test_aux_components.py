@@ -1,0 +1,234 @@
+"""Tests for auxiliary components: static primitives, look-at constraints,
+hand poses, height maps, preprocessing, motion analysis, zip writer, PFNN."""
+
+import json
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from morphablegraphs_tpu.models import primitive as prim_mod
+from morphablegraphs_tpu.models import skeleton as sk
+from morphablegraphs_tpu.models.static_primitive import make_static_model_json
+from morphablegraphs_tpu.models.zip_writer import write_graph_zip
+from morphablegraphs_tpu.models import pfnn as pfnn_mod
+from morphablegraphs_tpu.models import graph as graph_mod
+from morphablegraphs_tpu.utils.height_map import HeightMapInterface
+from morphablegraphs_tpu.utils.exceptions import (ConstraintError,
+                                                  PathSearchError,
+                                                  SynthesisError)
+
+from fixtures import TEST_BVH, WALK_BVH, make_graph_dict, make_legacy_model_json
+
+
+# ---------------------------------------------------------------------------
+# static primitive
+# ---------------------------------------------------------------------------
+
+def test_static_primitive_roundtrip():
+    rng = np.random.default_rng(0)
+    t, d = 40, 19
+    # smooth clip (a 16-basis spline cannot reproduce white noise)
+    ts = np.linspace(0, 2 * np.pi, t)[:, None]
+    phases = rng.uniform(0, np.pi, d)[None, :]
+    frames = np.sin(ts + phases).astype(np.float32)
+    frames[:, 2] = np.linspace(0, 20, t)
+    data = make_static_model_json(frames, n_basis=16, name="single")
+    prim = prim_mod.load_primitive_json(data)
+    assert prim.n_spatial == 1
+    # sampling always reproduces the clip
+    f, n, _ = prim_mod.sample_frames(jax.random.PRNGKey(0), prim,
+                                     max_frames=64, use_time=True)
+    f = np.asarray(f)[: int(n)]
+    assert int(n) == t
+    assert np.max(np.abs(f - frames)) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# look-at constraint
+# ---------------------------------------------------------------------------
+
+def test_look_at_constraint():
+    from morphablegraphs_tpu.constraints import compiled
+    g = graph_mod.build_graph_from_dict(make_graph_dict())
+    skel, _ = sk.load_bvh(TEST_BVH)
+    prim = g.nodes[("walk", "leftStance")].primitive
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    sc = compiled.set_look_at_constraint(sc, skel, "Head",
+                                         target=[100.0, 120.0, 100.0],
+                                         canonical_keyframe=prim.n_canonical_frames - 1)
+    s = jnp.zeros(prim.n_latent)
+    err = float(compiled.evaluate_error(skel, prim, sc, s))
+    assert np.isfinite(err) and err > 0
+    # pointing straight at the head's own gaze gives near-zero error
+    coeffs = np.asarray(compiled.aligned_coeffs(prim, s, sc))
+    from morphablegraphs_tpu.ops import bspline
+    frame = np.asarray(bspline.evaluate(jnp.asarray(coeffs), prim.knots_s,
+                                        jnp.asarray([float(prim.n_canonical_frames - 1)])))[0]
+    pos, ori = sk.fk_global(skel, jnp.asarray(frame))
+    from morphablegraphs_tpu.ops import quat as quat_ops
+    head = skel.index_of("Head")
+    gaze = np.asarray(quat_ops.rotate_vec(quat_ops.normalize(ori[head]),
+                                          jnp.asarray([0.0, 0, 1.0])))
+    target_on_gaze = np.asarray(pos[head]) + gaze * 50
+    sc2 = compiled.set_look_at_constraint(sc, skel, "Head", target_on_gaze,
+                                          prim.n_canonical_frames - 1)
+    err2 = float(compiled.evaluate_error(skel, prim, sc2, s))
+    assert err2 < 2.0  # degrees
+
+
+# ---------------------------------------------------------------------------
+# hand poses
+# ---------------------------------------------------------------------------
+
+def test_hand_pose_overlay():
+    from morphablegraphs_tpu.synthesis.hand_pose import HandPoseGenerator
+    skel, _ = sk.load_bvh(WALK_BVH)
+    gen = HandPoseGenerator(skel, smoothing_window=4)
+    # the walk skeleton has no hands; use the Right* leg joints as stand-ins
+    grip = np.array([0.0, 0.0, 1.0, 0.0], np.float32)
+    gen.add_pose("pick", {"RightLeg": grip})
+    frames = np.zeros((20, skel.n_frame_params), np.float32)
+    for j in range(skel.n_animated):
+        frames[:, 3 + 4 * j] = 1.0
+    events = [{"keyframe": 5, "event": "attach",
+               "parameters": {"joint": "RightLeg"}}]
+    out = gen.generate_hand_poses(frames, events)
+    sl = skel.quat_slice("RightLeg")
+    # after the attach event the pose quaternion is applied
+    np.testing.assert_allclose(out[15, sl], grip, atol=1e-5)
+    # before the event: original identity (outside the smoothing window)
+    np.testing.assert_allclose(out[0, sl], [1, 0, 0, 0], atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# height map
+# ---------------------------------------------------------------------------
+
+def test_height_map_bilinear():
+    hm = HeightMapInterface(np.array([[0.0, 1.0], [2.0, 3.0]]), scale=10.0)
+    assert hm.get_height(0, 0) == 0.0
+    assert abs(hm.get_height(5, 0) - 0.5) < 1e-6
+    assert abs(hm.get_height(5, 5) - 1.5) < 1e-6
+    # out of range -> default
+    assert hm.get_height(100, 100) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# preprocessing
+# ---------------------------------------------------------------------------
+
+def _stepping_motion(skel, n=60):
+    """Synthetic stepping: alternate small vertical foot lifts."""
+    frames = np.zeros((n, skel.n_frame_params), np.float32)
+    frames[:, 1] = -5.0
+    for j in range(skel.n_animated):
+        frames[:, 3 + 4 * j] = 1.0
+    li = skel.animated_index_of("LeftUpLeg")
+    ri = skel.animated_index_of("RightUpLeg")
+    for i in range(n):
+        phase = (i // 15) % 2
+        swing = li if phase == 0 else ri
+        ang = np.deg2rad(20 * np.sin(np.pi * (i % 15) / 15))
+        frames[i, 3 + 4 * swing: 7 + 4 * swing] = [np.cos(ang / 2), np.sin(ang / 2), 0, 0]
+        frames[i, 2] = i * 0.8
+    return frames
+
+
+def test_contact_bitvector_and_sections():
+    from morphablegraphs_tpu.construct import preprocessing
+    skel, _ = sk.load_bvh(WALK_BVH)
+    frames = _stepping_motion(skel)
+    bv = preprocessing.calc_contact_bitvector(skel, frames, threshold=2.0)
+    assert set(bv) == {"LeftFoot", "RightFoot"}
+    assert bv["LeftFoot"].shape == (len(frames),)
+    sections = preprocessing.split_walk_motion(skel, frames, threshold=2.0)
+    assert len(sections) >= 1
+    assert sections[0]["start_idx"] == 0
+    assert sections[-1]["end_idx"] == len(frames)
+    # sections tile the clip
+    for a, b in zip(sections[:-1], sections[1:]):
+        assert a["end_idx"] == b["start_idx"]
+
+
+def test_motion_analysis_features():
+    from morphablegraphs_tpu.construct.motion_analysis import BVHAnalyzer, Plane
+    skel, _ = sk.load_bvh(WALK_BVH)
+    frames = _stepping_motion(skel, n=30)
+    analyzer = BVHAnalyzer(skel, frames)
+    feats = analyzer.feature_vector()
+    assert "root_speed" in feats and "Left_knee_angle" in feats
+    assert feats["root_speed"].shape == (30,)
+    assert np.all(feats["Left_knee_angle"] > 90)  # nearly straight legs
+    # plane fitting
+    rng = np.random.default_rng(0)
+    pts = np.stack([rng.uniform(-1, 1, 50), np.zeros(50), rng.uniform(-1, 1, 50)], 1)
+    plane = Plane.fit(pts)
+    assert abs(abs(plane.normal[1]) - 1.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# zip writer round trip
+# ---------------------------------------------------------------------------
+
+def test_zip_writer_roundtrip(tmp_path):
+    skel, _ = sk.load_bvh(TEST_BVH)
+    gd = make_graph_dict()
+    actions = {"walk": {
+        "nodes": {mp: node["mm"] for mp, node in gd["subgraphs"]["walk"]["nodes"].items()},
+        "info": gd["subgraphs"]["walk"]["info"],
+    }}
+    path = write_graph_zip(str(tmp_path / "packaged"), skel, actions,
+                           gd["transitions"], start_node=gd["startNode"])
+    g = graph_mod.load_graph(path)
+    assert ("walk", "leftStance") in g.nodes
+    assert g.nodes[("walk", "beginLeftStance")].node_type == graph_mod.NODE_TYPE_START
+    assert g.start_node == ("walk", "beginLeftStance")
+
+
+# ---------------------------------------------------------------------------
+# PFNN
+# ---------------------------------------------------------------------------
+
+def test_pfnn_forward():
+    rng = np.random.default_rng(0)
+    p, h, x_dim, y_dim = 4, 8, 6, 5
+    weights = {"W0": rng.standard_normal(p * h * x_dim) * 0.1,
+               "W1": rng.standard_normal(p * h * h) * 0.1,
+               "W2": rng.standard_normal(p * y_dim * h) * 0.1,
+               "b0": np.zeros(p * h), "b1": np.zeros(p * h),
+               "b2": np.zeros(p * y_dim)}
+    means = {"Xmean": np.zeros(x_dim), "Xstd": np.ones(x_dim),
+             "Ymean": np.zeros(y_dim), "Ystd": np.ones(y_dim)}
+    model = pfnn_mod.load_from_arrays(weights, means, n_controls=p, hidden=h)
+    x = jnp.asarray(rng.standard_normal(x_dim), jnp.float32)
+    y1 = pfnn_mod.forward(model, x, jnp.asarray(0.1))
+    y2 = pfnn_mod.forward(model, x, jnp.asarray(0.6))
+    assert y1.shape == (y_dim,)
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))  # phase matters
+    # crowd path
+    xs = jnp.asarray(rng.standard_normal((7, x_dim)), jnp.float32)
+    ys = pfnn_mod.forward_crowd(model, xs, jnp.linspace(0, 0.9, 7))
+    assert ys.shape == (7, y_dim)
+    # phase continuity across the wrap
+    ya = np.asarray(pfnn_mod.forward(model, x, jnp.asarray(0.999)))
+    yb = np.asarray(pfnn_mod.forward(model, x, jnp.asarray(0.001)))
+    assert np.max(np.abs(ya - yb)) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# exceptions
+# ---------------------------------------------------------------------------
+
+def test_exceptions_carry_payload():
+    e = SynthesisError("failed", quat_frames=np.zeros((2, 3)), bad_samples=[1])
+    assert e.bad_samples == [1]
+    p = PathSearchError({"last": 1.0})
+    assert p.search_parameters["last"] == 1.0
+    c = ConstraintError("bad", bad_constraints=["x"])
+    assert c.bad_constraints == ["x"]
+    assert isinstance(c, ValueError)
