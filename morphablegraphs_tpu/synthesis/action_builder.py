@@ -40,6 +40,8 @@ class ActionConstraintSet:
     start_pose_position: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
     start_pose_orientation_y: float = 0.0
     cycled_next: bool = False
+    contains_two_hands_constraints: bool = False  # Left+Right tool on one label
+    contains_user_constraints: bool = False
 
     def check_end_condition(self, prev_root_pos, travelled_arc_length,
                             arc_length_offset, full_arc_length,
@@ -99,6 +101,18 @@ def build_action_constraints(graph: MotionStateGraph, mg_input: MGInput,
                 mp_names = group.label_to_motion_primitive_map.get(kc.keyframe_label, [])
                 for mp_name in mp_names:
                     acs.keyframe_constraints.setdefault(mp_name, []).append(kc)
+                acs.contains_user_constraints = True
+        # two-hand detection (reference _merge_two_hand_constraints,
+        # action_constraints_builder.py:159-220: Left+Right tool joints on
+        # the same label form a TwoHandConstraintSet; in the compiled form
+        # both occupy keyframe slots whose errors sum — the same total)
+        by_label = {}
+        for kc in spec.keyframe_constraints:
+            by_label.setdefault(kc.keyframe_label, set()).add(kc.joint)
+        for joints in by_label.values():
+            sides = {j[:5] for j in joints if j.startswith(("Left", "Right"))}
+            if {"LeftH", "Right"} & sides and len(joints) >= 2:
+                acs.contains_two_hands_constraints = True
         out.append(acs)
     return out
 
@@ -193,6 +207,23 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
             sc = compiled.set_pose_constraint(
                 sc, skeleton, prev_frames[-1],
                 weight=tf["transition_pose_constraint_factor"])
+
+    # ---- feet constraint for pickBoth/placeBoth reach (reference
+    # motion_primitive_constraints_builder.py:178-190 _add_feet_constraint:
+    # keep both feet where the previous frame left them, weight 2.0)
+    if (acs.action_name in ("pickBoth", "placeBoth") and mp_name == "reach"
+            and prev_frames is not None and len(prev_frames) > 0):
+        from ..models.skeleton import fk_positions
+        import jax.numpy as _jnp
+        pos = np.asarray(fk_positions(skeleton,
+                                      _jnp.asarray(prev_frames[-1], _jnp.float32)))
+        end_kf2 = _label_keyframe(graph, node_key, "end", n_canonical)
+        for foot in ("LeftFoot", "RightFoot"):
+            if foot in skeleton.node_names and slot < compiled.MAX_KF:
+                sc = compiled.set_keyframe_constraint(
+                    sc, slot, skeleton, foot, end_kf2,
+                    position=pos[skeleton.index_of(foot)], weight=2.0)
+                slot += 1
 
     # ---- alignment state
     if prev_frames is not None and len(prev_frames) > 0:

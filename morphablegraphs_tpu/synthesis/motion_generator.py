@@ -60,6 +60,7 @@ class MotionGenerator:
         self.config = config or default_config()
         self.key = jax.random.PRNGKey(seed)
         self._start_transform = None  # (q_y, delta) used to place step one
+        self._objective_evaluations = 0  # reference graph_walk.py:390-394 stat
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -96,6 +97,7 @@ class MotionGenerator:
             "n_steps": len(steps),
             "time": time.time() - t_start,
             "average_error": float(np.mean([s.error for s in steps])) if steps else 0.0,
+            "objective_evaluations": self._objective_evaluations,
         }
         return MotionResult(frames=warped, steps=steps,
                             action_ranges=action_ranges, stats=stats)
@@ -233,6 +235,10 @@ class MotionGenerator:
                 self._next_key(), graph.skeleton, prim, sc, self.config,
                 cluster_tree=graph.nodes[node_key].cluster_tree)
             err = float(err)
+            # objective-evaluation accounting (reference
+            # MotionPrimitiveConstraints.evaluations, SURVEY.md §5 tracing)
+            self._objective_evaluations += int(self.config.get("n_random_samples", 100))
+            self._objective_evaluations += 2 * int(self.config.get("lm_iterations", 10))
         else:
             s = prim_mod.sample_latent(self._next_key(), prim, 1)[0]
             err = 0.0
