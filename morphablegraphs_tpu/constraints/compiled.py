@@ -79,6 +79,18 @@ class StepConstraints:
     traj_node: jax.Array  # i32
     traj_min_arc: jax.Array  # f32
     traj_weight: jax.Array  # f32
+    # active arc-length range (annotated/CA trajectories, reference
+    # trajectory_constraint.py:56-60 set_active_range); inf = unbounded
+    traj_range_start: jax.Array  # f32
+    traj_range_end: jax.Array  # f32
+    # collision-avoidance constraint: MIN distance over the step's frames to
+    # a target position must stay small (reference
+    # global_transform_ca_constraint.py:28 semantics)
+    ca_active: jax.Array  # f32 0/1
+    ca_node: jax.Array  # i32
+    ca_pos: jax.Array  # [3]
+    ca_pos_mask: jax.Array  # [3]
+    ca_weight: jax.Array  # f32
     # alignment state: when has_prev, the 2D aligning transform is computed
     # per-candidate from the candidate's own first coefficient row vs the
     # previous motion's last frame (reference align_quaternion_frames called
@@ -92,7 +104,7 @@ class StepConstraints:
 
     @property
     def n_residuals(self) -> int:
-        return MAX_KF + 3 + TRAJ_SAMPLES
+        return MAX_KF + 4 + TRAJ_SAMPLES
 
 
 def empty_step_constraints(skeleton: Skeleton,
@@ -116,6 +128,10 @@ def empty_step_constraints(skeleton: Skeleton,
         traj_active=jnp.asarray(0.0), traj=dummy_spline,
         traj_node=jnp.asarray(0, jnp.int32), traj_min_arc=jnp.asarray(0.0),
         traj_weight=jnp.asarray(1.0),
+        traj_range_start=jnp.asarray(-jnp.inf), traj_range_end=jnp.asarray(jnp.inf),
+        ca_active=jnp.asarray(0.0), ca_node=jnp.asarray(0, jnp.int32),
+        ca_pos=jnp.zeros(3), ca_pos_mask=jnp.ones(3),
+        ca_weight=jnp.asarray(1.0),
         has_prev=jnp.asarray(0.0),
         prev_last=jnp.zeros(skeleton.n_frame_params),
         start_q=jnp.array([1.0, 0, 0, 0]), start_delta=jnp.zeros(3),
@@ -217,15 +233,28 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
 
         def traj_step(min_arc, p):
             _, arc, d = spline_path.closest_point(sc.traj, p, min_arc)
-            return arc, d
+            return arc, (arc, d)
 
-        _, traj_d = jax.lax.scan(traj_step, sc.traj_min_arc, root_tr)
-        traj_res = sc.traj_active * sc.traj_weight * traj_d
+        _, (arcs, traj_d) = jax.lax.scan(traj_step, sc.traj_min_arc, root_tr)
+        # active-range masking (annotated/CA trajectories): residuals outside
+        # [range_start, range_end] don't count
+        in_range = (arcs >= sc.traj_range_start) & (arcs <= sc.traj_range_end)
+        traj_res = sc.traj_active * sc.traj_weight * jnp.where(in_range, traj_d, 0.0)
     else:
         traj_res = jnp.zeros(TRAJ_SAMPLES)
 
+    # ---- collision-avoidance constraint: min distance over sampled frames
+    t_ca = jnp.linspace(0.0, 1.0, TRAJ_SAMPLES) * jnp.maximum(sc.n_canonical - 1.0, 1.0)
+    b_ca = bspline.basis_matrix(prim.knots_s, t_ca)
+    frames_ca = jnp.matmul(b_ca, coeffs, precision=jax.lax.Precision.HIGHEST)
+    pos_ca, _ = fk_global(skeleton, frames_ca)
+    jca = pos_ca[:, sc.ca_node]  # [S, 3]
+    d_ca = jnp.sqrt(jnp.maximum(jnp.sum(
+        ((jca - sc.ca_pos) * sc.ca_pos_mask) ** 2, axis=-1), 1e-12))
+    ca_res = sc.ca_active * sc.ca_weight * jnp.min(d_ca)
+
     return jnp.concatenate([kf_res, dir_res[None], la_res[None],
-                            pose_res[None], traj_res])
+                            pose_res[None], ca_res[None], traj_res])
 
 
 def evaluate_error(skeleton: Skeleton, prim: MotionPrimitive,
@@ -235,8 +264,8 @@ def evaluate_error(skeleton: Skeleton, prim: MotionPrimitive,
     enter as their average (reference trajectory_constraint.py:84
     `evaluate_motion_sample` averages; other constraints sum)."""
     res = evaluate_residuals(skeleton, prim, sc, s, use_traj=use_traj)
-    base = jnp.sum(res[: MAX_KF + 3])
-    traj = res[MAX_KF + 3:]
+    base = jnp.sum(res[: MAX_KF + 4])
+    traj = res[MAX_KF + 4:]
     n_active = jnp.where(jnp.any(traj > 0), 1.0, 0.0)
     return base + n_active * jnp.mean(traj)
 
@@ -308,6 +337,23 @@ def set_trajectory_constraint(sc: StepConstraints, skeleton: Skeleton,
                       traj_node=jnp.asarray(skeleton.index_of(joint), jnp.int32),
                       traj_min_arc=jnp.asarray(float(min_arc_length)),
                       traj_weight=jnp.asarray(float(weight)))
+
+
+def set_ca_constraint(sc: StepConstraints, skeleton: Skeleton, joint: str,
+                      position, weight: float = 1.0) -> StepConstraints:
+    p = np.asarray(position, np.float32)
+    mask = (~np.isnan(p)).astype(np.float32)
+    return sc.replace(ca_active=jnp.asarray(1.0),
+                      ca_node=jnp.asarray(skeleton.index_of(joint), jnp.int32),
+                      ca_pos=jnp.asarray(np.where(np.isnan(p), 0.0, p)),
+                      ca_pos_mask=jnp.asarray(mask),
+                      ca_weight=jnp.asarray(float(weight)))
+
+
+def set_trajectory_active_range(sc: StepConstraints, start: float,
+                                end: float) -> StepConstraints:
+    return sc.replace(traj_range_start=jnp.asarray(float(start)),
+                      traj_range_end=jnp.asarray(float(end)))
 
 
 def set_alignment_from_prev(sc: StepConstraints, prev_last) -> StepConstraints:

@@ -172,7 +172,12 @@ def _parse_trajectory(joint, control_points, do_transform, scale, offset,
     points = []
     unconstrained = set()
     prev = None
+    annotated = False
     for cp in control_points:
+        if "semanticAnnotation" in cp and cp["semanticAnnotation"].get(
+                "collisionAvoidance") is not None:
+            annotated = True  # CA active-region trajectory (reference
+            # trajectory_constraint_reader.py:36-66 _is_active_trajectory_region)
         p = cp.get("position")
         if p is None or all(v is None for v in p):
             continue
@@ -190,4 +195,5 @@ def _parse_trajectory(joint, control_points, do_transform, scale, offset,
         return None
     return TrajectorySpec(joint=joint,
                           control_points=np.asarray(points, np.float32),
-                          unconstrained_dims=tuple(sorted(unconstrained)))
+                          unconstrained_dims=tuple(sorted(unconstrained)),
+                          annotated=annotated)

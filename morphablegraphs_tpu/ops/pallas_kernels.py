@@ -1,0 +1,170 @@
+"""Pallas TPU kernels for the synthesis hot paths.
+
+Two fused kernels, each replacing an XLA chain with one VMEM-resident pass:
+
+  * `crowd_back_project` — fused fPCA back-projection + B-spline evaluation
+    for a crowd: frames[c] = B[c] @ reshape(E @ alpha[c] + mu).  XLA emits
+    two HBM-roundtripping matmuls per character; the kernel keeps the
+    intermediate coefficients in VMEM and streams only latents in and frames
+    out.  E and mu are small (KB-MB) and stay resident.
+  * `gmm_scores` — batched mixture log-likelihood over candidate latents
+    (the naturalness term scored for thousands of candidates per step).
+
+Both have exact XLA fallbacks (`*_xla`) used on non-TPU backends and in
+tests (pallas interpret mode validates the kernels on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Fused crowd back-projection
+# ---------------------------------------------------------------------------
+
+LANE = 128  # TPU lane width; pose dim padded to this inside the kernel
+
+
+def _back_project_kernel(alpha_ref, eigen_ref, mean_ref, basis_ref, out_ref):
+    """One grid step = one character; strictly 2D ops (Mosaic on v5e rejects
+    the 3D shape casts / gathers a blocked-characters formulation needs).
+
+    alpha: [1, K]; eigen: [n_basis*LANE, K]; mean: [1, n_basis*LANE];
+    basis: [T, n_basis]; out block: [1, T, LANE].
+    Two chained MXU matmuls with the intermediate coefficients in VMEM.
+    """
+    alpha = alpha_ref[:]  # [1, K]
+    eigen = eigen_ref[:]  # [n_basis*LANE, K]
+    mean = mean_ref[:]  # [1, n_basis*LANE]
+    basis = basis_ref[:]  # [T, n_basis]
+    n_basis = basis.shape[1]
+    coeffs = (jnp.dot(alpha, eigen.T, preferred_element_type=jnp.float32)
+              + mean).reshape(n_basis, LANE)
+    out_ref[0, :, :] = jnp.dot(basis, coeffs,
+                               preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("block_chars", "interpret"))
+def crowd_back_project(alphas: jax.Array, eigen: jax.Array, mean: jax.Array,
+                       basis: jax.Array, block_chars: int = 128,
+                       interpret: bool = False) -> jax.Array:
+    """frames[c] = basis @ reshape(eigen @ alphas[c] + mean).
+
+    alphas: [C, K]; eigen: [D, K]; mean: [D]; basis: [T, n_basis]
+    -> [C, T, n_dim].  C must be a multiple of block_chars (pad upstream).
+    """
+    del block_chars  # per-character grid
+    c, k = alphas.shape
+    d = eigen.shape[0]
+    t, n_basis = basis.shape
+    n_dim = d // n_basis
+    assert n_basis * n_dim == d
+    # lane-pad the pose dim: eigen rows regroup from (n_basis, n_dim) blocks
+    # to (n_basis, LANE) blocks with zero padding
+    eigen_p = jnp.zeros((n_basis, LANE, k), jnp.float32)
+    eigen_p = eigen_p.at[:, :n_dim, :].set(eigen.reshape(n_basis, n_dim, k))
+    eigen_p = eigen_p.reshape(n_basis * LANE, k)
+    mean_p = jnp.zeros((n_basis, LANE), jnp.float32)
+    mean_p = mean_p.at[:, :n_dim].set(mean.reshape(n_basis, n_dim))
+    mean_p = mean_p.reshape(1, n_basis * LANE)
+    out = pl.pallas_call(
+        _back_project_kernel,
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_basis * LANE, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_basis * LANE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, n_basis), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, LANE), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, t, LANE), jnp.float32),
+        interpret=interpret,
+    )(alphas, eigen_p, mean_p, basis)
+    return out[:, :, :n_dim]
+
+
+def crowd_back_project_xla(alphas, eigen, mean, basis):
+    """Reference XLA implementation (fallback + test oracle)."""
+    coeffs = jnp.einsum("dk,ck->cd", eigen, alphas,
+                        precision=jax.lax.Precision.HIGHEST) + mean
+    c = alphas.shape[0]
+    t, n_basis = basis.shape
+    coeffs = coeffs.reshape(c, n_basis, -1)
+    return jnp.einsum("tb,cbd->ctd", basis, coeffs,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# Batched GMM log-likelihood
+# ---------------------------------------------------------------------------
+
+def _gmm_scores_kernel(x_ref, means_ref, prec_ref, logw_ref, out_ref):
+    """x: [BN, D]; means: [K, D]; prec: [K*D, D] (row-blocked W_k);
+    logw: [1, K] (log weights + log det terms folded in); out: [BN, 1]."""
+    x = x_ref[:]
+    means = means_ref[:]
+    prec = prec_ref[:]
+    logw = logw_ref[:]
+    bn, d = x.shape
+    k = means.shape[0]
+    # y[n, k, e] = sum_d (x[n,d] - mu[k,d]) W_k[d,e]
+    diff = x[:, None, :] - means[None, :, :]  # [BN, K, D]
+    w = prec.reshape(k, d, d)
+    y = jax.lax.dot_general(diff, w,
+                            dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+                            preferred_element_type=jnp.float32)  # [K, BN, D]
+    maha = jnp.sum(y * y, axis=-1).T  # [BN, K]
+    logp = logw - 0.5 * (d * _LOG_2PI + maha)  # [BN, K]
+    m = jnp.max(logp, axis=-1, keepdims=True)
+    out_ref[:] = m + jnp.log(jnp.sum(jnp.exp(logp - m), axis=-1, keepdims=True))
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def gmm_scores(x: jax.Array, weights: jax.Array, means: jax.Array,
+               prec_chol: jax.Array, block_n: int = 256,
+               interpret: bool = False) -> jax.Array:
+    """Mixture log-likelihood of candidates x [N, D] -> [N]."""
+    n, d = x.shape
+    k = means.shape[0]
+    assert n % block_n == 0, f"pad candidates to a multiple of {block_n}"
+    log_det = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(prec_chol, axis1=-2, axis2=-1))), -1)
+    logw = (jnp.log(jnp.maximum(weights, 1e-30)) + log_det).reshape(1, k)
+    out = pl.pallas_call(
+        _gmm_scores_kernel,
+        grid=(n // block_n,),
+        in_specs=[
+            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_n, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        interpret=interpret,
+    )(x, means, prec_chol.reshape(k * d, d), logw)
+    return out[:, 0]
+
+
+def gmm_scores_xla(x, weights, means, prec_chol):
+    from . import gmm as gmm_ops
+    g = gmm_ops.GMM(weights, means, prec_chol, prec_chol)  # cov_chol unused
+    return gmm_ops.log_prob(g, x)

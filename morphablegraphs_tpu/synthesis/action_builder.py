@@ -42,6 +42,7 @@ class ActionConstraintSet:
     cycled_next: bool = False
     contains_two_hands_constraints: bool = False  # Left+Right tool on one label
     contains_user_constraints: bool = False
+    ca_trajectories: list = dataclasses.field(default_factory=list)  # non-root joints
 
     def check_end_condition(self, prev_root_pos, travelled_arc_length,
                             arc_length_offset, full_arc_length,
@@ -74,7 +75,8 @@ def build_action_constraints(graph: MotionStateGraph, mg_input: MGInput,
         acs.start_pose_position = np.asarray(mg_input.start_pose_position, np.float32)
 
         # root trajectory: the entry for the aligning root joint (reference
-        # action_constraints_builder.py:275-321)
+        # action_constraints_builder.py:275-321); other joints' trajectories
+        # become CA/annotated constraints
         for traj in spec.trajectories:
             if traj.joint in (root_joint, "Hips"):
                 acs.root_trajectory = spline_path.build(
@@ -82,6 +84,8 @@ def build_action_constraints(graph: MotionStateGraph, mg_input: MGInput,
                     max_points=compiled.spline_path_max_points(),
                     unconstrained_dims=traj.unconstrained_dims)
                 acs.root_unconstrained_dims = traj.unconstrained_dims
+            else:
+                acs.ca_trajectories.append(traj)
 
         # start orientation: explicit or estimated from trajectory tangent
         # (reference action_constraints_builder.py estimates from tangent)
@@ -207,6 +211,17 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
             sc = compiled.set_pose_constraint(
                 sc, skeleton, prev_frames[-1],
                 weight=tf["transition_pose_constraint_factor"])
+
+    # ---- collision-avoidance constraints from non-root trajectories
+    # (reference _add_trajectory_constraints + GlobalTransformCAConstraint:
+    # keep the joint's minimum distance to the CA target small)
+    for traj in acs.ca_trajectories:
+        if traj.joint in skeleton.node_names:
+            target = traj.control_points[-1].astype(np.float64).copy()
+            for d_ in traj.unconstrained_dims:
+                target[d_] = np.nan
+            sc = compiled.set_ca_constraint(sc, skeleton, traj.joint, target)
+            break  # one CA slot per step
 
     # ---- feet constraint for pickBoth/placeBoth reach (reference
     # motion_primitive_constraints_builder.py:178-190 _add_feet_constraint:

@@ -96,7 +96,7 @@ def _active_mask(sc: compiled.StepConstraints) -> jax.Array:
     traj_mask = jnp.broadcast_to(sc.traj_active, (compiled.TRAJ_SAMPLES,))
     return jnp.concatenate([sc.kf_active, sc.dir_active[None],
                             sc.la_active[None], sc.pose_active[None],
-                            traj_mask])
+                            sc.ca_active[None], traj_mask])
 
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("use_traj",))

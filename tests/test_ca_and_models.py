@@ -1,0 +1,111 @@
+"""CA constraints, feature-point models, config preset loading."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from morphablegraphs_tpu.constraints import compiled, input_reader
+from morphablegraphs_tpu.construct.feature_point_model import (
+    FeaturePointModel, SemanticStatisticalModel)
+from morphablegraphs_tpu.models import graph as graph_mod
+from morphablegraphs_tpu.models import primitive as prim_mod
+from morphablegraphs_tpu.models import skeleton as sk
+from morphablegraphs_tpu.utils.config import load_config, default_config
+
+from fixtures import TEST_BVH, make_graph_dict
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = graph_mod.build_graph_from_dict(make_graph_dict())
+    skel, _ = sk.load_bvh(TEST_BVH)
+    g.skeleton = skel
+    return g, skel
+
+
+def test_ca_constraint_min_over_frames(setup):
+    g, skel = setup
+    prim = g.nodes[("walk", "leftStance")].primitive
+    s = jnp.zeros(prim.n_latent)
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    # target ON the motion's own root path at mid-step -> min distance ~ 0
+    coeffs = np.asarray(compiled.aligned_coeffs(prim, s, sc))
+    from morphablegraphs_tpu.ops import bspline
+    mid = np.asarray(bspline.evaluate(
+        jnp.asarray(coeffs), prim.knots_s,
+        jnp.asarray([prim.n_canonical_frames / 2.0])))[0]
+    hips_mid = np.asarray(sk.fk_positions(skel, jnp.asarray(mid)))[skel.index_of("Hips")]
+    sc1 = compiled.set_ca_constraint(sc, skel, "Hips", hips_mid)
+    err1 = float(compiled.evaluate_error(skel, prim, sc1, s))
+    assert err1 < 1.0, err1
+    # far-away target -> large min distance
+    sc2 = compiled.set_ca_constraint(sc, skel, "Hips", hips_mid + np.array([500.0, 0, 0]))
+    err2 = float(compiled.evaluate_error(skel, prim, sc2, s))
+    assert err2 > 400
+
+
+def test_ca_trajectory_parsed_from_input():
+    mg_input = {
+        "startPose": {"position": [0, 0, 0], "orientation": [0, 0, 0]},
+        "elementaryActions": [{
+            "action": "walk",
+            "constraints": [{
+                "joint": "RightHand",
+                "trajectoryConstraints": [
+                    {"position": [0, 0, 0],
+                     "semanticAnnotation": {"collisionAvoidance": True}},
+                    {"position": [10, 0, 10],
+                     "semanticAnnotation": {"collisionAvoidance": True}},
+                ],
+            }],
+        }],
+    }
+    parsed = input_reader.read_input(mg_input, activate_coordinate_transform=False)
+    traj = parsed.actions[0].trajectories[0]
+    assert traj.annotated
+    assert traj.joint == "RightHand"
+
+
+def test_feature_point_model(setup):
+    g, skel = setup
+    prim = g.nodes[("walk", "leftStance")].primitive
+    key = jax.random.PRNGKey(0)
+    motions = []
+    for i in range(8):
+        key, sub = jax.random.split(key)
+        s = prim_mod.sample_latent(sub, prim, 1)[0]
+        f, n, _ = prim_mod.back_project(prim, s, 64, use_time=False)
+        motions.append(np.asarray(f)[: int(n)])
+    fpm = FeaturePointModel(skel, "Head").fit(motions, keyframe=-1, max_k=2)
+    # a typical end position scores much better than a far-away one
+    typical = np.asarray(sk.fk_positions(
+        skel, jnp.asarray(motions[0][-1])))[skel.index_of("Head")]
+    far = typical + np.array([500.0, 0, 0])
+    assert fpm.score_target(typical) > fpm.score_target(far) + 10
+
+
+def test_semantic_statistical_model():
+    rng = np.random.default_rng(0)
+    data = {"pick": rng.standard_normal((40, 4)) + 3,
+            "place": rng.standard_normal((40, 4)) - 3}
+    m = SemanticStatisticalModel().fit(data, max_k=2)
+    s_pick = m.sample(jax.random.PRNGKey(0), "pick", 1)[0]
+    assert m.classify(s_pick) == "pick"
+    assert m.score("pick", s_pick) > m.score("place", s_pick)
+
+
+def test_reference_config_presets_load():
+    """The reference's shipped preset files merge over the defaults."""
+    for preset in ["accuracy", "performance", "standard"]:
+        path = f"/root/reference/examples/config/{preset}_algorithm.config"
+        cfg = load_config(path)
+        assert "trajectory_following_settings" in cfg
+        assert "n_random_samples" in cfg
+    acc = load_config("/root/reference/examples/config/accuracy_algorithm.config")
+    assert acc["trajectory_following_settings"]["look_ahead_distance"] == 80
+    perf = load_config("/root/reference/examples/config/performance_algorithm.config")
+    assert perf["global_spatial_optimization_mode"] == "none"
