@@ -1,0 +1,80 @@
+"""Device-mesh crowd parallelism + server constraint builder tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from morphablegraphs_tpu.models import graph as graph_mod
+from morphablegraphs_tpu.models import skeleton as sk
+from morphablegraphs_tpu import parallel
+
+from fixtures import TEST_BVH, make_graph_dict
+
+
+@pytest.fixture(scope="module")
+def stacked():
+    g = graph_mod.build_graph_from_dict(make_graph_dict())
+    return graph_mod.stack_graph(g)
+
+
+def test_crowd_walk_sharded_8_devices(stacked):
+    assert len(jax.devices()) == 8  # conftest forces 8 virtual CPU devices
+    mesh = parallel.make_mesh(8)
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    buf, n_valid, ids, lat = parallel.crowd_walk_sharded(
+        mesh, stacked, jax.random.PRNGKey(0), start, n_chars=16, n_steps=3,
+        max_step_frames=64)
+    assert buf.shape[0] == 16
+    # output sharding follows the input dp sharding
+    assert len(buf.sharding.device_set) == 8
+    frames0 = np.asarray(buf[0])[: int(n_valid[0])]
+    assert not np.any(np.isnan(frames0))
+
+
+def test_sharded_matches_single_device(stacked):
+    """dp-sharded execution must be numerically identical to single-device."""
+    from morphablegraphs_tpu.synthesis import walk as walk_mod
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    keys = jax.random.split(jax.random.PRNGKey(7), 8)
+    single = jax.vmap(lambda k: walk_mod.random_walk(
+        k, stacked, jnp.asarray(start, jnp.int32), n_steps=3,
+        max_step_frames=64))(keys)
+    mesh = parallel.make_mesh(8)
+    sharded = parallel.crowd_walk_sharded(mesh, stacked,
+                                          jax.random.PRNGKey(7), start,
+                                          n_chars=8, n_steps=3,
+                                          max_step_frames=64)
+    # partitioned compilation may tile matmuls differently -> f32 noise
+    np.testing.assert_allclose(np.asarray(single[0]), np.asarray(sharded[0]),
+                               atol=1e-4)
+
+
+def test_unity_frame_roundtrip():
+    from morphablegraphs_tpu.constraints import server_builder as sb
+    skel, _ = sk.load_bvh(TEST_BVH)
+    frame = np.zeros(skel.n_frame_params, np.float32)
+    frame[:3] = [10.0, 90.0, -5.0]
+    rng = np.random.default_rng(0)
+    for j in range(skel.n_animated):
+        q = rng.standard_normal(4)
+        frame[3 + 4 * j: 7 + 4 * j] = q / np.linalg.norm(q)
+    unity = sb.mg_frame_to_unity_frame(skel, frame)
+    back = sb.unity_frame_to_mg_frame(skel, unity)
+    np.testing.assert_allclose(back, frame, atol=1e-5)
+
+
+def test_generate_walk_constraints():
+    from morphablegraphs_tpu.constraints import server_builder as sb, compiled
+    from morphablegraphs_tpu.models import primitive as prim_mod
+    from fixtures import make_legacy_model_json
+    skel, _ = sk.load_bvh(TEST_BVH)
+    prim = prim_mod.load_primitive_json(make_legacy_model_json(seed=0))
+    sc = sb.generate_walk_constraints(skel, prim, target_dir_xz=[0.0, 1.0],
+                                      target_pos=[5.0, 0.0, 30.0])
+    assert float(np.asarray(sc.dir_active)) == 1.0
+    assert float(np.asarray(sc.kf_active).sum()) == 1.0
+    err = compiled.evaluate_error(skel, prim, sc,
+                                  jnp.zeros(prim.n_latent), use_traj=False)
+    assert np.isfinite(float(err))
