@@ -111,11 +111,14 @@ def config4_cluster_search():
         sc, 0, skel, "Hips", prim.n_canonical_frames - 1,
         position=np.array([8.0, np.nan, 28.0]))
     candidates = jnp.asarray(tree.data)
-    s, err = generator.search_candidates(skel, prim, sc, candidates)  # warmup
+    # no trajectory constraint in this config -> compile out that branch
+    s, err = generator.search_candidates(skel, prim, sc, candidates,
+                                         use_traj=False, use_ca=False)  # warmup
     jax.block_until_ready(err)
     t0 = time.perf_counter()
     for _ in range(10):
-        s, err = generator.search_candidates(skel, prim, sc, candidates)
+        s, err = generator.search_candidates(skel, prim, sc, candidates,
+                                             use_traj=False, use_ca=False)
         jax.block_until_ready(err)
     dt = (time.perf_counter() - t0) / 10
 

@@ -162,22 +162,24 @@ def aligned_coeffs(prim: MotionPrimitive, s: jax.Array,
     return align.transform_frames(coeffs, q_y, delta)
 
 
-@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("use_traj",))
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("use_traj", "use_ca"))
 def evaluate_residuals(skeleton: Skeleton, prim: MotionPrimitive,
                        sc: StepConstraints, s: jax.Array,
-                       use_traj: bool = True) -> jax.Array:
+                       use_traj: bool = True, use_ca: bool = True) -> jax.Array:
     """Residual vector [MAX_KF + 3 + TRAJ_SAMPLES] of weighted errors;
     inactive slots are 0 (reference pads likewise,
     objective_functions.py:233-236).  use_traj=False compiles out the
     trajectory branch entirely (its residual slots stay 0) — the expensive
     part when a step carries no path constraint."""
     coeffs = aligned_coeffs(prim, s, sc)
-    return residuals_from_coeffs(skeleton, prim, sc, coeffs, use_traj=use_traj)
+    return residuals_from_coeffs(skeleton, prim, sc, coeffs,
+                                 use_traj=use_traj, use_ca=use_ca)
 
 
 def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
                           sc: StepConstraints, coeffs: jax.Array,
-                          use_traj: bool = True) -> jax.Array:
+                          use_traj: bool = True, use_ca: bool = True) -> jax.Array:
     """Residuals given already-aligned coefficients (used by the global
     multi-step optimizer where alignment chains across steps)."""
 
@@ -244,14 +246,17 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
         traj_res = jnp.zeros(TRAJ_SAMPLES)
 
     # ---- collision-avoidance constraint: min distance over sampled frames
-    t_ca = jnp.linspace(0.0, 1.0, TRAJ_SAMPLES) * jnp.maximum(sc.n_canonical - 1.0, 1.0)
-    b_ca = bspline.basis_matrix(prim.knots_s, t_ca)
-    frames_ca = jnp.matmul(b_ca, coeffs, precision=jax.lax.Precision.HIGHEST)
-    pos_ca, _ = fk_global(skeleton, frames_ca)
-    jca = pos_ca[:, sc.ca_node]  # [S, 3]
-    d_ca = jnp.sqrt(jnp.maximum(jnp.sum(
-        ((jca - sc.ca_pos) * sc.ca_pos_mask) ** 2, axis=-1), 1e-12))
-    ca_res = sc.ca_active * sc.ca_weight * jnp.min(d_ca)
+    if use_ca:
+        t_ca = jnp.linspace(0.0, 1.0, TRAJ_SAMPLES) * jnp.maximum(sc.n_canonical - 1.0, 1.0)
+        b_ca = bspline.basis_matrix(prim.knots_s, t_ca)
+        frames_ca = jnp.matmul(b_ca, coeffs, precision=jax.lax.Precision.HIGHEST)
+        pos_ca, _ = fk_global(skeleton, frames_ca)
+        jca = pos_ca[:, sc.ca_node]  # [S, 3]
+        d_ca = jnp.sqrt(jnp.maximum(jnp.sum(
+            ((jca - sc.ca_pos) * sc.ca_pos_mask) ** 2, axis=-1), 1e-12))
+        ca_res = sc.ca_active * sc.ca_weight * jnp.min(d_ca)
+    else:
+        ca_res = jnp.asarray(0.0)
 
     return jnp.concatenate([kf_res, dir_res[None], la_res[None],
                             pose_res[None], ca_res[None], traj_res])
@@ -259,11 +264,12 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
 
 def evaluate_error(skeleton: Skeleton, prim: MotionPrimitive,
                    sc: StepConstraints, s: jax.Array,
-                   use_traj: bool = True) -> jax.Array:
+                   use_traj: bool = True, use_ca: bool = True) -> jax.Array:
     """Scalar constraint error: sum of residuals, except trajectory residuals
     enter as their average (reference trajectory_constraint.py:84
     `evaluate_motion_sample` averages; other constraints sum)."""
-    res = evaluate_residuals(skeleton, prim, sc, s, use_traj=use_traj)
+    res = evaluate_residuals(skeleton, prim, sc, s, use_traj=use_traj,
+                             use_ca=use_ca)
     base = jnp.sum(res[: MAX_KF + 4])
     traj = res[MAX_KF + 4:]
     n_active = jnp.where(jnp.any(traj > 0), 1.0, 0.0)

@@ -3,10 +3,13 @@
 Two fused kernels, each replacing an XLA chain with one VMEM-resident pass:
 
   * `crowd_back_project` — fused fPCA back-projection + B-spline evaluation
-    for a crowd: frames[c] = B[c] @ reshape(E @ alpha[c] + mu).  XLA emits
-    two HBM-roundtripping matmuls per character; the kernel keeps the
-    intermediate coefficients in VMEM and streams only latents in and frames
-    out.  E and mu are small (KB-MB) and stay resident.
+    for a crowd: frames[c] = B @ reshape(E @ alpha[c] + mu), with the
+    intermediate coefficients VMEM-resident.  Measured on v5e-1 it lands at
+    parity with XLA's own fusion of the same chain (~25 ms for 4096x128
+    frames, both dominated by the HBM frame writeback), so the XLA path
+    stays the default in the synthesis runtime and this kernel serves as the
+    hand-written alternative + a template for future fusions that XLA does
+    NOT find (e.g. folding FK into the evaluation).
   * `gmm_scores` — batched mixture log-likelihood over candidate latents
     (the naturalness term scored for thousands of candidates per step).
 
@@ -39,23 +42,29 @@ def _round_up(x: int, m: int) -> int:
 LANE = 128  # TPU lane width; pose dim padded to this inside the kernel
 
 
-def _back_project_kernel(alpha_ref, eigen_ref, mean_ref, basis_ref, out_ref):
-    """One grid step = one character; strictly 2D ops (Mosaic on v5e rejects
-    the 3D shape casts / gathers a blocked-characters formulation needs).
+SUBLANE = 8  # min sublane block; grid steps process SUBLANE characters
 
-    alpha: [1, K]; eigen: [n_basis*LANE, K]; mean: [1, n_basis*LANE];
-    basis: [T, n_basis]; out block: [1, T, LANE].
-    Two chained MXU matmuls with the intermediate coefficients in VMEM.
+
+def _back_project_kernel(alpha_ref, eigen_ref, mean_ref, basis_ref, out_ref):
+    """One grid step = SUBLANE characters; strictly 2D ops with lane-aligned
+    shape casts only (Mosaic on v5e rejects unaligned 3D casts and gathers).
+
+    alpha: [SUBLANE, K]; eigen: [n_basis*LANE, K]; mean: [1, n_basis*LANE];
+    basis: [T, n_basis]; out block: [SUBLANE, T, LANE].
+    One MXU matmul for all coefficients, then one small matmul per character.
     """
-    alpha = alpha_ref[:]  # [1, K]
+    alpha = alpha_ref[:]  # [SUBLANE, K]
     eigen = eigen_ref[:]  # [n_basis*LANE, K]
     mean = mean_ref[:]  # [1, n_basis*LANE]
     basis = basis_ref[:]  # [T, n_basis]
     n_basis = basis.shape[1]
-    coeffs = (jnp.dot(alpha, eigen.T, preferred_element_type=jnp.float32)
-              + mean).reshape(n_basis, LANE)
-    out_ref[0, :, :] = jnp.dot(basis, coeffs,
-                               preferred_element_type=jnp.float32)
+    coeffs = jnp.dot(alpha, eigen.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) + mean
+    for cc in range(SUBLANE):  # static unroll; slices keep everything 2D
+        block = coeffs[cc: cc + 1, :].reshape(n_basis, LANE)
+        out_ref[cc, :, :] = jnp.dot(basis, block,
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnames=("block_chars", "interpret"))
@@ -67,7 +76,7 @@ def crowd_back_project(alphas: jax.Array, eigen: jax.Array, mean: jax.Array,
     alphas: [C, K]; eigen: [D, K]; mean: [D]; basis: [T, n_basis]
     -> [C, T, n_dim].  C must be a multiple of block_chars (pad upstream).
     """
-    del block_chars  # per-character grid
+    del block_chars  # SUBLANE-character grid
     c, k = alphas.shape
     d = eigen.shape[0]
     t, n_basis = basis.shape
@@ -81,11 +90,13 @@ def crowd_back_project(alphas: jax.Array, eigen: jax.Array, mean: jax.Array,
     mean_p = jnp.zeros((n_basis, LANE), jnp.float32)
     mean_p = mean_p.at[:, :n_dim].set(mean.reshape(n_basis, n_dim))
     mean_p = mean_p.reshape(1, n_basis * LANE)
+    assert c % SUBLANE == 0, f"pad characters to a multiple of {SUBLANE}"
     out = pl.pallas_call(
         _back_project_kernel,
-        grid=(c,),
+        grid=(c // SUBLANE,),
         in_specs=[
-            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANE, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n_basis * LANE, k), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_basis * LANE), lambda i: (0, 0),
@@ -93,7 +104,7 @@ def crowd_back_project(alphas: jax.Array, eigen: jax.Array, mean: jax.Array,
             pl.BlockSpec((t, n_basis), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, LANE), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((SUBLANE, t, LANE), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, t, LANE), jnp.float32),
         interpret=interpret,

@@ -28,10 +28,10 @@ from ..ops import gmm as gmm_ops
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("n_samples", "use_traj"))
+                   static_argnames=("n_samples", "use_traj", "use_ca"))
 def best_of_n(skeleton: Skeleton, key: jax.Array, prim: MotionPrimitive,
               sc: compiled.StepConstraints, n_samples: int = 100,
-              use_traj: bool = True):
+              use_traj: bool = True, use_ca: bool = True):
     """Draw n samples from the GMM and keep the best under the constraint
     error (reference motion_primitive_generator.py:192-207).
 
@@ -39,7 +39,7 @@ def best_of_n(skeleton: Skeleton, key: jax.Array, prim: MotionPrimitive,
     """
     samples = sample_latent(key, prim, n_samples)
     errors = jax.vmap(lambda s: compiled.evaluate_error(
-        skeleton, prim, sc, s, use_traj=use_traj))(samples)
+        skeleton, prim, sc, s, use_traj=use_traj, use_ca=use_ca))(samples)
     i = jnp.argmin(errors)
     return samples[i], errors[i]
 
@@ -99,16 +99,17 @@ def _active_mask(sc: compiled.StepConstraints) -> jax.Array:
                             sc.ca_active[None], traj_mask])
 
 
-@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("use_traj",))
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("use_traj", "use_ca"))
 def search_candidates(skeleton: Skeleton, prim: MotionPrimitive,
                       sc: compiled.StepConstraints, candidates: jax.Array,
-                      use_traj: bool = True):
+                      use_traj: bool = True, use_ca: bool = True):
     """Score a fixed candidate set (cluster-tree data) under the constraint
     error — the TPU replacement for the reference's objective-directed tree
     traversal (cluster_tree.py:117-149): exhaustive vmapped argmin is exact
     and one batched computation (SURVEY.md §7.8)."""
     errors = jax.vmap(lambda s: compiled.evaluate_error(
-        skeleton, prim, sc, s, use_traj=use_traj))(candidates)
+        skeleton, prim, sc, s, use_traj=use_traj, use_ca=use_ca))(candidates)
     i = jnp.argmin(errors)
     return candidates[i], errors[i]
 
@@ -126,15 +127,16 @@ def generate_constrained_sample(key: jax.Array, skeleton: Skeleton,
     """
     import numpy as _np
     use_traj = bool(float(_np.asarray(sc.traj_active)) > 0)
+    use_ca = bool(float(_np.asarray(sc.ca_active)) > 0)
     mode = config.get("constrained_sampling_mode", "random_discrete")
     if mode == "cluster_tree_search" and cluster_tree is not None:
         s, err = search_candidates(skeleton, prim, sc,
                                    jnp.asarray(cluster_tree.data),
-                                   use_traj=use_traj)
+                                   use_traj=use_traj, use_ca=use_ca)
     else:
         n = int(config.get("n_random_samples", 100))
         s, err = best_of_n(skeleton, key, prim, sc, n_samples=n,
-                           use_traj=use_traj)
+                           use_traj=use_traj, use_ca=use_ca)
     opt = config.get("local_optimization_settings", {})
     mode = config.get("local_optimization_mode", "all")
     threshold = float(opt.get("start_error_threshold", 0.0))
