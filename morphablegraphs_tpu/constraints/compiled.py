@@ -91,6 +91,21 @@ class StepConstraints:
     ca_pos: jax.Array  # [3]
     ca_pos_mask: jax.Array  # [3]
     ca_weight: jax.Array  # f32
+    # relative-transform constraint: joint offset in a parent joint's space
+    # (reference relative_transform_constraint.py:35)
+    rt_active: jax.Array  # f32 0/1
+    rt_node: jax.Array  # i32 constrained joint
+    rt_parent: jax.Array  # i32 parent/reference joint
+    rt_offset: jax.Array  # [3] offset in the parent's frame
+    rt_frame: jax.Array  # f32 canonical keyframe
+    rt_weight: jax.Array  # f32
+    # joint-rotation constraint: local joint quaternion at a keyframe
+    # (reference joint_rotation_constraint.py:31)
+    jr_active: jax.Array  # f32 0/1
+    jr_joint: jax.Array  # i32 ANIMATED joint index (frame quat slot)
+    jr_quat: jax.Array  # [4] target local quaternion
+    jr_frame: jax.Array  # f32
+    jr_weight: jax.Array  # f32
     # alignment state: when has_prev, the 2D aligning transform is computed
     # per-candidate from the candidate's own first coefficient row vs the
     # previous motion's last frame (reference align_quaternion_frames called
@@ -104,7 +119,7 @@ class StepConstraints:
 
     @property
     def n_residuals(self) -> int:
-        return MAX_KF + 4 + TRAJ_SAMPLES
+        return MAX_KF + 6 + TRAJ_SAMPLES
 
 
 def empty_step_constraints(skeleton: Skeleton,
@@ -132,6 +147,12 @@ def empty_step_constraints(skeleton: Skeleton,
         ca_active=jnp.asarray(0.0), ca_node=jnp.asarray(0, jnp.int32),
         ca_pos=jnp.zeros(3), ca_pos_mask=jnp.ones(3),
         ca_weight=jnp.asarray(1.0),
+        rt_active=jnp.asarray(0.0), rt_node=jnp.asarray(0, jnp.int32),
+        rt_parent=jnp.asarray(0, jnp.int32), rt_offset=jnp.zeros(3),
+        rt_frame=jnp.asarray(0.0), rt_weight=jnp.asarray(1.0),
+        jr_active=jnp.asarray(0.0), jr_joint=jnp.asarray(0, jnp.int32),
+        jr_quat=jnp.array([1.0, 0, 0, 0]), jr_frame=jnp.asarray(0.0),
+        jr_weight=jnp.asarray(1.0),
         has_prev=jnp.asarray(0.0),
         prev_last=jnp.zeros(skeleton.n_frame_params),
         start_q=jnp.array([1.0, 0, 0, 0]), start_delta=jnp.zeros(3),
@@ -194,7 +215,7 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
         jnp.sum(((jpos - sc.kf_pos) * sc.kf_pos_mask) ** 2, axis=-1), 1e-12))
     # orientation: absolute relative-rotation angle
     dot = jnp.abs(jnp.sum(quat.normalize(jori) * sc.kf_quat, axis=-1))
-    ang = 2.0 * jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    ang = 2.0 * jnp.arccos(jnp.clip(dot, -1.0 + 1e-6, 1.0 - 1e-6))
     kf_res = sc.kf_active * sc.kf_weight * (pos_err + sc.kf_has_quat * ang)
 
     # ---- 2D direction constraint (error in degrees, reference parity)
@@ -219,10 +240,33 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
     cos_la = jnp.clip(jnp.dot(gaze, want), -1.0, 1.0)
     la_res = sc.la_active * sc.la_weight * jnp.rad2deg(jnp.arccos(cos_la))
 
+    # ---- relative-transform constraint: offset in the parent joint's space
+    b_rt = bspline.basis_matrix(prim.knots_s, sc.rt_frame[None])
+    frame_rt = jnp.matmul(b_rt, coeffs, precision=jax.lax.Precision.HIGHEST)[0]
+    pos_rt, ori_rt = fk_global(skeleton, frame_rt)
+    target_rt = pos_rt[sc.rt_parent] + quat.rotate_vec(
+        quat.normalize(ori_rt[sc.rt_parent]), sc.rt_offset)
+    diff_rt = pos_rt[sc.rt_node] - target_rt
+    # safe norm: the inactive default is exactly 0 and norm() has a NaN
+    # gradient there, which would poison the LM jacobian through 0 * NaN
+    rt_res = sc.rt_active * sc.rt_weight * jnp.sqrt(
+        jnp.sum(diff_rt * diff_rt) + 1e-12)
+
+    # ---- joint-rotation constraint: local quaternion angle at a keyframe
+    b_jr = bspline.basis_matrix(prim.knots_s, sc.jr_frame[None])
+    frame_jr = jnp.matmul(b_jr, coeffs, precision=jax.lax.Precision.HIGHEST)[0]
+    quats_jr = frame_jr[3:].reshape(-1, 4)
+    q_local = quat.normalize(quats_jr[sc.jr_joint])
+    dot_jr = jnp.abs(jnp.sum(q_local * sc.jr_quat))
+    # clip strictly inside (-1, 1): arccos' gradient is infinite at +-1
+    jr_res = sc.jr_active * sc.jr_weight * 2.0 * jnp.arccos(
+        jnp.clip(dot_jr, -1.0 + 1e-6, 1.0 - 1e-6))
+
     # ---- transition pose constraint at frame 0
     frame0 = coeffs[0]  # clamped spline: first coeff == first frame
     pose_pos, _ = fk_global(skeleton, frame0)
-    pose_err = jnp.mean(jnp.linalg.norm(pose_pos - sc.pose_points, axis=-1))
+    diff_pose = pose_pos - sc.pose_points
+    pose_err = jnp.mean(jnp.sqrt(jnp.sum(diff_pose * diff_pose, axis=-1) + 1e-12))
     pose_res = sc.pose_active * sc.pose_weight * pose_err
 
     # ---- trajectory constraint: sampled canonical frames, advancing arc
@@ -259,6 +303,7 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
         ca_res = jnp.asarray(0.0)
 
     return jnp.concatenate([kf_res, dir_res[None], la_res[None],
+                            rt_res[None], jr_res[None],
                             pose_res[None], ca_res[None], traj_res])
 
 
@@ -270,8 +315,8 @@ def evaluate_error(skeleton: Skeleton, prim: MotionPrimitive,
     `evaluate_motion_sample` averages; other constraints sum)."""
     res = evaluate_residuals(skeleton, prim, sc, s, use_traj=use_traj,
                              use_ca=use_ca)
-    base = jnp.sum(res[: MAX_KF + 4])
-    traj = res[MAX_KF + 4:]
+    base = jnp.sum(res[: MAX_KF + 6])
+    traj = res[MAX_KF + 6:]
     n_active = jnp.where(jnp.any(traj > 0), 1.0, 0.0)
     return base + n_active * jnp.mean(traj)
 
@@ -343,6 +388,31 @@ def set_trajectory_constraint(sc: StepConstraints, skeleton: Skeleton,
                       traj_node=jnp.asarray(skeleton.index_of(joint), jnp.int32),
                       traj_min_arc=jnp.asarray(float(min_arc_length)),
                       traj_weight=jnp.asarray(float(weight)))
+
+
+def set_relative_transform_constraint(sc: StepConstraints, skeleton: Skeleton,
+                                       joint: str, parent_joint: str, offset,
+                                       canonical_keyframe: float,
+                                       weight: float = 1.0) -> StepConstraints:
+    return sc.replace(
+        rt_active=jnp.asarray(1.0),
+        rt_node=jnp.asarray(skeleton.index_of(joint), jnp.int32),
+        rt_parent=jnp.asarray(skeleton.index_of(parent_joint), jnp.int32),
+        rt_offset=jnp.asarray(np.asarray(offset, np.float32)),
+        rt_frame=jnp.asarray(float(canonical_keyframe)),
+        rt_weight=jnp.asarray(float(weight)))
+
+
+def set_joint_rotation_constraint(sc: StepConstraints, skeleton: Skeleton,
+                                  joint: str, quat_wxyz,
+                                  canonical_keyframe: float,
+                                  weight: float = 1.0) -> StepConstraints:
+    return sc.replace(
+        jr_active=jnp.asarray(1.0),
+        jr_joint=jnp.asarray(skeleton.animated_index_of(joint), jnp.int32),
+        jr_quat=jnp.asarray(np.asarray(quat_wxyz, np.float32)),
+        jr_frame=jnp.asarray(float(canonical_keyframe)),
+        jr_weight=jnp.asarray(float(weight)))
 
 
 def set_ca_constraint(sc: StepConstraints, skeleton: Skeleton, joint: str,

@@ -230,3 +230,23 @@ def frame_fix_signs(frames: jax.Array, ref_frame: jax.Array) -> jax.Array:
     ref = ref_frame[..., 3:].reshape(ref_frame.shape[:-1] + (-1, 4))
     quats = fix_signs(quats, ref)
     return jnp.concatenate([trans, quats.reshape(frames.shape[:-1] + (-1,))], axis=-1)
+
+
+def add_frames(a: jax.Array, b: jax.Array) -> jax.Array:
+    """c = a + b in quaternion-frame space: translations add, joint
+    quaternions compose (reference motion_generator/utils.py:36-47)."""
+    trans = a[..., :3] + b[..., :3]
+    qa = a[..., 3:].reshape(a.shape[:-1] + (-1, 4))
+    qb = b[..., 3:].reshape(b.shape[:-1] + (-1, 4))
+    q = normalize(multiply(qa, qb))
+    return jnp.concatenate([trans, q.reshape(a.shape[:-1] + (-1,))], axis=-1)
+
+
+def subtract_frames(a: jax.Array, b: jax.Array) -> jax.Array:
+    """c = a - b: translation difference + relative quaternions b^-1 * a
+    (reference motion_generator/utils.py:49-62)."""
+    trans = a[..., :3] - b[..., :3]
+    qa = a[..., 3:].reshape(a.shape[:-1] + (-1, 4))
+    qb = b[..., 3:].reshape(b.shape[:-1] + (-1, 4))
+    q = normalize(multiply(conjugate(qb), qa))
+    return jnp.concatenate([trans, q.reshape(a.shape[:-1] + (-1,))], axis=-1)

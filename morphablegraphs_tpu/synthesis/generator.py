@@ -95,7 +95,8 @@ def refine_lm(skeleton: Skeleton, prim: MotionPrimitive,
 def _active_mask(sc: compiled.StepConstraints) -> jax.Array:
     traj_mask = jnp.broadcast_to(sc.traj_active, (compiled.TRAJ_SAMPLES,))
     return jnp.concatenate([sc.kf_active, sc.dir_active[None],
-                            sc.la_active[None], sc.pose_active[None],
+                            sc.la_active[None], sc.rt_active[None],
+                            sc.jr_active[None], sc.pose_active[None],
                             sc.ca_active[None], traj_mask])
 
 
