@@ -28,8 +28,10 @@ def main():
 
     @jax.jit
     def crowd(g, keys):
+        # segment-form walk: scatter-free concatenation (alignment factored
+        # into a boundary scan + parallel application)
         return jax.vmap(
-            lambda k: walk_mod.random_walk(
+            lambda k: walk_mod.random_walk_segments(
                 k, g, jnp.asarray(start_id, jnp.int32), n_steps=n_steps,
                 max_step_frames=max_step_frames))(keys)
 

@@ -140,7 +140,7 @@ def config5_crowd():
 
     @jax.jit
     def crowd(g, keys):
-        return jax.vmap(lambda k: walk_mod.random_walk(
+        return jax.vmap(lambda k: walk_mod.random_walk_segments(
             k, g, jnp.asarray(start, jnp.int32), n_steps=n_steps,
             max_step_frames=64))(keys)
 

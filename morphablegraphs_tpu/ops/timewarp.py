@@ -24,18 +24,33 @@ def interp_cubic(xq: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     """Cubic Hermite interpolation with central-difference slopes on a
     monotone grid — a closer match to the reference's `splrep`-based
     inversion than linear interp (keeps the <1e-3 pose budget,
-    BASELINE.md config 1)."""
+    BASELINE.md config 1).
+
+    TPU-shaped: the interval index comes from a comparison-matrix sum and
+    the 8 neighbour values from ONE one-hot matmul against statically
+    shifted copies of the grid.  The obvious searchsorted + gather
+    formulation lowers to binary-search gathers that dominate the whole
+    crowd-synthesis step under vmap (~10x this op's cost).
+    """
     n = x.shape[-1]
-    i = jnp.clip(jnp.searchsorted(x, xq) - 1, 0, n - 2)
-    x0, x1 = x[i], x[i + 1]
-    y0, y1 = y[i], y[i + 1]
+    cmp = x[None, :] <= xq[..., None]  # [Q, n]
+    i = jnp.clip(jnp.sum(cmp, axis=-1) - 1, 0, n - 2)  # [Q]
+    onehot = jax.nn.one_hot(i, n, dtype=x.dtype)  # [Q, n]
+    # statically shifted grids with edge clamping (no gathers)
+    x_p1 = jnp.concatenate([x[1:], x[-1:]])
+    x_m1 = jnp.concatenate([x[:1], x[:-1]])
+    x_p2 = jnp.concatenate([x[2:], x[-1:], x[-1:]])
+    y_p1 = jnp.concatenate([y[1:], y[-1:]])
+    y_m1 = jnp.concatenate([y[:1], y[:-1]])
+    y_p2 = jnp.concatenate([y[2:], y[-1:], y[-1:]])
+    table = jnp.stack([x, x_p1, y, y_p1, x_m1, x_p2, y_m1, y_p2], axis=1)
+    vals = jnp.matmul(onehot, table, precision=jax.lax.Precision.HIGHEST)  # [Q, 8]
+    x0, x1, y0, y1, xm, xp, ym, yp = (vals[..., j] for j in range(8))
     h = jnp.maximum(x1 - x0, 1e-8)
     t = jnp.clip((xq - x0) / h, 0.0, 1.0)
     # central-difference slopes (one-sided at the ends)
-    im = jnp.maximum(i - 1, 0)
-    ip = jnp.minimum(i + 2, n - 1)
-    m0 = (y1 - y[im]) / jnp.maximum(x1 - x[im], 1e-8)
-    m1 = (y[ip] - y0) / jnp.maximum(x[ip] - x0, 1e-8)
+    m0 = (y1 - ym) / jnp.maximum(x1 - xm, 1e-8)
+    m1 = (yp - y0) / jnp.maximum(xp - x0, 1e-8)
     t2 = t * t
     t3 = t2 * t
     h00 = 2 * t3 - 3 * t2 + 1

@@ -140,3 +140,102 @@ def random_walk_crowd(key: jax.Array, g: StackedGraph, start_id, n_chars: int,
     keys = jax.random.split(key, n_chars)
     start_ids = jnp.broadcast_to(jnp.asarray(start_id, jnp.int32), (n_chars,))
     return jax.vmap(lambda k, s: random_walk(k, g, s, n_steps, **kw))(keys, start_ids)
+
+
+# ---------------------------------------------------------------------------
+# Segment-form walk (the fast path)
+# ---------------------------------------------------------------------------
+
+class SegWalkState(NamedTuple):
+    node_id: jax.Array
+    done: jax.Array
+    key: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "max_step_frames",
+                                             "window", "use_time"))
+def random_walk_segments(key: jax.Array, g: StackedGraph, start_id: jax.Array,
+                         n_steps: int, max_step_frames: int = 128,
+                         window: int = 20, use_time: bool = True):
+    """Random walk emitting per-step SEGMENTS instead of one concatenated
+    buffer.
+
+    The concatenating variant's vmapped `dynamic_update_slice` (per-character
+    offsets) lowers to a scatter, which dominates the crowd benchmark by
+    ~20x.  Here the scan writes each step's frames at a *uniform* index
+    (scan ys), and the chained 2D alignment is factored into:
+      1. a cheap scan over segment BOUNDARY frames computing each step's
+         cumulative aligning transform + smoothing offset, then
+      2. one batched application over all segments in parallel.
+    This is exact except when a step is shorter than the smoothing window
+    (the offset blend would then leak into the boundary frame; steps are
+    typically 2-4x the window).
+
+    Returns (frames [n_steps, max_step_frames, D], n_frames [n_steps],
+    node_ids [n_steps], latents [n_steps, L]).
+    """
+    init = SegWalkState(node_id=jnp.asarray(start_id, jnp.int32),
+                        done=jnp.asarray(False), key=key)
+    std_t = TRANSITION_TYPE_IDS[NODE_TYPE_STANDARD]
+    end_t = TRANSITION_TYPE_IDS[NODE_TYPE_END]
+
+    def gen_step(state: SegWalkState, step_idx):
+        k_sample, k_trans, k_next = jax.random.split(state.key, 3)
+        s = sample_node_latent(k_sample, g, state.node_id)
+        frames, n_frames, _ = back_project_node(g, state.node_id, s,
+                                                max_step_frames, use_time)
+        emitted_id = jnp.where(state.done, -1, state.node_id)
+        n_frames = jnp.where(state.done, 0, n_frames)
+        want_end = step_idx >= n_steps - 2
+        type_id = jnp.where(want_end, end_t, std_t)
+        next_id, found = choose_transition(k_trans, g, state.node_id, type_id)
+        done = state.done | ~found
+        return (SegWalkState(next_id, done, k_next),
+                (frames, n_frames, emitted_id, s))
+
+    _, (frames, n_frames, node_ids, latents) = jax.lax.scan(
+        gen_step, init, jnp.arange(n_steps))
+
+    # ---- chained alignment on boundary frames only -----------------------
+    last_idx = jnp.maximum(n_frames - 1, 0)
+    firsts = frames[:, 0]  # [S, D]
+    lasts = frames[jnp.arange(n_steps), last_idx]  # [S, D]
+
+    from ..ops import quat as quat_ops
+
+    def align_scan(prev_last, inputs):
+        first_raw, last_raw, is_first = inputs
+        q_y, delta = align.node_aligning_2d_transform(prev_last, first_raw)
+        q_y = jnp.where(is_first, jnp.array([1.0, 0, 0, 0]), q_y)
+        delta = jnp.where(is_first, jnp.zeros(3), delta)
+        new_last = align.transform_frames(last_raw[None], q_y, delta)[0]
+        # the seam smoothing hemisphere-aligns the whole segment against the
+        # anchor, which can flip quaternion signs clip-wide — apply the same
+        # flip to the carried last frame so the next step's anchor matches
+        # the SMOOTHED segment (what the concatenating walk chains on)
+        new_last = quat_ops.frame_fix_signs(new_last[None], prev_last)[0]
+        new_last = jnp.where(is_first, last_raw, new_last)
+        return new_last, (q_y, delta, prev_last)
+
+    is_first = jnp.arange(n_steps) == 0
+    _, (q_ys, deltas, prev_lasts) = jax.lax.scan(align_scan, lasts[0],
+                                                 (firsts, lasts, is_first))
+
+    # ---- apply transforms + seam smoothing to all segments in parallel ---
+    aligned = jax.vmap(align.transform_frames)(frames, q_ys, deltas)
+
+    def smooth_seg(prev_last, seg, is_first_seg):
+        sm = align.smooth_transition(prev_last, seg, window)
+        return jnp.where(is_first_seg, seg, sm)
+
+    aligned = jax.vmap(smooth_seg)(prev_lasts, aligned, is_first)
+    return aligned, n_frames, node_ids, latents
+
+
+def flatten_segments(frames: jax.Array, n_frames: jax.Array):
+    """Host-side flatten of segment-form output to one [T, D] motion."""
+    import numpy as np
+    out = []
+    for seg, n in zip(np.asarray(frames), np.asarray(n_frames)):
+        out.append(seg[: int(n)])
+    return np.concatenate(out, axis=0) if out else np.zeros((0, frames.shape[-1]))

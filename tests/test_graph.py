@@ -92,6 +92,23 @@ def test_random_walk_scan(stacked):
     assert np.max(jumps) < 10.0, np.max(jumps)
 
 
+def test_segment_walk_matches_concatenating_walk(stacked):
+    """The scatter-free segment walk must be numerically identical to the
+    buffer-concatenating walk (same keys -> same choices -> same frames)."""
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    for seed in range(3):
+        key = jax.random.PRNGKey(seed)
+        buf, nv, ids1, _ = walk_mod.random_walk(key, stacked, start,
+                                                n_steps=5, max_step_frames=64)
+        segs, nf, ids2, _ = walk_mod.random_walk_segments(
+            key, stacked, start, n_steps=5, max_step_frames=64)
+        flat = walk_mod.flatten_segments(segs, nf)
+        ref = np.asarray(buf)[: int(nv)]
+        assert len(flat) == int(nv)
+        np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
+        np.testing.assert_allclose(flat, ref, atol=1e-5)
+
+
 def test_random_walk_crowd(stacked):
     key = jax.random.PRNGKey(1)
     start = stacked.node_id(("walk", "beginLeftStance"))
