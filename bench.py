@@ -1,13 +1,17 @@
-"""Benchmark: crowd graph-walk synthesis throughput on one chip.
+"""Benchmark: constrained crowd walk synthesis throughput on one chip.
 
-Prints ONE JSON line: frames/sec/chip for a 1024-character vmapped random
-graph walk (GMM sample -> fPCA back-projection -> spline eval -> align/concat
-all inside one jitted scan).  BASELINE.md config 5 target: >= 10k synthesized
-frames/sec/chip on v5e-1; vs_baseline = value / 10000.
+Prints ONE JSON line with the BASELINE.json headline metric: frames/sec/chip
+for CONSTRAINED walk synthesis — 1024 vmapped characters each following
+their own trajectory spline, with best-of-64 GMM candidate selection, fPCA
+back-projection, alignment and concatenation all inside one jitted scan
+(synthesis/constrained_walk.py).  Target: >= 10k frames/sec/chip on v5e-1;
+vs_baseline = value / 10000.
 """
 
 import json
 import time
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -15,44 +19,57 @@ import jax.numpy as jnp
 
 def main():
     from morphablegraphs_tpu.models import graph as graph_mod
-    from morphablegraphs_tpu.synthesis import walk as walk_mod
+    from morphablegraphs_tpu.ops import spline_path
+    from morphablegraphs_tpu.synthesis import constrained_walk as cw
     from morphablegraphs_tpu.utils.synthetic import make_graph_dict
 
     n_chars = 1024
     n_steps = 8
-    max_step_frames = 64
+    n_samples = 64
 
     graph = graph_mod.build_graph_from_dict(make_graph_dict())
     stacked = graph_mod.stack_graph(graph)
     start_id = stacked.node_id(("walk", "beginLeftStance"))
 
+    rng = np.random.default_rng(0)
+
+    def rand_path():
+        pts = [[0.0, 0.0, 0.0]]
+        x, z, h = 0.0, 0.0, rng.uniform(-0.6, 0.6)
+        for _ in range(3):
+            h += rng.uniform(-0.4, 0.4)
+            x += 60 * np.sin(h)
+            z += 60 * np.cos(h)
+            pts.append([x, 0.0, z])
+        return spline_path.build(np.asarray(pts, np.float32),
+                                 unconstrained_dims=(1,))
+
+    paths = cw.stack_paths([rand_path() for _ in range(n_chars)])
+    start_ids = jnp.full((n_chars,), start_id, jnp.int32)
+
     @jax.jit
-    def crowd(g, keys):
-        # segment-form walk: scatter-free concatenation (alignment factored
-        # into a boundary scan + parallel application)
-        return jax.vmap(
-            lambda k: walk_mod.random_walk_segments(
-                k, g, jnp.asarray(start_id, jnp.int32), n_steps=n_steps,
-                max_step_frames=max_step_frames))(keys)
+    def crowd(g, keys, sids):
+        return jax.vmap(lambda k, p, s: cw.constrained_walk(
+            k, g, p, s, n_steps=n_steps, max_step_frames=64,
+            n_samples=n_samples))(keys, paths, sids)
 
     keys = jax.random.split(jax.random.PRNGKey(0), n_chars)
-    # warmup/compile
-    buf, n_valid, _, _ = crowd(stacked, keys)
-    jax.block_until_ready(buf)
+    segs, nf, _, _ = crowd(stacked, keys, start_ids)  # warmup/compile
+    jax.block_until_ready(segs)
 
     n_iters = 5
+    total = 0
     t0 = time.perf_counter()
-    total_frames = 0
     for i in range(n_iters):
         keys = jax.random.split(jax.random.PRNGKey(i + 1), n_chars)
-        buf, n_valid, _, _ = crowd(stacked, keys)
-        jax.block_until_ready(buf)
-        total_frames += int(jnp.sum(n_valid))
+        segs, nf, _, _ = crowd(stacked, keys, start_ids)
+        jax.block_until_ready(segs)
+        total += int(jnp.sum(nf))
     dt = time.perf_counter() - t0
 
-    fps = total_frames / dt
+    fps = total / dt
     print(json.dumps({
-        "metric": "synthesized_frames_per_sec_per_chip",
+        "metric": "constrained_synthesis_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / 10000.0, 3),

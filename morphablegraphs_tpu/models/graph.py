@@ -361,6 +361,7 @@ class StackedGraph:
     gmm_prec_chol: jax.Array  # [N, K_max, L_max, L_max]
     # Per-node scalars:
     n_canonical: jax.Array  # [N] int32
+    node_n_basis: jax.Array  # [N] int32 (true n_basis per node)
     n_spatial: jax.Array  # [N] int32 (actual k_s per node)
     n_latent: jax.Array  # [N] int32
     avg_step_length: jax.Array  # [N] f32
@@ -419,6 +420,7 @@ def stack_graph(graph: MotionStateGraph) -> StackedGraph:
     gchol = np.tile(np.eye(l_max, dtype=np.float32), (n, k_max, 1, 1))
     gprec = np.tile(np.eye(l_max, dtype=np.float32), (n, k_max, 1, 1))
     n_can = np.zeros(n, np.int32)
+    n_nb = np.zeros(n, np.int32)
     n_sp = np.zeros(n, np.int32)
     n_lat = np.zeros(n, np.int32)
     asl = np.zeros(n, np.float32)
@@ -435,6 +437,7 @@ def stack_graph(graph: MotionStateGraph) -> StackedGraph:
         knots_s[i, : kn.shape[0]] = kn
         knots_s[i, kn.shape[0]:] = kn[-1]  # repeat end knot: padded basis == 0
         n_can[i] = p.n_canonical_frames
+        n_nb[i] = p.n_basis
         mean_t_d[i, : p.n_canonical_frames] = np.asarray(p.mean_t_d)
         # pad temporal tail with large negative -> exp ~ 0 increments? No:
         # keep 0; consumers mask by n_canonical.
@@ -471,7 +474,8 @@ def stack_graph(graph: MotionStateGraph) -> StackedGraph:
         eigen_t_d=jnp.asarray(eigen_t_d),
         gmm_weights=jnp.asarray(gw), gmm_means=jnp.asarray(gmu),
         gmm_cov_chol=jnp.asarray(gchol), gmm_prec_chol=jnp.asarray(gprec),
-        n_canonical=jnp.asarray(n_can), n_spatial=jnp.asarray(n_sp),
+        n_canonical=jnp.asarray(n_can), node_n_basis=jnp.asarray(n_nb),
+        n_spatial=jnp.asarray(n_sp),
         n_latent=jnp.asarray(n_lat), avg_step_length=jnp.asarray(asl),
         node_type=jnp.asarray(ntype), transitions=jnp.asarray(trans),
         node_keys=keys, n_dim=n_dim, n_basis_max=n_basis_max,
