@@ -1,0 +1,106 @@
+"""Batched request serving: many constraint inputs -> one device launch.
+
+The reference scales its REST service by forking one process per CPU core,
+each loading its own full graph (mg_rest_interface_parallel.py:10-265).  The
+TPU-native equivalent (SURVEY.md §2.10 "Request parallelism") batches
+requests into the vmapped constrained-walk path: N locomotion requests
+become N rows of `constrained_walk_crowd` and synthesize in one launch.
+
+Requests whose constraints go beyond trajectory following (user keyframe
+constraints, multiple actions) fall back to the sequential full-fidelity
+`MotionGenerator` path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..constraints.input_reader import read_input
+from ..models.graph import MotionStateGraph, stack_graph
+from ..ops import spline_path
+from ..synthesis import constrained_walk as cw
+from ..synthesis import walk as walk_mod
+from ..utils.config import default_config
+
+
+def _is_batchable(parsed) -> bool:
+    """Single locomotion action with a root trajectory and no keyframe
+    constraints — the shape the crowd path handles."""
+    if len(parsed.actions) != 1:
+        return False
+    a = parsed.actions[0]
+    return bool(a.trajectories) and not a.keyframe_constraints
+
+
+class BatchedGenerator:
+    """Collects parsed locomotion requests and synthesizes them in one
+    vmapped launch."""
+
+    def __init__(self, graph: MotionStateGraph, config: Optional[dict] = None,
+                 n_steps: int = 12, n_samples: int = 64,
+                 max_step_frames: int = 64):
+        self.graph = graph
+        self.stacked = stack_graph(graph)
+        self.config = config or default_config()
+        self.n_steps = n_steps
+        self.n_samples = n_samples
+        self.max_step_frames = max_step_frames
+
+    def _start_id(self, action: str) -> int:
+        group = self.graph.node_groups[action]
+        names = group.start_states or [k[1] for k in group.node_keys]
+        return self.stacked.node_id((action, names[0]))
+
+    def split_batchable(self, mg_inputs: List[dict],
+                        activate_coordinate_transform: bool = False):
+        """Partition requests into (batchable, fallback) index lists."""
+        batchable, fallback = [], []
+        for i, mg_input in enumerate(mg_inputs):
+            try:
+                parsed = read_input(
+                    mg_input,
+                    activate_coordinate_transform=activate_coordinate_transform)
+                (batchable if _is_batchable(parsed) else fallback).append(i)
+            except (KeyError, ValueError):
+                fallback.append(i)
+        return batchable, fallback
+
+    def generate_batch(self, mg_inputs: List[dict],
+                       activate_coordinate_transform: bool = False,
+                       seed: int = 0) -> List[np.ndarray]:
+        """Synthesize N locomotion requests in one launch.
+
+        Returns one [T_i, D] frame array per request (segment-flattened).
+        All requests must be batchable (use split_batchable first).
+        """
+        paths = []
+        start_ids = []
+        for mg_input in mg_inputs:
+            parsed = read_input(
+                mg_input,
+                activate_coordinate_transform=activate_coordinate_transform)
+            a = parsed.actions[0]
+            traj = a.trajectories[0]
+            # paths are relative to the request's start pose
+            pts = traj.control_points - traj.control_points[:1] \
+                + parsed.start_pose_position
+            paths.append(spline_path.build(
+                pts, unconstrained_dims=traj.unconstrained_dims))
+            start_ids.append(self._start_id(a.name))
+        stacked_paths = cw.stack_paths(paths)
+        keys = jax.random.split(jax.random.PRNGKey(seed), len(mg_inputs))
+        start_arr = jnp.asarray(start_ids, jnp.int32)
+        segs, n_frames, node_ids, errors = jax.vmap(
+            lambda k, p, s: cw.constrained_walk(
+                k, self.stacked, p, s, n_steps=self.n_steps,
+                max_step_frames=self.max_step_frames,
+                n_samples=self.n_samples))(keys, stacked_paths, start_arr)
+        out = []
+        for c in range(len(mg_inputs)):
+            out.append(walk_mod.flatten_segments(segs[c], n_frames[c]))
+        return out

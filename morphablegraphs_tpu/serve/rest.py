@@ -84,6 +84,41 @@ class GenerateMotionHandler(_Handler):
             self.write({"error": str(e)})
 
 
+class GenerateMotionBatchHandler(_Handler):
+    """POST /run_morphablegraphs_batch: {"requests": [mg_input, ...]} ->
+    {"results": [{"bvh": ...}, ...]}.  Batchable locomotion requests run in
+    ONE vmapped device launch; the rest fall back to the sequential path
+    (the TPU replacement for the reference's process-per-core server)."""
+
+    def post(self):
+        try:
+            body = json.loads(self.request.body)
+            requests_list = body["requests"]
+        except (json.JSONDecodeError, KeyError, TypeError):
+            self.set_status(400)
+            self.write({"error": "expected {\"requests\": [...]}"})
+            return
+        from .batch import BatchedGenerator
+        from ..models.skeleton import write_bvh
+        bg = BatchedGenerator(self.ctx.graph, self.ctx.config)
+        batchable, fallback = bg.split_batchable(
+            requests_list, self.ctx.activate_coordinate_transform)
+        results = [None] * len(requests_list)
+        if batchable:
+            frames_list = bg.generate_batch(
+                [requests_list[i] for i in batchable],
+                self.ctx.activate_coordinate_transform)
+            for i, frames in zip(batchable, frames_list):
+                results[i] = {"bvh": write_bvh(self.ctx.graph.skeleton, frames),
+                              "batched": True}
+        for i in fallback:
+            try:
+                results[i] = {**self.ctx.run(requests_list[i]), "batched": False}
+            except (KeyError, ValueError) as e:
+                results[i] = {"error": str(e)}
+        self.write(json.dumps({"results": results}))
+
+
 class GetSkeletonHandler(_Handler):
     """GET /get_skeleton -> skeleton BVH string (reference :165-180)."""
 
@@ -118,6 +153,7 @@ class SetConfigurationHandler(_Handler):
 def make_app(ctx: MGContext) -> tornado.web.Application:
     return tornado.web.Application([
         (r"/run_morphablegraphs", GenerateMotionHandler, {"ctx": ctx}),
+        (r"/run_morphablegraphs_batch", GenerateMotionBatchHandler, {"ctx": ctx}),
         (r"/generate_motion", GenerateMotionHandler, {"ctx": ctx}),
         (r"/get_skeleton", GetSkeletonHandler, {"ctx": ctx}),
         (r"/set_configuration", SetConfigurationHandler, {"ctx": ctx}),

@@ -41,6 +41,7 @@ class GraphWalkEntry:
     error: float = 0.0
     step_constraints: object = None  # compiled.StepConstraints for global opt
     time_constraints: tuple = ()  # ((canonical_keyframe, desired_time_s), ...)
+    user_constraints: tuple = ()  # ((joint, position[3], canonical_keyframe), ...)
 
 
 @dataclasses.dataclass
@@ -92,6 +93,7 @@ class MotionGenerator:
         # graph_walk.py:112-176 convert_to_annotated_motion)
         self._maybe_optimize_time(steps)
         warped = self._convert_with_time_warp(steps)
+        warped = self._post_process(warped, steps)
 
         stats = {
             "n_steps": len(steps),
@@ -259,19 +261,25 @@ class MotionGenerator:
             travelled = float(new_arc)
 
         time_cs = []
+        user_cs = []
         for kc in acs.keyframe_constraints.get(node_key[1], []):
+            kf = action_builder._label_keyframe(graph, node_key,
+                                                kc.keyframe_label,
+                                                prim.n_canonical_frames)
+            if kf is None:
+                continue
             if kc.time is not None:
-                kf = action_builder._label_keyframe(graph, node_key,
-                                                    kc.keyframe_label,
-                                                    prim.n_canonical_frames)
-                if kf is not None:
-                    time_cs.append((int(kf), float(kc.time)))
+                time_cs.append((int(kf), float(kc.time)))
+            if kc.joint in graph.skeleton.node_names and not np.all(np.isnan(kc.position)):
+                user_cs.append((kc.joint, tuple(np.asarray(kc.position, np.float64)),
+                                int(kf)))
         steps.append(GraphWalkEntry(node_key=node_key, parameters=s_np,
                                     arc_length=travelled,
                                     start_frame=start_frame,
                                     end_frame=len(frames) - 1, error=err,
                                     step_constraints=sc,
-                                    time_constraints=tuple(time_cs)))
+                                    time_constraints=tuple(time_cs),
+                                    user_constraints=tuple(user_cs)))
         return frames, travelled, err
 
     def _append(self, frames, new_frames, acs):
@@ -362,6 +370,23 @@ class MotionGenerator:
             quality_scale=float(settings.get("quality_scale_factor", 1e-4)))
         for s, p in zip(steps, new_params):
             s.parameters = p
+
+    def _post_process(self, frames, steps):
+        """IK edits for user keyframe constraints + motion grounding
+        (reference motion_generator.py:281-352 _post_process_motion)."""
+        if frames is None or len(frames) == 0:
+            return frames
+        from . import postprocess
+        constraint_specs = {}
+        for i, step in enumerate(steps):
+            if step.user_constraints:
+                constraint_specs[i] = [
+                    (joint, np.asarray(pos), kf)
+                    for joint, pos, kf in step.user_constraints]
+        ik_constraints = postprocess.create_ik_constraints(
+            self.graph, steps, constraint_specs) if constraint_specs else []
+        return postprocess.post_process_motion(
+            self.graph.skeleton, frames, steps, ik_constraints, self.config)
 
     # -- final conversion ----------------------------------------------
     def _convert_with_time_warp(self, steps) -> np.ndarray:
