@@ -97,6 +97,27 @@ def split_walk_motion(skeleton: Skeleton, frames: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Duplicate detection (reference preprocessing/hasher.py)
+# ---------------------------------------------------------------------------
+
+def hash_motions(motions: Dict) -> Dict[str, list]:
+    """Group motions by content hash to find duplicate clips (reference
+    construction/preprocessing/hasher.py duplicate-file detection)."""
+    import hashlib
+    groups: Dict[str, list] = {}
+    for key, m in motions.items():
+        h = hashlib.sha1(np.ascontiguousarray(np.asarray(m, np.float32))
+                         .tobytes()).hexdigest()
+        groups.setdefault(h, []).append(key)
+    return groups
+
+
+def find_duplicates(motions: Dict) -> List[list]:
+    """Keys of motions with identical content."""
+    return [keys for keys in hash_motions(motions).values() if len(keys) > 1]
+
+
+# ---------------------------------------------------------------------------
 # Normalization (reference motion_normalization.py)
 # ---------------------------------------------------------------------------
 
