@@ -160,10 +160,35 @@ def make_app(ctx: MGContext) -> tornado.web.Application:
     ])
 
 
-def main(graph_path: str, port: int = 8889, config: Optional[dict] = None):
+def load_service_config(path: str) -> dict:
+    """Service config schema of the reference's examples/config/service.config
+    (port, model path, algorithm preset, joint-map / coordinate flags)."""
+    with open(path) as f:
+        return json.load(f)
+
+
+def main(graph_path: Optional[str] = None, port: int = 8889,
+         config: Optional[dict] = None, service_config: Optional[str] = None):
     """reference mg_rest_interface.py:381-423 main: load graph zip, serve."""
+    joint_map = False
+    coord_transform = False
+    if service_config is not None:
+        svc = load_service_config(service_config)
+        graph_path = graph_path or svc.get("model_data")
+        port = svc.get("port", port)
+        joint_map = svc.get("activate_joint_map", False)
+        coord_transform = svc.get("activate_coordinate_transform", False)
+        preset = svc.get("algorithm_settings")
+        if preset and config is None:
+            from ..utils.config import load_config
+            import os
+            preset_path = os.path.join(os.path.dirname(service_config),
+                                       f"{preset}_algorithm.config")
+            if os.path.exists(preset_path):
+                config = load_config(preset_path)
     graph = load_graph(graph_path)
-    ctx = MGContext(graph, config)
+    ctx = MGContext(graph, config, activate_joint_mapping=joint_map,
+                    activate_coordinate_transform=coord_transform)
     app = make_app(ctx)
     app.listen(port)
     print(f"serving morphablegraphs on :{port}")
