@@ -70,11 +70,13 @@ class MotionGenerator:
     # ------------------------------------------------------------------
     def generate_motion(self, mg_input: dict, complete_motion_vector: bool = True,
                         activate_joint_mapping: bool = False,
-                        activate_coordinate_transform: bool = False) -> MotionResult:
+                        activate_coordinate_transform: bool = False,
+                        scale_factor: float = 1.0) -> MotionResult:
         t_start = time.time()
         parsed = read_input(mg_input,
                             activate_coordinate_transform=activate_coordinate_transform,
-                            activate_joint_mapping=activate_joint_mapping)
+                            activate_joint_mapping=activate_joint_mapping,
+                            scale_factor=scale_factor)
         action_sets = action_builder.build_action_constraints(
             self.graph, parsed, self.config)
 

@@ -226,6 +226,33 @@ def make_graph_dict(seed=0, n_joints=4):
     }
 
 
+def make_multi_action_graph_dict(seed=0, n_joints=4):
+    """Walk + pickRight/carryRight/placeRight actions with contact labels —
+    the action set exercised by the reference's examples/example_input.json."""
+    gd = make_graph_dict(seed=seed, n_joints=n_joints)
+    rng_base = seed + 100
+    for i, (action, mp, label) in enumerate([
+            ("pickRight", "reach", "start_contact"),
+            ("carryRight", "locomotion", None),
+            ("placeRight", "reach", "end_contact")]):
+        mm = make_legacy_model_json(seed=rng_base + i, n_joints=n_joints,
+                                    n_canonical_frames=36 + 2 * i)
+        mm["name"] = f"{action}_{mp}"
+        if label:
+            mm["keyframes"][label] = mm["n_canonical_frames"] // 2
+        gd["subgraphs"][action] = {
+            "name": action,
+            "info": {"start_states": [mp], "end_states": [mp]},
+            "nodes": {mp: {"name": f"{action}_{mp}", "mm": mm}},
+        }
+        # action transitions from walk's end state and into the next action
+        gd["transitions"].setdefault("walk_endRightStance", []).append(
+            f"{action}_{mp}")
+    gd["transitions"]["pickRight_reach"] = ["carryRight_locomotion"]
+    gd["transitions"]["carryRight_locomotion"] = ["placeRight_reach"]
+    return gd
+
+
 def to_v3_json(legacy):
     """Convert a legacy model dict to the v3 {sspm,tspm,gmm} schema
     (reference motion_model_constructor.py:499-523)."""
