@@ -89,9 +89,10 @@ def config3_constrained():
                 {"position": [15.0, None, 120.0]}]}],
         }],
     }
+    gen.generate_motion(mg_input, activate_coordinate_transform=False)  # compile
     t0 = time.perf_counter()
     res = gen.generate_motion(mg_input, activate_coordinate_transform=False)
-    dt = time.perf_counter() - t0
+    dt = time.perf_counter() - t0  # steady-state request latency
     return {"metric": "config3_constrained_avg_error", "value":
             round(res.stats["average_error"], 3), "unit": "cm",
             "vs_baseline": round(dt, 1)}

@@ -143,6 +143,37 @@ class MotionStateGraph:
             return edges[rng.randrange(len(edges))]
         return None
 
+    def generate_random_walk(self, key: jax.Array, action: str,
+                             number_of_steps: int,
+                             rng: Optional[random.Random] = None):
+        """Host-level random walk: start state, N standard transitions, one
+        end transition; returns [{node_key, parameters}] (reference
+        motion_state_graph.py:52-91 + motion_state_group.py:177-215).
+
+        The returned entries are consumable by
+        synthesis.graph_walk_io.steps_from_json / rebuild_frames_from_steps.
+        For the fully-jitted equivalent use synthesis.walk.random_walk_segments.
+        """
+        rng = rng or random.Random(0)
+        current = self.get_random_start_node(rng, action)
+        if current is None:
+            current = self.node_groups[action].node_keys[0]
+        walk = []
+        for i in range(number_of_steps + 1):
+            key, sub = jax.random.split(key)
+            params = np.asarray(prim_mod.sample_latent(
+                sub, self.nodes[current].primitive, 1)[0])
+            walk.append({"node_key": current, "parameters": params})
+            t_type = (NODE_TYPE_END if i >= number_of_steps - 1
+                      else NODE_TYPE_STANDARD)
+            nxt = self.random_transition(rng, current, t_type)
+            if nxt is None and t_type == NODE_TYPE_STANDARD:
+                nxt = self.random_transition(rng, current, NODE_TYPE_END)
+            if nxt is None:
+                break
+            current = nxt
+        return walk
+
     # -- stats ------------------------------------------------------------
 
     def update_motion_stats(self, key: jax.Array, n_samples: int = 5,

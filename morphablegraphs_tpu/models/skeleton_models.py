@@ -1,0 +1,62 @@
+"""Skeleton model metadata: joint groups, mirror maps, rotation limits.
+
+Replaces the anim_utils skeleton_models surface the reference imports
+(SURVEY.md §2.9: `JOINT_CONSTRAINTS`, `UPPER_BODY_JOINTS`,
+`STANDARD_MIRROR_MAP`) for the standard humanoid naming convention.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from .skeleton import Skeleton
+
+UPPER_BODY_JOINTS = ("Spine", "Spine1", "Spine2", "Neck", "Head",
+                     "LeftShoulder", "LeftArm", "LeftForeArm", "LeftHand",
+                     "RightShoulder", "RightArm", "RightForeArm", "RightHand")
+
+LOWER_BODY_JOINTS = ("LeftUpLeg", "LeftLeg", "LeftFoot", "LeftToeBase",
+                     "RightUpLeg", "RightLeg", "RightFoot", "RightToeBase")
+
+# Left <-> right joint pairing for motion mirroring
+STANDARD_MIRROR_MAP: Dict[str, str] = {}
+for _l, _r in [("LeftShoulder", "RightShoulder"), ("LeftArm", "RightArm"),
+               ("LeftForeArm", "RightForeArm"), ("LeftHand", "RightHand"),
+               ("LeftUpLeg", "RightUpLeg"), ("LeftLeg", "RightLeg"),
+               ("LeftFoot", "RightFoot"), ("LeftToeBase", "RightToeBase")]:
+    STANDARD_MIRROR_MAP[_l] = _r
+    STANDARD_MIRROR_MAP[_r] = _l
+
+# Swing/twist rotation limits per joint in degrees (a pragmatic subset of the
+# anim_utils JOINT_CONSTRAINTS table, used to clamp IK results)
+JOINT_CONSTRAINTS: Dict[str, dict] = {
+    "LeftLeg": {"axis": (1, 0, 0), "min_angle": 0.0, "max_angle": 150.0},
+    "RightLeg": {"axis": (1, 0, 0), "min_angle": 0.0, "max_angle": 150.0},
+    "LeftForeArm": {"axis": (0, 1, 0), "min_angle": 0.0, "max_angle": 150.0},
+    "RightForeArm": {"axis": (0, 1, 0), "min_angle": -150.0, "max_angle": 0.0},
+    "Head": {"axis": (0, 1, 0), "min_angle": -80.0, "max_angle": 80.0},
+}
+
+
+def mirror_frames(skeleton: Skeleton, frames: np.ndarray) -> np.ndarray:
+    """Mirror a motion across the X=0 plane: negate root x, mirror root
+    rotation, and swap left/right joint rotations with the appropriate
+    quaternion component flips (x-plane mirror: negate y and z of the
+    quaternion, i.e. keep (w, x), negate (y, z))."""
+    frames = np.asarray(frames, np.float32).copy()
+    out = frames.copy()
+    out[:, 0] = -frames[:, 0]  # mirror root translation x
+
+    def mirrored_quat(q):
+        return np.stack([q[..., 0], q[..., 1], -q[..., 2], -q[..., 3]], axis=-1)
+
+    for name in skeleton.animated_joints:
+        src = STANDARD_MIRROR_MAP.get(name, name)
+        if src not in skeleton.animated_joints:
+            src = name
+        dst_sl = skeleton.quat_slice(name)
+        src_sl = skeleton.quat_slice(src)
+        out[:, dst_sl] = mirrored_quat(frames[:, src_sl])
+    return out
