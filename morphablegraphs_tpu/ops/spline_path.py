@@ -120,10 +120,47 @@ def point_at_u(sp: PathSpline, u: jax.Array) -> jax.Array:
     return _eval_u(sp.points, sp.n_points, u)
 
 
+def _interp_monotone(xq: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Gather-free linear interp on a monotone grid: comparison-matrix index
+    + one-hot matmul (jnp.interp lowers to searchsorted + gathers, which
+    dominate vmapped path queries — same issue as ops.timewarp.interp_cubic).
+    Accepts any xq shape (incl. scalar)."""
+    shape = jnp.shape(xq)
+    q = jnp.reshape(jnp.asarray(xq), (-1,))
+    n = x.shape[-1]
+    i = jnp.clip(jnp.sum(x[None, :] <= q[:, None], axis=-1) - 1, 0, n - 2)
+    onehot = jax.nn.one_hot(i, n, dtype=x.dtype)
+    x_p1 = jnp.concatenate([x[1:], x[-1:]])
+    y_p1 = jnp.concatenate([y[1:], y[-1:]])
+    table = jnp.stack([x, x_p1, y, y_p1], axis=1)
+    vals = jnp.matmul(onehot, table, precision=jax.lax.Precision.HIGHEST)
+    x0, x1, y0, y1 = (vals[..., j] for j in range(4))
+    t = jnp.clip((q - x0) / jnp.maximum(x1 - x0, 1e-8), 0.0, 1.0)
+    out = y0 + t * (y1 - y0)
+    # clamp outside the domain like jnp.interp
+    out = jnp.where(q <= x[0], y[0], out)
+    out = jnp.where(q >= x[-1], y[-1], out)
+    return out.reshape(shape)
+
+
+def _arc_at_u(sp: PathSpline, u: jax.Array) -> jax.Array:
+    """table_u is a uniform grid, so u -> arc needs no search: blend the two
+    neighbouring table entries via a one-hot matmul."""
+    g = sp.table_arc.shape[-1] - 1
+    pos = jnp.clip(u, 0.0, 1.0) * g
+    i = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, g - 1)
+    frac = pos - i.astype(pos.dtype)
+    onehot = jax.nn.one_hot(i, g + 1, dtype=sp.table_arc.dtype)
+    a_p1 = jnp.concatenate([sp.table_arc[1:], sp.table_arc[-1:]])
+    table = jnp.stack([sp.table_arc, a_p1], axis=1)
+    vals = jnp.matmul(onehot, table, precision=jax.lax.Precision.HIGHEST)
+    return vals[..., 0] * (1 - frac) + vals[..., 1] * frac
+
+
 def u_at_arc_length(sp: PathSpline, arc: jax.Array) -> jax.Array:
     """Monotone interp on the arc-length table
     (reference arc_length_map.py:100-140 map_relative_arc_length semantics)."""
-    return jnp.interp(arc, sp.table_arc, sp.table_u)
+    return _interp_monotone(arc, sp.table_arc, sp.table_u)
 
 
 def point_at_arc_length(sp: PathSpline, arc: jax.Array) -> jax.Array:
@@ -164,8 +201,10 @@ def closest_point(sp: PathSpline, point: jax.Array,
     valid = sp.table_arc >= jnp.asarray(min_arc_length) - 1e-6
     d2 = jnp.where(valid, d2, jnp.inf)
     i = jnp.argmin(d2)
-    lo = sp.table_u[jnp.maximum(i - 1, 0)]
-    hi = sp.table_u[jnp.minimum(i + 1, sp.table_u.shape[0] - 1)]
+    # table_u is uniform: neighbours need no gather
+    g = sp.table_u.shape[0] - 1
+    lo = jnp.maximum(i - 1, 0).astype(d2.dtype) / g
+    hi = jnp.minimum(i + 1, g).astype(d2.dtype) / g
 
     def dist(u):
         p = _eval_u(sp.points, sp.n_points, u)
@@ -181,7 +220,7 @@ def closest_point(sp: PathSpline, point: jax.Array,
     lo, hi = jax.lax.fori_loop(0, n_refine, body, (lo, hi))
     u_best = 0.5 * (lo + hi)
     pos = point_at_u(sp, u_best)
-    arc = jnp.interp(u_best, sp.table_u, sp.table_arc)
+    arc = _arc_at_u(sp, u_best)
     d = jnp.sqrt(dist(u_best))
     return pos, arc, d
 

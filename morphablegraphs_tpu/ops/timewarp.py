@@ -90,7 +90,9 @@ def invert_time_function(t_canonical: jax.Array, n_canonical: int,
     t_end = t_canonical[-2]
     num = jnp.round(t_end) * (1.0 / speed)
     num = jnp.maximum(num, 1.0)
-    n_frames = (num + 2.0).astype(jnp.int32)  # + leading 0 and trailing end frame
+    # + leading 0 and trailing end frame; clamped to the buffer (strong time
+    # stretches would otherwise report more frames than the buffer holds)
+    n_frames = jnp.minimum((num + 2.0).astype(jnp.int32), max_frames)
 
     # Interior sample positions: linspace(1, t_end, num) realized on a fixed
     # grid of max_frames slots; slot i (1-based interior index i-1) maps to
