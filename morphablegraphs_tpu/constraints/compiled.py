@@ -29,7 +29,6 @@ Error semantics match the reference:
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

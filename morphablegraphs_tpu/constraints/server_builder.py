@@ -9,7 +9,7 @@ with tool offsets, and per-step walk constraints in the local frame.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

@@ -9,7 +9,7 @@ schema versions (byte-compatible with the loader in models/primitive.py).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -14,8 +14,7 @@ reference).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -8,7 +8,7 @@ batched FK pass instead of the reference's per-frame loops.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -9,7 +9,7 @@ Contact detection is a vectorized JAX computation over the whole clip.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 
 from ..models.skeleton import Skeleton, fk_positions
-from ..ops import quat as quat_ops
 
 DEFAULT_FEATURES = ("LeftFoot", "RightFoot")
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import pickle
 from typing import Callable, List, Optional
 
 import numpy as np

@@ -11,7 +11,6 @@ network evaluates as one jitted computation, vmappable over a crowd.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, NamedTuple
 
 import numpy as np

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import functools
 import json
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import numpy as np
 
@@ -33,7 +33,6 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .. import B_SPLINE_DEGREE
 from ..ops import bspline, gmm as gmm_ops, timewarp
 
 

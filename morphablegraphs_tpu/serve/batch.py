@@ -13,7 +13,7 @@ constraints, multiple actions) fall back to the sequential full-fidelity
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

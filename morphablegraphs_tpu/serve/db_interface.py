@@ -13,7 +13,7 @@ testable offline.
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Optional
+from typing import Optional
 
 import numpy as np
 import requests

@@ -18,7 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..constraints import compiled
-from ..constraints.input_reader import ActionSpec, KeyframeConstraintSpec, MGInput
+from ..constraints.input_reader import KeyframeConstraintSpec, MGInput
 from ..models.graph import MotionStateGraph
 from ..models.skeleton import Skeleton
 from ..ops import spline_path
