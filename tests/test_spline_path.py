@@ -81,6 +81,31 @@ def test_closest_point():
     assert float(dist) <= np.linalg.norm((q - target) * np.array([1, 0, 1])) + 1e-3
 
 
+def test_interp_monotone_matches_jnp_interp():
+    """The gather-free interp must match jnp.interp on monotone grids."""
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 100, 50))
+    y = np.cumsum(rng.random(50))
+    xq = rng.uniform(-10, 110, 200)
+    ours = np.asarray(spline_path._interp_monotone(
+        jnp.asarray(xq, jnp.float32), jnp.asarray(x, jnp.float32),
+        jnp.asarray(y, jnp.float32)))
+    ref = np.interp(xq, x, y)
+    assert np.max(np.abs(ours - ref)) < 1e-3
+    # scalar input keeps scalar shape
+    s = spline_path._interp_monotone(jnp.asarray(50.0), jnp.asarray(x, jnp.float32),
+                                     jnp.asarray(y, jnp.float32))
+    assert s.shape == ()
+
+
+def test_arc_at_u_matches_table():
+    sp = _build()
+    u = jnp.asarray(np.linspace(0, 1, 37), jnp.float32)
+    ours = np.asarray(spline_path._arc_at_u(sp, u))
+    ref = np.interp(np.asarray(u), np.asarray(sp.table_u), np.asarray(sp.table_arc))
+    assert np.max(np.abs(ours - ref)) < 1e-2
+
+
 def test_closest_point_min_arc_monotone():
     sp = _build()
     full = float(np.asarray(sp.full_arc_length))
