@@ -47,6 +47,7 @@ class MGStatePlanningSettings:
     use_optimization: bool = False
     max_steps_per_target: int = 50
     activate_upper_body_overlay: bool = False
+    collision_check_step: float = 10.0  # sampling step along the checked ray
 
 
 class MGStatePlanner:
@@ -54,8 +55,13 @@ class MGStatePlanner:
 
     def __init__(self, graph: MotionStateGraph,
                  settings: Optional[MGStatePlanningSettings] = None,
-                 config: Optional[dict] = None, seed: int = 0):
+                 config: Optional[dict] = None, seed: int = 0,
+                 collision_boundary=None):
         self.graph = graph
+        # optional callable (x, z) -> bool blocked (reference checks an
+        # external collision-avoidance service / scene boundary,
+        # mg_state_planner.py:672-704 collision_boundary.check_trajectory)
+        self.collision_boundary = collision_boundary
         self.settings = settings or MGStatePlanningSettings()
         self.config = config or default_config()
         self.config["n_random_samples"] = self.settings.n_samples
@@ -160,6 +166,11 @@ class MGStatePlanner:
             if dist < self.settings.step_target_threshold:
                 target_idx += 1
                 continue
+            if self.collision_boundary is not None and self._path_blocked(cur, target):
+                # skip targets behind obstacles (reference skips/aborts the
+                # trajectory segment on a boundary hit)
+                target_idx += 1
+                continue
             last = target_idx == len(control_points) - 1
             reached_soon = last and dist < self.settings.step_target_threshold * 2
             node_type = self.get_next_node_type(node_type, reached_soon)
@@ -215,6 +226,19 @@ class MGStatePlanner:
         self.stop_thread = True
         if self._thread is not None:
             self._thread.join(timeout=10)
+
+    def _path_blocked(self, cur, target) -> bool:
+        """Sample the straight line to the target against the collision
+        boundary (reference check_trajectory semantics)."""
+        cur = np.asarray(cur, np.float64)
+        target = np.asarray(target, np.float64)
+        d = float(np.linalg.norm((target - cur) * np.array([1, 0, 1])))
+        n = max(int(d / max(self.settings.collision_check_step, 1e-3)), 1)
+        for i in range(1, n + 1):
+            p = cur + (target - cur) * (i / n)
+            if self.collision_boundary(float(p[0]), float(p[2])):
+                return True
+        return False
 
     # -- upper body overlay (reference :817-930) ------------------------
     def overlay_upper_body(self, base_frames: np.ndarray,
