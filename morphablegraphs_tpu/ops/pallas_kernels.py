@@ -129,21 +129,26 @@ def crowd_back_project_xla(alphas, eigen, mean, basis):
 
 def _gmm_scores_kernel(x_ref, means_ref, prec_ref, logw_ref, out_ref):
     """x: [BN, D]; means: [K, D]; prec: [K*D, D] (row-blocked W_k);
-    logw: [1, K] (log weights + log det terms folded in); out: [BN, 1]."""
+    logw: [1, K] (log weights + log det terms folded in); out: [BN, 1].
+
+    Strictly 2D ops: one MXU matmul per mixture component (K is small,
+    static unroll) — Mosaic on v5e rejects the batched 3D dot_general
+    formulation."""
     x = x_ref[:]
     means = means_ref[:]
     prec = prec_ref[:]
     logw = logw_ref[:]
-    bn, d = x.shape
+    d = x.shape[1]
     k = means.shape[0]
-    # y[n, k, e] = sum_d (x[n,d] - mu[k,d]) W_k[d,e]
-    diff = x[:, None, :] - means[None, :, :]  # [BN, K, D]
-    w = prec.reshape(k, d, d)
-    y = jax.lax.dot_general(diff, w,
-                            dimension_numbers=(((2,), (1,)), ((1,), (0,))),
-                            preferred_element_type=jnp.float32)  # [K, BN, D]
-    maha = jnp.sum(y * y, axis=-1).T  # [BN, K]
-    logp = logw - 0.5 * (d * _LOG_2PI + maha)  # [BN, K]
+    cols = []
+    for kk in range(k):  # static unroll over components
+        diff = x - means[kk: kk + 1, :]  # [BN, D]
+        w_k = prec[kk * d:(kk + 1) * d, :]  # [D, D]
+        y = jnp.dot(diff, w_k, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # [BN, D]
+        maha = jnp.sum(y * y, axis=-1, keepdims=True)  # [BN, 1]
+        cols.append(logw[0, kk] - 0.5 * (d * _LOG_2PI + maha))
+    logp = jnp.concatenate(cols, axis=1)  # [BN, K]
     m = jnp.max(logp, axis=-1, keepdims=True)
     out_ref[:] = m + jnp.log(jnp.sum(jnp.exp(logp - m), axis=-1, keepdims=True))
 
