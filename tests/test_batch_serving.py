@@ -78,6 +78,10 @@ def test_batch_endpoint(graph):
     cfg["n_random_samples"] = 10
     cfg["lm_iterations"] = 2
     ctx = MGContext(graph, cfg)
+    # warm jit caches on the main thread (see test_serve.test_rest_api note)
+    from morphablegraphs_tpu.serve.batch import BatchedGenerator
+    bg = BatchedGenerator(graph, cfg)
+    bg.generate_batch([_traj_request(15, 90)])
 
     class Case(tornado.testing.AsyncHTTPTestCase):
         def get_app(self):

