@@ -17,3 +17,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: (a) repeat suite runs skip XLA compiles
+# (35 min -> minutes), (b) works around a deterministic XLA-CPU segfault
+# observed after ~120 tests' worth of cumulative in-process compilations
+# (jax 0.9.0; crash is inside backend_compile, cache hits bypass it).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mg_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
