@@ -95,7 +95,8 @@ def config3_constrained():
     dt = time.perf_counter() - t0  # steady-state request latency
     return {"metric": "config3_constrained_avg_error", "value":
             round(res.stats["average_error"], 3), "unit": "cm",
-            "vs_baseline": round(dt, 1)}
+            "vs_baseline": round(dt, 1),
+            "p50_step_latency_s": round(res.stats["p50_step_latency"], 4)}
 
 
 def config4_cluster_search():

@@ -71,6 +71,36 @@ def search_best_exhaustive(objective_batched: Callable[[jax.Array], jax.Array],
     return errors[i], data[i]
 
 
+def knn_interpolation(objective_batched: Callable[[jax.Array], jax.Array],
+                      data: jax.Array, k: int = 50):
+    """Blend the k best samples under the objective into a new sample
+    (reference space_partitioning/kdtree_wrapper_node.py:58-84
+    `knn_interpolation` + `_get_knn_weights`).
+
+    The reference walks a KD-tree for the k best examples and weights the
+    first k-1 by normalized influence 1/e_i - 1/e_k; here the k best come
+    from one vmapped objective evaluation over ALL samples (exact, and
+    faster on TPU than the tree descent). Returns (error, blended_sample);
+    like the reference, falls back to the single best sample when its
+    weight mass degenerates (k == 1).
+
+    objective_batched: [N, L] -> [N] errors.
+    """
+    errors = objective_batched(data)
+    if k <= 1 or data.shape[0] < 2:
+        i = jnp.argmin(errors)
+        return errors[i], data[i]
+    k = min(k, data.shape[0])
+    neg_best, idx = jax.lax.top_k(-errors, k)   # ascending errors
+    best = -neg_best
+    pts = data[idx]
+    influence = 1.0 / best[:-1] - 1.0 / best[-1]
+    weights = influence / jnp.sum(influence)
+    blended = weights @ pts[:-1]
+    err = objective_batched(blended[None])[0]
+    return err, blended
+
+
 # ---------------------------------------------------------------------------
 # Cluster tree (parity structure)
 # ---------------------------------------------------------------------------
@@ -145,6 +175,35 @@ class ClusterTree:
         errs = np.asarray(objective_batched(cand))
         i = int(np.argmin(errs))
         return float(errs[i]), self.data[idx[i]]
+
+    def find_best_example_knn(self, objective_batched, n_candidates: int = 4,
+                              k: int = 50):
+        """Beam search to the leaves, then inverse-distance-blend the k best
+        leaf samples into a new candidate (reference
+        cluster_tree.py:189-215 find_best_example_excluding_search_candidates_knn
+        + cluster_tree_node.py:52-61 find_best_example_knn).
+        Returns (error, blended_sample)."""
+        frontier = [self.root]
+        leaves: List[TreeNode] = []
+        while frontier:
+            children = []
+            for node in frontier:
+                if node.is_leaf:
+                    leaves.append(node)
+                else:
+                    children.extend(node.children)
+            if not children:
+                break
+            means = jnp.asarray(np.stack([c.mean for c in children]))
+            errs = np.asarray(objective_batched(means))
+            order = np.argsort(errs)[: self.n_candidates_effective(n_candidates, len(children))]
+            frontier = [children[i] for i in order]
+        if not leaves:
+            leaves = frontier
+        idx = np.concatenate([l.indices for l in leaves])
+        err, blended = knn_interpolation(objective_batched,
+                                         jnp.asarray(self.data[idx]), k=k)
+        return float(err), np.asarray(blended)
 
     @staticmethod
     def n_candidates_effective(n_candidates, n_children):

@@ -114,3 +114,38 @@ def read_pfnn_from_zip(zip_path: str, n_controls: int = 4,
     means = {k: np.frombuffer(zf.read(f"pfnn/means/{k}.bin"), np.float32)
              for k in ("Xmean", "Ymean", "Xstd", "Ystd")}
     return load_from_arrays(weights, means, n_controls, hidden)
+
+
+class PFNNWrapper:
+    """Minimal phase-stepping controller exposing the surface MGStatePlanner
+    consumes: reset(position, phase, direction) / get_next_frame(target_dir)
+    (reference mg_state_planner.py:855-930 drives an externally-constructed
+    pfnn_wrapper with exactly these two calls; the full trajectory-window
+    controller lives in the external mg_server, not in morphablegraphs).
+
+    encode_fn(state, target_dir) -> network input [X];
+    decode_fn(y, state) -> (quaternion frame, new position, phase advance).
+    The encode/decode pair pins down the trained network's I/O layout, which
+    the weight blobs alone do not define.
+    """
+
+    def __init__(self, model: PFNN, encode_fn, decode_fn):
+        self.model = model
+        self.encode_fn = encode_fn
+        self.decode_fn = decode_fn
+        self.position = np.zeros(3)
+        self.phase = 0.0
+        self.direction = np.array([0.0, 0.0, 1.0])
+
+    def reset(self, position, phase, direction):
+        self.position = np.asarray(position, np.float64)
+        self.phase = float(phase)
+        self.direction = np.asarray(direction, np.float64)
+
+    def get_next_frame(self, target_dir) -> np.ndarray:
+        x = self.encode_fn(self, np.asarray(target_dir, np.float64))
+        y = np.asarray(forward(self.model, jnp.asarray(x, jnp.float32),
+                               jnp.asarray(self.phase, jnp.float32)))
+        frame, self.position, dphase = self.decode_fn(y, self)
+        self.phase = float((self.phase + dphase) % 1.0)
+        return np.asarray(frame, np.float32)

@@ -235,3 +235,37 @@ def transform(sp: PathSpline, q_y: jax.Array, delta: jax.Array) -> PathSpline:
     seg = jnp.linalg.norm(seg_pts[1:] - seg_pts[:-1], axis=-1)
     arc = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seg)])
     return sp.replace(points=new_pts, table_points=seg_pts, table_arc=arc)
+
+
+def plot_path(sp: PathSpline, root_motion=None, filename: str = None,
+              scale_factor: float = 0.7, n_samples: int = 100):
+    """Debug plot of a path spline with tangents (+ an optional root motion
+    overlay), matching the reference's -x/z projection (reference
+    constraints/spatial_constraints/splines/utils.py:154-198
+    plot_annotated_spline).  Requires matplotlib; import is deferred so the
+    synthesis path carries no plotting dependency."""
+    import numpy as np
+    from matplotlib import pyplot as plt
+
+    fig = plt.figure()
+    ax = fig.add_subplot(1, 1, 1)
+    total = float(sp.full_arc_length)
+    arcs = np.linspace(0.0, total, n_samples)
+    pts = np.asarray(jax.vmap(lambda a: point_at_arc_length(sp, a))(
+        jnp.asarray(arcs, jnp.float32))) * scale_factor
+    ax.plot(-pts[:, 0], pts[:, 2], label="path")
+    for a in np.linspace(0.0, total, 10):
+        p, d2 = point_and_dir_at_arc_length(sp, jnp.asarray(a, jnp.float32))
+        p = np.asarray(p) * scale_factor
+        d2 = np.asarray(d2) * scale_factor  # (x, z) direction
+        ax.plot([-p[0], -p[0] - d2[0] * 10], [p[2], p[2] + d2[1] * 10],
+                color="gray")
+    if root_motion is not None:
+        rm = np.asarray(root_motion) * scale_factor
+        ax.plot(-rm[:, 0], rm[:, 2], label="root motion")
+    ax.set_aspect("equal")
+    ax.legend()
+    if filename:
+        fig.savefig(filename)
+        plt.close(fig)
+    return fig

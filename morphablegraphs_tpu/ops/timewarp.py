@@ -173,3 +173,78 @@ def z_transform(time_functions: jax.Array) -> jax.Array:
     prev = jnp.concatenate([jnp.zeros_like(shifted[..., :1]), shifted[..., :-1]], axis=-1)
     inc = jnp.maximum(shifted - prev, 1e-6)
     return jnp.log(inc)
+
+
+# ---------------------------------------------------------------------------
+# Savitzky-Golay time-function smoothing
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=None)
+def _savgol_matrices(window: int, polyorder: int):
+    """Precompute the linear operator of a Savitzky-Golay filter with
+    polynomial edge handling (scipy's mode='interp').
+
+    Returns (kernel [window], head [half, window], tail [half, window]):
+    interior outputs are a correlation with `kernel`; the first/last `half`
+    outputs come from evaluating a least-squares polynomial fit of the
+    first/last `window` samples (exactly scipy.signal.savgol_filter
+    semantics, the oracle for the tests).
+    """
+    half = window // 2
+    pos = _np.arange(-half, half + 1, dtype=_np.float64)
+    proj = _np.linalg.pinv(_np.vander(pos, polyorder + 1, increasing=True))
+    kernel = proj[0]
+    pos_e = _np.arange(window, dtype=_np.float64)
+    proj_e = _np.linalg.pinv(_np.vander(pos_e, polyorder + 1, increasing=True))
+    head = _np.vander(_np.arange(half, dtype=_np.float64),
+                      polyorder + 1, increasing=True) @ proj_e
+    tail = _np.vander(_np.arange(window - half, window, dtype=_np.float64),
+                      polyorder + 1, increasing=True) @ proj_e
+    return kernel, head, tail
+
+
+def savgol_smooth(y: jax.Array, window: int = 15, polyorder: int = 3) -> jax.Array:
+    """Savitzky-Golay filter as one correlation + two small matmuls.
+
+    jit/vmap-friendly replacement for the reference's
+    `scipy.signal.savgol_filter(time_function, 15, 3)`
+    (motion_model/motion_primitive.py:320-333 _smooth_time_function,
+    gated by the `smooth_time_parameters` flag :284-285). y: [..., N].
+    """
+    n = y.shape[-1]
+    if n < window:
+        return y
+    kernel, head, tail = _savgol_matrices(window, polyorder)
+    kernel = jnp.asarray(kernel, y.dtype)
+    head = jnp.asarray(head, y.dtype)
+    tail = jnp.asarray(tail, y.dtype)
+    half = window // 2
+
+    def one(row):
+        interior = jnp.correlate(row, kernel, mode="valid",
+                                 precision=jax.lax.Precision.HIGHEST)
+        hi = jnp.dot(head, row[:window], precision=jax.lax.Precision.HIGHEST)
+        lo = jnp.dot(tail, row[-window:], precision=jax.lax.Precision.HIGHEST)
+        return jnp.concatenate([hi, interior, lo])
+
+    flat = y.reshape((-1, n))
+    out = jax.vmap(one)(flat)
+    return out.reshape(y.shape)
+
+
+def smooth_time_function_np(time_function: "_np.ndarray",
+                            window: int = 15, polyorder: int = 3):
+    """Host-side variant for the per-step conversion path (the reference
+    applies the filter on a host numpy array, motion_primitive.py:327)."""
+    tf = _np.asarray(time_function, _np.float64)
+    if tf.shape[-1] < window:
+        return tf
+    kernel, head, tail = _savgol_matrices(window, polyorder)
+    interior = _np.correlate(tf, kernel, mode="valid")
+    return _np.concatenate([head @ tf[:window], interior,
+                            tail @ tf[-window:]])

@@ -85,7 +85,8 @@ def run_pipeline(graph_path: str, input_dir: str, output_dir: str,
 
 
 def generate_cluster_trees(model_dir: str, n_samples: int = 10000,
-                           n_subdivisions: int = 4, max_level: int = 4):
+                           n_subdivisions: int = 4, max_level: int = 4,
+                           seed: int = 0):
     """Build cluster trees for every *_mm.json under model_dir (reference
     examples/generate_cluster_trees.py + construction/cluster_tree_builder.py)."""
     out = []
@@ -93,7 +94,7 @@ def generate_cluster_trees(model_dir: str, n_samples: int = 10000,
                                  recursive=True)):
         prim = prim_mod.load_primitive(path)
         tree = build_cluster_tree_for_primitive(
-            jax.random.PRNGKey(0), prim, n_samples=n_samples,
+            jax.random.PRNGKey(seed), prim, n_samples=n_samples,
             n_subdivisions=n_subdivisions, max_level=max_level)
         prefix = path[: -len("_mm.json")]
         tree.save(prefix)
@@ -120,10 +121,18 @@ def main(argv=None):
     ct = sub.add_parser("cluster-trees", help="build cluster trees for models")
     ct.add_argument("model_dir")
     ct.add_argument("--samples", type=int, default=10000)
+    ct.add_argument("--config", default=None,
+                    help="space_partitioning.json (reference examples/config/"
+                         "space_partitioning.json schema)")
 
     s = sub.add_parser("serve", help="start the REST service")
     s.add_argument("graph_path")
     s.add_argument("--port", type=int, default=8889)
+
+    sc = sub.add_parser("set-config", help="POST an algorithm config to a "
+                        "running server (reference mg_set_rest_interface_config.py)")
+    sc.add_argument("config_file")
+    sc.add_argument("--url", default="http://localhost:8889")
 
     args = p.parse_args(argv)
     if args.cmd == "train":
@@ -132,11 +141,30 @@ def main(argv=None):
         cfg = load_config(args.config) if args.config else None
         print(run_pipeline(args.graph_path, args.input_dir, args.output_dir, cfg))
     elif args.cmd == "cluster-trees":
-        for f in generate_cluster_trees(args.model_dir, args.samples):
+        n_samples, n_sub, max_level, seed = args.samples, 4, 4, 0
+        if args.config:
+            with open(args.config) as f:
+                sp = json.load(f)
+            n_samples = int(sp.get("n_random_samples", n_samples))
+            n_sub = int(sp.get("n_subdivisions_per_level", n_sub))
+            # the reference stores a huge n_levels and lets the sample count
+            # bound the recursion; clamp to the tree default
+            max_level = min(int(sp.get("n_levels", max_level)), 8)
+            seed = int(sp.get("random_seed") or 0)
+        for f in generate_cluster_trees(args.model_dir, n_samples,
+                                        n_sub, max_level, seed):
             print(f)
     elif args.cmd == "serve":
         from .rest import main as serve_main
         serve_main(args.graph_path, args.port)
+    elif args.cmd == "set-config":
+        import urllib.request
+        with open(args.config_file, "rb") as f:
+            body = f.read()
+        req = urllib.request.Request(args.url.rstrip("/") + "/set_configuration",
+                                     data=body, method="POST")
+        with urllib.request.urlopen(req) as resp:
+            print(resp.read().decode())
 
 
 if __name__ == "__main__":

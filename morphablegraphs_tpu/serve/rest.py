@@ -150,6 +150,60 @@ class SetConfigurationHandler(_Handler):
         self.write({"success": True})
 
 
+def set_height_map(ctx: MGContext, data: dict) -> bool:
+    """Install a terrain height map on the generator's scene interface
+    (reference mg_rest_interface_parallel.py:154-191 set_height_map):
+    either {"image_path", "width", "depth", "height_scale"[, "scale"]} or
+    {"image": base64, "size", "mode", ...}; additionally accepts a plain
+    {"height_map": [[...]]} pixel array."""
+    from ..utils.height_map import ImageHeightMap
+    scale = data.get("scale", [1.0, 1.0])
+    if "image_path" in data:
+        import os
+        if not os.path.isfile(data["image_path"]):
+            return False
+        from PIL import Image
+        with open(data["image_path"], "rb") as f:
+            img = Image.open(f)
+            pixels = np.asarray(img)
+        hm = ImageHeightMap(pixels, data["width"], data["depth"], scale,
+                            data["height_scale"])
+    elif "image" in data:
+        import base64
+        from PIL import Image
+        raw = base64.b64decode(data["image"])
+        img = Image.frombytes(data["mode"], tuple(data["size"]), raw)
+        hm = ImageHeightMap(np.asarray(img), data["width"], data["depth"],
+                            scale, data["height_scale"])
+    elif "height_map" in data:
+        hm = ImageHeightMap(np.asarray(data["height_map"], np.float64),
+                            data["width"], data["depth"], scale,
+                            data.get("height_scale", 1.0))
+    else:
+        return False
+    ctx.generator.scene_interface.set_scene(hm)
+    return True
+
+
+class SetHeightMapHandler(_Handler):
+    """POST /set_height_map (reference mg_rest_interface_parallel.py:193-214)."""
+
+    def post(self):
+        try:
+            data = json.loads(self.request.body)
+        except json.JSONDecodeError:
+            self.set_status(400)
+            self.write({"error": "invalid JSON"})
+            return
+        try:
+            ok = set_height_map(self.ctx, data)
+        except (KeyError, ValueError, OSError) as e:
+            self.set_status(400)
+            self.write({"error": str(e)})
+            return
+        self.write(json.dumps({"success": bool(ok)}))
+
+
 def make_app(ctx: MGContext) -> tornado.web.Application:
     return tornado.web.Application([
         (r"/run_morphablegraphs", GenerateMotionHandler, {"ctx": ctx}),
@@ -157,6 +211,7 @@ def make_app(ctx: MGContext) -> tornado.web.Application:
         (r"/generate_motion", GenerateMotionHandler, {"ctx": ctx}),
         (r"/get_skeleton", GetSkeletonHandler, {"ctx": ctx}),
         (r"/set_configuration", SetConfigurationHandler, {"ctx": ctx}),
+        (r"/set_height_map", SetHeightMapHandler, {"ctx": ctx}),
     ])
 
 

@@ -79,8 +79,19 @@ class SceneInterface:
                  constant_height: float = 0.0):
         self.height_fn = height_fn
         self.constant_height = constant_height
+        self.offset = [0.0, 0.0]
+
+    def set_scene(self, scene) -> None:
+        """Install a height source: anything with .get_height(x, z) or a
+        plain callable (reference scene_interface.py set_scene)."""
+        self.height_fn = getattr(scene, "get_height", scene)
+
+    def set_offset(self, x: float, z: float) -> None:
+        self.offset = [float(x), float(z)]
 
     def get_height(self, x: float, z: float) -> float:
+        x += self.offset[0]
+        z += self.offset[1]
         if self.height_fn is not None:
             return float(self.height_fn(x, z))
         return self.constant_height

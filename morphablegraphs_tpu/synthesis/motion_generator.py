@@ -24,7 +24,7 @@ from ..constraints.input_reader import MGInput, read_input
 from ..models import primitive as prim_mod
 from ..models.graph import (MotionStateGraph, NODE_TYPE_END, NODE_TYPE_SINGLE,
                             NODE_TYPE_STANDARD, NODE_TYPE_CYCLE_END)
-from ..ops import align, spline_path
+from ..ops import align, spline_path, timewarp
 from ..utils.config import default_config
 from . import action_builder, generator
 
@@ -62,6 +62,9 @@ class MotionGenerator:
         self.key = jax.random.PRNGKey(seed)
         self._start_transform = None  # (q_y, delta) used to place step one
         self._objective_evaluations = 0  # reference graph_walk.py:390-394 stat
+        self._step_times: List[float] = []  # per-step solve wall-clock
+        from .grounding import SceneInterface
+        self.scene_interface = SceneInterface()
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -73,6 +76,7 @@ class MotionGenerator:
                         activate_coordinate_transform: bool = False,
                         scale_factor: float = 1.0) -> MotionResult:
         t_start = time.time()
+        self._step_times = []
         parsed = read_input(mg_input,
                             activate_coordinate_transform=activate_coordinate_transform,
                             activate_joint_mapping=activate_joint_mapping,
@@ -102,6 +106,8 @@ class MotionGenerator:
             "time": time.time() - t_start,
             "average_error": float(np.mean([s.error for s in steps])) if steps else 0.0,
             "objective_evaluations": self._objective_evaluations,
+            # BASELINE.md secondary metric: p50 graph-walk step latency
+            "p50_step_latency": float(np.median(self._step_times)) if self._step_times else 0.0,
         }
         return MotionResult(frames=warped, steps=steps,
                             action_ranges=action_ranges, stats=stats)
@@ -226,6 +232,7 @@ class MotionGenerator:
     def _generate_step(self, acs, node_key, frames, steps, travelled,
                        is_last_step):
         """reference motion_generator.py:201-268."""
+        t_step = time.time()
         graph = self.graph
         prim = graph.nodes[node_key].primitive
         sc = action_builder.build_step_constraints(
@@ -282,6 +289,7 @@ class MotionGenerator:
                                     step_constraints=sc,
                                     time_constraints=tuple(time_cs),
                                     user_constraints=tuple(user_cs)))
+        self._step_times.append(time.time() - t_step)
         return frames, travelled, err
 
     def _append(self, frames, new_frames, acs):
@@ -388,20 +396,31 @@ class MotionGenerator:
         ik_constraints = postprocess.create_ik_constraints(
             self.graph, steps, constraint_specs) if constraint_specs else []
         return postprocess.post_process_motion(
-            self.graph.skeleton, frames, steps, ik_constraints, self.config)
+            self.graph.skeleton, frames, steps, ik_constraints, self.config,
+            scene=self.scene_interface)
 
     # -- final conversion ----------------------------------------------
     def _convert_with_time_warp(self, steps) -> np.ndarray:
         """Re-project every step WITH its time warp and re-concatenate
         (reference graph_walk.py:154-176)."""
         frames = None
+        smooth_time = bool(self.config.get("smooth_time_parameters", False))
         for step in steps:
             prim = self.graph.nodes[step.node_key].primitive
-            f, n, _ = prim_mod.back_project(
+            f, n, t_fn = prim_mod.back_project(
                 prim, jnp.asarray(step.parameters),
                 max_frames=_pad_frames(prim.n_canonical_frames * 2),
                 use_time=True)
-            f = np.asarray(f)[: int(n)]
+            if smooth_time and prim.has_time:
+                # reference motion_primitive.py:284-285: savgol-filter the
+                # sampled time function, then evaluate the spatial spline at
+                # the smoothed times.
+                t_s = timewarp.smooth_time_function_np(np.asarray(t_fn)[: int(n)])
+                f = prim_mod.evaluate_at(prim, jnp.asarray(step.parameters),
+                                         jnp.asarray(t_s, jnp.float32))
+                f = np.asarray(f)
+            else:
+                f = np.asarray(f)[: int(n)]
             if frames is None:
                 frames = f if self._start_transform is None else np.asarray(
                     align.transform_frames(jnp.asarray(f),

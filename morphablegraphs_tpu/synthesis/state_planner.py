@@ -48,6 +48,12 @@ class MGStatePlanningSettings:
     max_steps_per_target: int = 50
     activate_upper_body_overlay: bool = False
     collision_check_step: float = 10.0  # sampling step along the checked ray
+    # PFNN locomotion (reference mg_state_planner.py:219-224)
+    min_pfnn_target_distance: float = 8.0
+    min_pfnn_primitive_steps: int = 100
+    split_pfnn_primitives: bool = True
+    pfnn_n_target_averaging: int = 1
+    max_pfnn_frames: int = 2000  # hard bound (the reference loops unbounded)
 
 
 class MGStatePlanner:
@@ -56,8 +62,13 @@ class MGStatePlanner:
     def __init__(self, graph: MotionStateGraph,
                  settings: Optional[MGStatePlanningSettings] = None,
                  config: Optional[dict] = None, seed: int = 0,
-                 collision_boundary=None):
+                 collision_boundary=None, pfnn_wrapper=None):
         self.graph = graph
+        # optional PFNN controller with reset(pos, phase, dir) and
+        # get_next_frame(target_dir) -> quaternion frame; the reference takes
+        # it from outside too (mg_state_planner.py:238, pfnn_wrapper param)
+        self.pfnn_wrapper = pfnn_wrapper
+        self.use_pfnn = False  # reference :268 default
         # optional callable (x, z) -> bool blocked (reference checks an
         # external collision-avoidance service / scene boundary,
         # mg_state_planner.py:672-704 collision_boundary.check_trajectory)
@@ -145,11 +156,64 @@ class MGStatePlanner:
         return self.state_queue.add_state(node_key, node_type, frames, pose_buffer)
 
     # -- locomotion loops ----------------------------------------------
+    def generate_locomotion_from_pfnn(self, pose_buffer, control_points):
+        """Frame-by-frame PFNN locomotion toward the control points
+        (reference generate_locomotion_from_pfnn :855-930): reset the
+        controller at the current position, pull frames until the final
+        target is within min_pfnn_target_distance, and split the stream into
+        state-queue entries every min_pfnn_primitive_steps frames."""
+        control_points = np.asarray(control_points, np.float64)
+        cur = (np.asarray(pose_buffer[-1][:3], np.float64) if pose_buffer
+               else np.zeros(3))
+        self.pfnn_wrapper.reset(cur, 0, np.array([0.0, 0.0, 1.0]))
+        new_frames = []
+        target_idx = 0
+        success = False
+        for _ in range(self.settings.max_pfnn_frames):
+            if self.stop_thread:
+                break
+            # average the next k control points for a smoother target
+            # (reference :846-853 pfnn_n_target_averaging)
+            k = max(1, min(self.settings.pfnn_n_target_averaging,
+                           len(control_points) - target_idx))
+            target = control_points[target_idx: target_idx + k].mean(axis=0)
+            to_target = target - cur
+            to_target[1] = 0.0
+            distance = float(np.linalg.norm(to_target))
+            if distance < self.settings.min_pfnn_target_distance:
+                if target_idx >= len(control_points) - 1:
+                    success = True
+                    break
+                target_idx += 1
+                continue
+            frame = np.asarray(
+                self.pfnn_wrapper.get_next_frame(to_target / distance))
+            new_frames.append(frame)
+            cur = frame[:3].astype(np.float64)
+            if (self.settings.split_pfnn_primitives and
+                    len(new_frames) >= self.settings.min_pfnn_primitive_steps):
+                entry = self.state_queue.add_state(
+                    ("pfnn", "locomotion"), NODE_TYPE_STANDARD,
+                    np.stack(new_frames), pose_buffer)
+                pose_buffer = entry.pose_buffer
+                new_frames = []
+        if new_frames:
+            entry = self.state_queue.add_state(
+                ("pfnn", "locomotion"), NODE_TYPE_STANDARD,
+                np.stack(new_frames), pose_buffer)
+            pose_buffer = entry.pose_buffer
+        return pose_buffer, success
+
     def generate_locomotion(self, action: str, control_points: np.ndarray,
                             pose_buffer=None):
         """Walk through control points until the last is reached (reference
         generate_locomotion_from_motion_primitives :562-770: target switching
         by distance threshold)."""
+        if self.use_pfnn and self.pfnn_wrapper is not None:
+            # reference :363-365 routes locomotion through the PFNN wrapper
+            pose_buffer, _ = self.generate_locomotion_from_pfnn(
+                pose_buffer, control_points)
+            return pose_buffer
         control_points = np.asarray(control_points, np.float32)
         node_key = None
         node_type = NODE_TYPE_IDLE

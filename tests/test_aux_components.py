@@ -232,3 +232,102 @@ def test_exceptions_carry_payload():
     c = ConstraintError("bad", bad_constraints=["x"])
     assert c.bad_constraints == ["x"]
     assert isinstance(c, ValueError)
+
+
+def test_image_height_map_reference_semantics():
+    """ImageHeightMap vs a direct replication of the reference mapping
+    (utilities/height_map_interface.py:36-66): centered normalized
+    coordinates, nearest-lower pixel, pixel/255 * height_scale."""
+    from morphablegraphs_tpu.utils.height_map import ImageHeightMap
+    rng = np.random.default_rng(5)
+    pixels = rng.integers(0, 256, size=(16, 12)).astype(np.float64)  # [H, W]
+    width, depth, height_scale = 48.0, 64.0, 10.0
+    scale = (2.0, 1.5)
+    hm = ImageHeightMap(pixels, width, depth, scale, height_scale)
+
+    def oracle(x, z):
+        rel_x = (x / scale[0] + width / 2) / width
+        rel_z = (z / scale[1] + depth / 2) / depth
+        if rel_x < 0 or rel_x > 1.0 or rel_z < 0 or rel_z > 1.0:
+            return 0.0
+        ix = min(int(rel_x * 12), 11)
+        iy = min(int(rel_z * 16), 15)
+        return pixels[iy, ix] / 255.0 * height_scale
+
+    for x, z in [(0, 0), (10, -20), (-47.9, 47.9), (30.5, -12.25), (500, 0),
+                 (0, -500)]:
+        assert abs(hm.get_height(x, z) - oracle(x, z)) < 1e-12
+
+    # RGB image: channel 0 (pixel_is_tuple branch)
+    rgb = np.stack([pixels, pixels * 0, pixels * 0], axis=-1)
+    hm_rgb = ImageHeightMap(rgb, width, depth, scale, height_scale)
+    assert hm_rgb.get_height(3.0, 4.0) == hm.get_height(3.0, 4.0)
+
+
+def test_scene_interface_offset_and_scene():
+    from morphablegraphs_tpu.synthesis.grounding import SceneInterface
+    from morphablegraphs_tpu.utils.height_map import ImageHeightMap
+    pixels = np.full((4, 4), 255.0)
+    hm = ImageHeightMap(pixels, 8.0, 8.0, (1.0, 1.0), 3.0)
+    scene = SceneInterface()
+    scene.set_scene(hm)
+    assert abs(scene.get_height(0, 0) - 3.0) < 1e-12
+    scene.set_offset(100.0, 0.0)   # pushes queries off the map -> 0
+    assert scene.get_height(0, 0) == 0.0
+
+
+def test_motion_analysis_extended_predicates():
+    """The widened BVHAnalyzer surface (accessors, leg/feet/hand predicates,
+    body planes) — batched equivalents of reference bvh_analyzer.py:43-643."""
+    from morphablegraphs_tpu.construct.motion_analysis import BVHAnalyzer, Plane
+    skel, _ = sk.load_bvh(WALK_BVH)
+    n = 30
+    frames = _stepping_motion(skel, n=n)
+    a = BVHAnalyzer(skel, frames)
+
+    # accessors
+    assert a.get_global_joint_positions("LeftFoot").shape == (n, 3)
+    assert np.allclose(a.get_global_pos("LeftFoot", 3),
+                       a.get_global_joint_positions("LeftFoot")[3])
+    rel = a.get_relative_joint_position("Head", 0)
+    assert rel[1] > 0  # head above the root
+    assert a.get_parent_joint_name("LeftFoot") == "LeftLeg"
+    chain = a.get_joint_chain("LeftFoot")
+    assert chain[0] == "Hips" and chain[-1] == "LeftFoot"
+
+    # kinematics
+    assert a.joint_acceleration("Hips").shape == (n,)
+
+    # scalar features
+    feet = a.feet_distance_on_ground()
+    assert feet.shape == (n,) and np.all(feet > 0)
+    towards = a.feet_moving_towards_each_other()
+    assert towards.dtype == bool and towards.shape == (n,)
+
+    # leg state machine features: the stepping motion bends then stretches
+    bend = a.leg_bending("Left")
+    stretch = a.leg_stretching("Left")
+    assert bend.any() and stretch.any()
+    assert not (bend & stretch).any()
+    assert not bend[0] and not stretch[0]  # frame 0 is False (reference :530)
+
+    # body plane: for a mostly-upright character the normal is horizontal-ish
+    normals, points = a.body_planes()
+    assert normals.shape == (n, 3)
+    assert np.all(np.abs(normals[:, 1]) < 0.7)
+
+    d = a.joint_distance_to_body("Head")
+    assert d.shape == (n,)
+    assert np.all(np.abs(d) < 10.0)  # head is near the torso plane
+
+    # toe test: WALK_BVH has LeftToeBase/RightToeBase
+    toe = a.toe_before_leg("Right")
+    assert toe.shape == (n,) and toe.dtype == bool
+
+    # three-point plane + signed side (reference Plane.is_before_plane)
+    p = Plane.from_three_points([0, 0, 0], [1, 0, 0], [0, 0, 1])
+    assert abs(abs(p.normal[1]) - 1) < 1e-12
+    assert p.is_before([0, -1, 0]) != p.is_before([0, 1, 0])
+
+    feats = a.feature_vector()
+    assert "feet_distance" in feats and "Left_leg_bending" in feats

@@ -109,3 +109,25 @@ def test_reference_config_presets_load():
     assert acc["trajectory_following_settings"]["look_ahead_distance"] == 80
     perf = load_config("/root/reference/examples/config/performance_algorithm.config")
     assert perf["global_spatial_optimization_mode"] == "none"
+
+
+def test_shipped_config_presets_load():
+    """Every preset in configs/ (incl. legacy_sampling/mgrd_sampling) merges
+    over the defaults; space_partitioning.json parses."""
+    import glob
+    import json
+    import os
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    presets = glob.glob(os.path.join(root, "*_algorithm.config"))
+    assert len(presets) >= 6
+    for path in presets:
+        cfg = load_config(path)
+        assert "constrained_sampling_mode" in cfg
+    legacy = load_config(os.path.join(root, "legacy_sampling_algorithm.config"))
+    assert legacy["constrained_sampling_mode"] == "random_discrete"
+    assert legacy["n_random_samples"] == 100
+    mgrd = load_config(os.path.join(root, "mgrd_sampling_algorithm.config"))
+    assert mgrd["n_random_samples"] == 1000
+    with open(os.path.join(root, "space_partitioning.json")) as f:
+        sp = json.load(f)
+    assert sp["n_subdivisions_per_level"] == 4

@@ -186,3 +186,46 @@ def test_constructor_roundtrip(version):
     assert abs(f[:, 1].mean()) < 30.0
     # quaternion channels stay in plausible range
     assert np.abs(f[:, 3:]).max() < 5.0
+
+
+# ---------------------------------------------------------------------------
+# scaled fPCA (per-joint weight optimization)
+# ---------------------------------------------------------------------------
+
+def test_scaled_fpca_weights_reduce_cartesian_error():
+    """optimize_weights should not increase the Cartesian reconstruction
+    objective, and must respect the (1e-4, inf) bound (reference
+    scaled_fpca.py:102-121; the reference file itself is import-broken, so
+    the oracle is its documented objective STEPS)."""
+    from morphablegraphs_tpu.construct import scaled_fpca
+    from morphablegraphs_tpu.models import skeleton as sk
+    from fixtures import TEST_BVH
+
+    skel, _ = sk.load_bvh(TEST_BVH)
+    rng = np.random.default_rng(9)
+    n_samples, n_basis = 10, 6
+    d = skel.n_frame_params
+    knots = bspline.clamped_knots(n_basis, 30)
+    # coefficients near identity quats, roots with large scale (so the
+    # root-normalization heuristic has something to do)
+    coeffs = rng.standard_normal((n_samples, n_basis, d)).astype(np.float32) * 0.1
+    coeffs[..., 3::4] += 1.0   # w components
+    coeffs[..., :3] *= 50.0    # root translation large
+    npc = 3
+
+    init = scaled_fpca.heuristic_initialization(coeffs, knots, skel, npc)
+    assert init.shape == (3 + skel.n_animated,)
+    e0 = float(scaled_fpca.sfpca_objective(
+        jnp.asarray(init, jnp.float32), jnp.asarray(coeffs),
+        jnp.asarray(knots, jnp.float32), skel, npc))
+    w, e1 = scaled_fpca.optimize_weights(coeffs, knots, skel, npc,
+                                         n_iters=30, init=init)
+    assert np.all(w >= 1e-4)
+    assert e1 <= e0 * 1.001, (e0, e1)
+
+    model = scaled_fpca.ScaledFunctionalPCA(coeffs, knots, skel, npc)
+    model.initialize_weights(w)
+    proj, recon = model.fit()
+    assert proj.shape == (n_samples, npc)
+    assert recon.shape == coeffs.shape
+    assert np.isfinite(recon).all()

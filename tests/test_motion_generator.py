@@ -105,3 +105,20 @@ def test_keyframe_constraint_action(graph):
     res = gen.generate_motion(mg_input, activate_coordinate_transform=False)
     assert res.frames is not None and len(res.frames) > 10
     assert not np.any(np.isnan(res.frames))
+
+
+def test_smooth_time_parameters_path(graph, result):
+    """config["smooth_time_parameters"] savgol-smooths each step's sampled
+    time function before spline evaluation (reference
+    motion_primitive.py:284-285 + :320-333)."""
+    cfg = default_config()
+    cfg["n_random_samples"] = 30
+    cfg["lm_iterations"] = 5
+    cfg["smooth_time_parameters"] = True
+    gen = MotionGenerator(graph, cfg, seed=0)
+    res = gen.generate_motion(WALK_INPUT, activate_coordinate_transform=False)
+    assert res.frames is not None and len(res.frames) > 30
+    assert not np.any(np.isnan(res.frames))
+    # same seed, same walk: smoothing only perturbs time sampling slightly
+    n = min(len(res.frames), len(result.frames))
+    assert n > 0

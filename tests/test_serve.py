@@ -183,6 +183,24 @@ def test_rest_api(graph):
                               body="not json{")
             assert resp.code == 400
 
+        def test_set_height_map(self):
+            # plain pixel-array form; 255 at the center of a 64x64-unit
+            # terrain -> height_scale at (0, 0), 0 outside the extent
+            pixels = [[0.0] * 8 for _ in range(8)]
+            pixels[4][4] = 255.0
+            resp = self.fetch("/set_height_map", method="POST",
+                              body=json.dumps({
+                                  "height_map": pixels, "width": 64,
+                                  "depth": 64, "height_scale": 2.5}))
+            assert resp.code == 200
+            assert json.loads(resp.body)["success"] is True
+            scene = ctx.generator.scene_interface
+            assert abs(scene.get_height(0.0, 0.0) - 2.5) < 1e-9
+            assert scene.get_height(100.0, 0.0) == 0.0
+            resp = self.fetch("/set_height_map", method="POST",
+                              body=json.dumps({"nonsense": 1}))
+            assert json.loads(resp.body)["success"] is False
+
         def test_set_configuration(self):
             # keep n_random_samples at the warmed value: it is a STATIC jit
             # arg, so changing it would force a fresh compile on the tornado
@@ -195,7 +213,7 @@ def test_rest_api(graph):
             assert ctx.config["n_random_samples"] == 10
 
     for name in ["test_skeleton", "test_bad_json", "test_set_configuration",
-                 "test_generate"]:
+                 "test_set_height_map", "test_generate"]:
         case = Case(name)
         case.setUp()
         try:
@@ -234,3 +252,47 @@ def test_cli_train_and_run(tmp_path, graph):
     assert prim.n_spatial > 0
     # sample BVH exported by the round-trip check
     assert os.path.exists(str(tmp_path / "cli_walk_sample.bvh"))
+
+
+def test_state_planner_pfnn_locomotion(graph):
+    """use_pfnn routes locomotion through the wrapper's
+    reset/get_next_frame surface (reference mg_state_planner.py:363-365,
+    :855-930), splitting frames into state-queue entries."""
+    skel = graph.skeleton
+
+    class MockPFNN:
+        """Walks 2 units per frame toward the target."""
+        def reset(self, position, phase, direction):
+            self.position = np.asarray(position, np.float64)
+
+        def get_next_frame(self, target_dir):
+            self.position = self.position + 2.0 * np.asarray(target_dir)
+            frame = np.zeros(skel.n_frame_params, np.float32)
+            frame[:3] = self.position
+            frame[3::4][: skel.n_animated] = 1.0  # identity quats
+            return frame
+
+    settings = MGStatePlanningSettings(min_pfnn_target_distance=5.0,
+                                       min_pfnn_primitive_steps=10,
+                                       max_pfnn_frames=200)
+    p = MGStatePlanner(graph, settings, pfnn_wrapper=MockPFNN())
+    p.use_pfnn = True
+    buf, success = p.generate_locomotion_from_pfnn(
+        None, np.array([[0.0, 0, 30], [0.0, 0, 60]]))
+    assert success
+    assert len(p.state_queue) >= 2  # split every 10 frames
+    last_pos = None
+    while True:
+        e = p.state_queue.pop()
+        if e is None:
+            break
+        assert e.node_key == ("pfnn", "locomotion")
+        last_pos = e.state.frames[-1][:3]
+    assert last_pos is not None
+    assert np.linalg.norm(np.asarray(last_pos)[[0, 2]] - [0, 60]) < 10.0
+
+    # generate_locomotion routes through the PFNN path when enabled
+    p2 = MGStatePlanner(graph, settings, pfnn_wrapper=MockPFNN())
+    p2.use_pfnn = True
+    p2.generate_locomotion("walk", np.array([[0.0, 0, 30]]))
+    assert len(p2.state_queue) >= 1

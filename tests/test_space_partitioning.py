@@ -109,3 +109,56 @@ def test_reference_json_format(tree):
     obj = _make_objective(np.asarray(tree.data[42]))
     err, best = t2.find_best_example(obj, n_candidates=2)
     assert err < 1.0
+
+
+def test_knn_interpolation_matches_reference_weighting():
+    """knn_interpolation vs a numpy replication of the reference's
+    inverse-distance blend (kdtree_wrapper_node.py:58-84)."""
+    rng = np.random.default_rng(11)
+    data = rng.normal(size=(200, 6)).astype(np.float32)
+    target = rng.normal(size=(6,)).astype(np.float32)
+
+    def objective_batched(x):
+        return jnp.sum((x - target) ** 2, axis=-1)
+
+    k = 8
+    err, blended = sp.knn_interpolation(objective_batched, jnp.asarray(data), k=k)
+    # numpy oracle
+    errors = np.sum((data - target) ** 2, axis=-1)
+    order = np.argsort(errors)[:k]
+    d = errors[order]
+    influences = 1.0 / d[:-1] - 1.0 / d[-1]
+    weights = influences / influences.sum()
+    expected = (weights[:, None] * data[order[:-1]]).sum(axis=0)
+    assert np.abs(np.asarray(blended) - expected).max() < 1e-4
+    assert abs(float(err) - float(np.sum((expected - target) ** 2))) < 1e-4
+    # the blend should not be worse than the k-th best sample
+    assert float(err) <= float(d[-1]) + 1e-6
+
+
+def test_knn_interpolation_k1_falls_back_to_best():
+    rng = np.random.default_rng(12)
+    data = rng.normal(size=(50, 4)).astype(np.float32)
+
+    def objective_batched(x):
+        return jnp.sum(x ** 2, axis=-1)
+
+    err, best = sp.knn_interpolation(objective_batched, jnp.asarray(data), k=1)
+    i = np.argmin(np.sum(data ** 2, axis=-1))
+    assert np.allclose(np.asarray(best), data[i])
+
+
+def test_cluster_tree_knn_search(tree):
+    """find_best_example_knn returns a blended candidate at least as good as
+    a random tree sample and close to the exhaustive optimum."""
+    target = np.full(tree.data.shape[1], 0.5, np.float32)
+
+    def objective_batched(x):
+        return jnp.sum((x - target) ** 2, axis=-1)
+
+    err_knn, blended = tree.find_best_example_knn(objective_batched, k=10)
+    err_best, _ = sp.search_best_exhaustive(objective_batched,
+                                            jnp.asarray(tree.data))
+    assert blended.shape == (tree.data.shape[1],)
+    # interpolation may beat the best single sample; never be much worse
+    assert err_knn <= float(err_best) * 3 + 1e-3

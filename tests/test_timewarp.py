@@ -77,3 +77,24 @@ def test_z_transform_inverts_expsum():
     t = np.cumsum(np.exp(w)) - 1.0
     back = np.asarray(timewarp.z_transform(jnp.asarray(t, jnp.float32)))
     assert np.max(np.abs(back - w)) < 1e-4
+
+
+def test_savgol_smooth_matches_scipy():
+    """savgol_smooth / smooth_time_function_np vs scipy.signal.savgol_filter
+    (the reference's _smooth_time_function, motion_primitive.py:320-333)."""
+    from scipy.signal import savgol_filter
+    rng = np.random.default_rng(3)
+    tf = np.cumsum(rng.uniform(0.2, 1.5, size=97))
+    ref = savgol_filter(tf, 15, 3)
+    ours_np = timewarp.smooth_time_function_np(tf)
+    assert np.abs(ours_np - ref).max() < 1e-9
+    ours_jax = np.asarray(timewarp.savgol_smooth(jnp.asarray(tf)))
+    assert np.abs(ours_jax - ref).max() < 1e-4
+    # batched
+    tfs = np.cumsum(rng.uniform(0.2, 1.5, size=(5, 61)), axis=-1)
+    refb = savgol_filter(tfs, 15, 3, axis=-1)
+    oursb = np.asarray(timewarp.savgol_smooth(jnp.asarray(tfs)))
+    assert np.abs(oursb - refb).max() < 1e-4
+    # shorter than the window: identity (scipy would raise)
+    short = tf[:10]
+    assert np.allclose(timewarp.smooth_time_function_np(short), short)
