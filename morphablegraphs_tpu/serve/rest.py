@@ -31,24 +31,40 @@ class MGContext:
 
     def __init__(self, graph: MotionStateGraph, config: Optional[dict] = None,
                  activate_joint_mapping: bool = False,
-                 activate_coordinate_transform: bool = False):
+                 activate_coordinate_transform: bool = False,
+                 target_skeleton=None, joint_name_map: Optional[dict] = None,
+                 retarget_scale: float = 1.0):
         self.graph = graph
         self.config = config or default_config()
         self.generator = MotionGenerator(graph, self.config)
         self.activate_joint_mapping = activate_joint_mapping
         self.activate_coordinate_transform = activate_coordinate_transform
+        # optional output retargeting (reference mg_rest_interface.py:70-93,
+        # :133-136: retarget to a game-engine skeleton before export)
+        self.target_skeleton = target_skeleton
+        self.joint_name_map = joint_name_map
+        self.retarget_scale = retarget_scale
 
     def run(self, mg_input: dict, output_mode: str = "bvh") -> dict:
         result = self.generator.generate_motion(
             mg_input,
             activate_joint_mapping=self.activate_joint_mapping,
             activate_coordinate_transform=self.activate_coordinate_transform)
+        out_skeleton = self.graph.skeleton
+        out_frames = result.frames
+        if self.target_skeleton is not None:
+            from ..models.retarget import retarget_frames
+            out_frames = retarget_frames(self.graph.skeleton, result.frames,
+                                         self.target_skeleton,
+                                         self.joint_name_map,
+                                         self.retarget_scale)
+            out_skeleton = self.target_skeleton
         parsed = read_input(
             mg_input,
             activate_coordinate_transform=self.activate_coordinate_transform)
         annotations_per_action = [a.annotations for a in parsed.actions]
         events = events_from_result(self.graph, result, annotations_per_action)
-        motion = AnnotatedMotion(self.graph.skeleton, result.frames,
+        motion = AnnotatedMotion(out_skeleton, out_frames,
                                  result.action_ranges, events, mg_input)
         if output_mode == "Unity":
             return motion.to_unity_format()
@@ -227,12 +243,21 @@ def main(graph_path: Optional[str] = None, port: int = 8889,
     """reference mg_rest_interface.py:381-423 main: load graph zip, serve."""
     joint_map = False
     coord_transform = False
+    target_skeleton = None
+    retarget_scale = 1.0
     if service_config is not None:
         svc = load_service_config(service_config)
         graph_path = graph_path or svc.get("model_data")
         port = svc.get("port", port)
         joint_map = svc.get("activate_joint_map", False)
         coord_transform = svc.get("activate_coordinate_transform", False)
+        # output retargeting to a game-engine rig (reference main
+        # target_skeleton_file + scale, mg_rest_interface.py:385-401)
+        target_path = svc.get("target_skeleton")
+        retarget_scale = float(svc.get("retarget_scale", 1.0))
+        if target_path:
+            from ..models.retarget import load_target_skeleton
+            target_skeleton = load_target_skeleton(target_path, retarget_scale)
         preset = svc.get("algorithm_settings")
         if preset and config is None:
             from ..utils.config import load_config
@@ -243,7 +268,9 @@ def main(graph_path: Optional[str] = None, port: int = 8889,
                 config = load_config(preset_path)
     graph = load_graph(graph_path)
     ctx = MGContext(graph, config, activate_joint_mapping=joint_map,
-                    activate_coordinate_transform=coord_transform)
+                    activate_coordinate_transform=coord_transform,
+                    target_skeleton=target_skeleton,
+                    retarget_scale=retarget_scale)
     app = make_app(ctx)
     app.listen(port)
     print(f"serving morphablegraphs on :{port}")

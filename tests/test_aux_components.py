@@ -331,3 +331,39 @@ def test_motion_analysis_extended_predicates():
 
     feats = a.feature_vector()
     assert "feet_distance" in feats and "Left_leg_bending" in feats
+
+
+def test_retarget_identity_and_scaled():
+    """Global-orientation-copy retargeting (anim_utils surface the
+    reference REST layer uses, mg_rest_interface.py:70-93): identity map
+    reproduces positions; renamed rig with doubled offsets reproduces
+    scaled positions."""
+    import dataclasses
+    import jax.numpy as jnp
+    from morphablegraphs_tpu.models import retarget
+    skel, _ = sk.load_bvh(WALK_BVH)
+    frames = _stepping_motion(skel, n=8)
+    out = retarget.retarget_frames(skel, frames, skel)
+    p_src = np.asarray(sk.fk_positions(skel, jnp.asarray(frames)))
+    p_dst = np.asarray(sk.fk_positions(skel, jnp.asarray(out)))
+    assert np.abs(p_src - p_dst).max() < 1e-3
+
+    renamed = dataclasses.replace(
+        skel,
+        node_names=tuple(n + "_t" for n in skel.node_names),
+        animated_joints=tuple(n + "_t" for n in skel.animated_joints),
+        offsets=np.asarray(skel.offsets) * 2.0)
+    jm = {n: n + "_t" for n in skel.animated_joints}
+    out2 = retarget.retarget_frames(skel, frames, renamed, jm, scale_factor=2.0)
+    p2 = np.asarray(sk.fk_positions(renamed, jnp.asarray(out2)))
+    assert np.abs(p_src * 2.0 - p2).max() < 1e-3
+
+    # partial map: unmapped target joints stay at rest (identity quats)
+    jm_partial = {"Hips": "Hips_t", "Spine": "Spine_t"}
+    out3 = retarget.retarget_frames(skel, frames, renamed, jm_partial)
+    li = renamed.animated_joints.index("LeftUpLeg_t")
+    np.testing.assert_allclose(out3[:, 3 + 4 * li: 7 + 4 * li],
+                               np.tile([1, 0, 0, 0], (8, 1)), atol=1e-6)
+
+    # the reference's Rocketbox->game-engine map round-trips
+    assert retarget.GAME_ENGINE_TO_ROCKETBOX_MAP["pelvis"] == "Hips"

@@ -296,3 +296,28 @@ def test_state_planner_pfnn_locomotion(graph):
     p2.use_pfnn = True
     p2.generate_locomotion("walk", np.array([[0.0, 0, 30]]))
     assert len(p2.state_queue) >= 1
+
+
+def test_rest_context_retargets_output(graph):
+    """MGContext with a target skeleton retargets before export (reference
+    mg_rest_interface.py:133-136) — the BVH output uses the target rig's
+    joint names."""
+    import dataclasses
+    from morphablegraphs_tpu.serve.rest import MGContext
+    skel = graph.skeleton
+    renamed = dataclasses.replace(
+        skel,
+        node_names=tuple(n + "_ge" for n in skel.node_names),
+        animated_joints=tuple(n + "_ge" for n in skel.animated_joints))
+    jm = {n: n + "_ge" for n in skel.animated_joints}
+    cfg = default_config()
+    cfg["n_random_samples"] = 10
+    cfg["lm_iterations"] = 2
+    ctx = MGContext(graph, cfg, target_skeleton=renamed, joint_name_map=jm)
+    out = ctx.run({
+        "startPose": {"position": [0, 0, 0], "orientation": [0, 0, 0]},
+        "elementaryActions": [{"action": "walk", "constraints": [{
+            "joint": "Hips", "trajectoryConstraints": [
+                {"position": [0, None, 0]}, {"position": [5, None, 60]}]}]}],
+    })
+    assert "Hips_ge" in out["bvh"]
