@@ -96,6 +96,147 @@ def split_walk_motion(skeleton: Skeleton, frames: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Semantic annotation (reference preprocessing/semantic_annotation.py +
+# bitvector.py:428-555)
+# ---------------------------------------------------------------------------
+
+def planar_joint_speed(skeleton: Skeleton, frames: np.ndarray,
+                       joints) -> Dict[str, np.ndarray]:
+    """Squared per-frame xz-plane speed of each joint, first frame 0
+    (reference bitvector.py get_joint_speed :428-448), from one batched FK
+    pass instead of per-frame get_cartesian_coords calls."""
+    pos = np.asarray(fk_positions(skeleton, jnp.asarray(frames, jnp.float32)))
+    out = {}
+    for j in joints:
+        p = pos[:, skeleton.index_of(j)]
+        d = np.diff(p[:, [0, 2]], axis=0)
+        out[j] = np.concatenate([[0.0], np.sum(d * d, axis=-1)])
+    return out
+
+
+def _contact_from_speed(speed: np.ndarray, threshold: float) -> list:
+    """Contact where planar speed is below threshold; majority-vote smoothed;
+    first/last frame forced to contact (reference gen_annotation :502-523)."""
+    anno = smooth_bitvector((speed <= threshold).astype(np.int8), window=3)
+    anno[0] = 1
+    anno[-1] = 1
+    return [int(a) for a in anno]
+
+
+def gen_foot_contact_annotation(skeleton: Skeleton, frames: np.ndarray,
+                                feature_joints=DEFAULT_FEATURES,
+                                motion_primitive_model: str = "leftStance",
+                                side_step_threshold: float = 0.01) -> Dict:
+    """Foot-contact annotation vectors for one walk clip (reference
+    bitvector.py gen_foot_contact_annotation :526-555): the stance foot is
+    in contact for the whole primitive; the swing foot's contact is detected
+    from planar speed, thresholded by the *other* foot's maximum speed."""
+    n_frames = len(frames)
+    left_j, right_j = feature_joints
+    speeds = planar_joint_speed(skeleton, frames, (left_j, right_j))
+    ls, rs = speeds[left_j], speeds[right_j]
+    start = [0.0] * n_frames
+    start[0] = 1.0
+    end = [0.0] * n_frames
+    end[-1] = 1.0
+    anno = {"start": start, "end": end}
+    ones = [1.0] * n_frames
+    if motion_primitive_model == "leftStance":
+        anno["RightFootContact"] = ones
+        anno["LeftFootContact"] = _contact_from_speed(ls, float(np.max(rs)))
+    elif motion_primitive_model == "rightStance":
+        anno["LeftFootContact"] = ones
+        anno["RightFootContact"] = _contact_from_speed(rs, float(np.max(ls)))
+    elif motion_primitive_model == "sideStep":
+        anno["LeftFootContact"] = _contact_from_speed(ls, side_step_threshold)
+        anno["RightFootContact"] = _contact_from_speed(rs, side_step_threshold)
+    else:
+        raise NotImplementedError(motion_primitive_model)
+    return anno
+
+
+_STANCE_MODEL_FOR_PRIMITIVE = (
+    ("rightstance", "rightStance"), ("leftstance", "leftStance"),
+    ("sidestep", "sideStep"), ("turnleft", "rightStance"),
+    ("turnright", "leftStance"))
+
+
+def create_semantic_annotation(elementary_action: str, motion_primitive: str,
+                               skeleton: Skeleton, motions: Dict,
+                               feature_joints=DEFAULT_FEATURES) -> Dict:
+    """Semantic annotation for a set of aligned clips of one primitive
+    (reference semantic_annotation.py create_low_level_semantic_annotation
+    :34-57).  `motions` maps clip name -> quaternion frames; operates on
+    in-memory arrays instead of the reference's BVH-folder globbing.
+    Walk/carry: detected foot contacts; pick/place: synthetic hand+foot
+    contacts; screw: start/end only."""
+    action = elementary_action.lower()
+    if "pick" in action or "place" in action:
+        return _pick_place_annotation(action, motion_primitive, motions)
+    if "walk" in action or "carry" in action:
+        model = None
+        for needle, m in _STANCE_MODEL_FOR_PRIMITIVE:
+            if needle in motion_primitive.lower():
+                model = m
+                break
+        if model is None:
+            raise KeyError("unknown motion type: " + motion_primitive)
+        data = {name: gen_foot_contact_annotation(skeleton, frames,
+                                                  feature_joints, model)
+                for name, frames in motions.items()}
+        return {"annotation_list": ["LeftFootContact", "RightFootContact",
+                                    "start", "end"],
+                "data": data}
+    if "screw" in action or "transfer" in action:
+        data = {}
+        for name, frames in motions.items():
+            start = [0.0] * len(frames)
+            start[0] = 1.0
+            end = [0.0] * len(frames)
+            end[-1] = 1.0
+            data[name] = {"start": start, "end": end}
+        return {"annotation_list": ["start", "end"], "data": data}
+    raise KeyError("unknown action type: " + elementary_action)
+
+
+def _pick_place_annotation(action: str, motion_primitive: str,
+                           motions: Dict) -> Dict:
+    """Synthetic hand/foot contact vectors for pick/place primitives
+    (reference gen_synthetic_semantic_annotation_pick_and_place :91-137):
+    'first' reach primitives end with hand contact, 'second' retrieve
+    primitives hold contact throughout; feet stay grounded."""
+    data = {}
+    for name, frames in motions.items():
+        n = len(frames)
+        left_hand = np.zeros(n)
+        right_hand = np.zeros(n)
+        if motion_primitive == "first":
+            idx = slice(-1, None)
+        elif motion_primitive == "second":
+            idx = slice(None)
+        else:
+            raise ValueError("unsupported pick/place primitive: "
+                             + motion_primitive)
+        if "left" in action or "both" in action:
+            left_hand[idx] = 1
+        if "right" in action or "both" in action:
+            right_hand[idx] = 1
+        start = np.zeros(n)
+        start[0] = 1.0
+        end = np.zeros(n)
+        end[-1] = 1.0
+        data[name] = {"leftHandContact": left_hand.tolist(),
+                      "rightHandContact": right_hand.tolist(),
+                      "leftFootContact": [1.0] * n,
+                      "rightFootContact": [1.0] * n,
+                      "start": start.tolist(), "end": end.tolist()}
+    return {"annotation_list": ["leftHandContact", "rightHandContact",
+                                "leftFootContact", "rightFootContact",
+                                "start", "end"],
+            "data": data}
+
+
+# ---------------------------------------------------------------------------
 # Duplicate detection (reference preprocessing/hasher.py)
 # ---------------------------------------------------------------------------
 

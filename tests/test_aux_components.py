@@ -155,6 +155,49 @@ def test_contact_bitvector_and_sections():
         assert a["end_idx"] == b["start_idx"]
 
 
+def test_semantic_annotation_walk():
+    from morphablegraphs_tpu.construct import preprocessing
+    skel, _ = sk.load_bvh(WALK_BVH)
+    frames = _stepping_motion(skel)
+    anno = preprocessing.create_semantic_annotation(
+        "walk", "beginRightStance", skel, {"a.bvh": frames})
+    assert anno["annotation_list"] == ["LeftFootContact", "RightFootContact",
+                                       "start", "end"]
+    clip = anno["data"]["a.bvh"]
+    n = len(frames)
+    assert clip["LeftFootContact"] == [1.0] * n  # stance foot always down
+    rc = clip["RightFootContact"]
+    assert len(rc) == n and rc[0] == 1 and rc[-1] == 1
+    assert clip["start"][0] == 1.0 and sum(clip["start"]) == 1.0
+    assert clip["end"][-1] == 1.0 and sum(clip["end"]) == 1.0
+    # turnLeft maps onto the rightStance model (reference gen_walk_annotation)
+    anno2 = preprocessing.create_semantic_annotation(
+        "walk", "turnLeftRightStance", skel, {"a.bvh": frames})
+    assert anno2["data"]["a.bvh"]["LeftFootContact"] == [1.0] * n
+
+
+def test_semantic_annotation_pick_and_screw():
+    from morphablegraphs_tpu.construct import preprocessing
+    skel, _ = sk.load_bvh(WALK_BVH)
+    frames = _stepping_motion(skel, n=20)
+    anno = preprocessing.create_semantic_annotation(
+        "pickRight", "first", skel, {"c.bvh": frames})
+    clip = anno["data"]["c.bvh"]
+    assert clip["rightHandContact"][-1] == 1 and sum(clip["rightHandContact"]) == 1
+    assert sum(clip["leftHandContact"]) == 0
+    anno = preprocessing.create_semantic_annotation(
+        "pickBoth", "second", skel, {"c.bvh": frames})
+    clip = anno["data"]["c.bvh"]
+    assert clip["leftHandContact"] == [1.0] * 20
+    assert clip["rightHandContact"] == [1.0] * 20
+    anno = preprocessing.create_semantic_annotation(
+        "screw", "retrieve", skel, {"c.bvh": frames})
+    assert anno["annotation_list"] == ["start", "end"]
+    import pytest
+    with pytest.raises(KeyError):
+        preprocessing.create_semantic_annotation("jump", "x", skel, {})
+
+
 def test_motion_analysis_features():
     from morphablegraphs_tpu.construct.motion_analysis import BVHAnalyzer, Plane
     skel, _ = sk.load_bvh(WALK_BVH)
