@@ -123,39 +123,43 @@ class StepConstraints:
 
 def empty_step_constraints(skeleton: Skeleton,
                            n_canonical: int = 0) -> StepConstraints:
+    # Host-side numpy leaves: the builders below mutate copies without any
+    # device dispatch (each eager jnp op costs a tunnel round-trip on
+    # remote-attached TPUs); jit converts the leaves at the call boundary.
     dummy_spline = spline_path.build(np.array([[0.0, 0, 0], [1.0, 0, 0]]),
                                      max_points=spline_path_max_points())
     j = skeleton.n_nodes
+    f32 = np.float32
     return StepConstraints(
-        kf_active=jnp.zeros(MAX_KF), kf_node=jnp.zeros(MAX_KF, jnp.int32),
-        kf_pos=jnp.zeros((MAX_KF, 3)), kf_pos_mask=jnp.zeros((MAX_KF, 3)),
-        kf_quat=jnp.tile(jnp.array([1.0, 0, 0, 0]), (MAX_KF, 1)),
-        kf_has_quat=jnp.zeros(MAX_KF), kf_frame=jnp.zeros(MAX_KF),
-        kf_weight=jnp.ones(MAX_KF),
-        dir_active=jnp.asarray(0.0), dir_target=jnp.array([0.0, 1.0]),
-        dir_frame=jnp.asarray(0.0), dir_weight=jnp.asarray(1.0),
-        la_active=jnp.asarray(0.0), la_node=jnp.asarray(0, jnp.int32),
-        la_target=jnp.zeros(3), la_frame=jnp.asarray(0.0),
-        la_weight=jnp.asarray(1.0),
-        pose_active=jnp.asarray(0.0), pose_points=jnp.zeros((j, 3)),
-        pose_weight=jnp.asarray(1.0),
-        traj_active=jnp.asarray(0.0), traj=dummy_spline,
-        traj_node=jnp.asarray(0, jnp.int32), traj_min_arc=jnp.asarray(0.0),
-        traj_weight=jnp.asarray(1.0),
-        traj_range_start=jnp.asarray(-jnp.inf), traj_range_end=jnp.asarray(jnp.inf),
-        ca_active=jnp.asarray(0.0), ca_node=jnp.asarray(0, jnp.int32),
-        ca_pos=jnp.zeros(3), ca_pos_mask=jnp.ones(3),
-        ca_weight=jnp.asarray(1.0),
-        rt_active=jnp.asarray(0.0), rt_node=jnp.asarray(0, jnp.int32),
-        rt_parent=jnp.asarray(0, jnp.int32), rt_offset=jnp.zeros(3),
-        rt_frame=jnp.asarray(0.0), rt_weight=jnp.asarray(1.0),
-        jr_active=jnp.asarray(0.0), jr_joint=jnp.asarray(0, jnp.int32),
-        jr_quat=jnp.array([1.0, 0, 0, 0]), jr_frame=jnp.asarray(0.0),
-        jr_weight=jnp.asarray(1.0),
-        has_prev=jnp.asarray(0.0),
-        prev_last=jnp.zeros(skeleton.n_frame_params),
-        start_q=jnp.array([1.0, 0, 0, 0]), start_delta=jnp.zeros(3),
-        n_canonical=jnp.asarray(float(n_canonical)),
+        kf_active=np.zeros(MAX_KF, f32), kf_node=np.zeros(MAX_KF, np.int32),
+        kf_pos=np.zeros((MAX_KF, 3), f32), kf_pos_mask=np.zeros((MAX_KF, 3), f32),
+        kf_quat=np.tile(np.array([1.0, 0, 0, 0], f32), (MAX_KF, 1)),
+        kf_has_quat=np.zeros(MAX_KF, f32), kf_frame=np.zeros(MAX_KF, f32),
+        kf_weight=np.ones(MAX_KF, f32),
+        dir_active=f32(0.0), dir_target=np.array([0.0, 1.0], f32),
+        dir_frame=f32(0.0), dir_weight=f32(1.0),
+        la_active=f32(0.0), la_node=np.int32(0),
+        la_target=np.zeros(3, f32), la_frame=f32(0.0),
+        la_weight=f32(1.0),
+        pose_active=f32(0.0), pose_points=np.zeros((j, 3), f32),
+        pose_weight=f32(1.0),
+        traj_active=f32(0.0), traj=dummy_spline,
+        traj_node=np.int32(0), traj_min_arc=f32(0.0),
+        traj_weight=f32(1.0),
+        traj_range_start=f32(-np.inf), traj_range_end=f32(np.inf),
+        ca_active=f32(0.0), ca_node=np.int32(0),
+        ca_pos=np.zeros(3, f32), ca_pos_mask=np.ones(3, f32),
+        ca_weight=f32(1.0),
+        rt_active=f32(0.0), rt_node=np.int32(0),
+        rt_parent=np.int32(0), rt_offset=np.zeros(3, f32),
+        rt_frame=f32(0.0), rt_weight=f32(1.0),
+        jr_active=f32(0.0), jr_joint=np.int32(0),
+        jr_quat=np.array([1.0, 0, 0, 0], f32), jr_frame=f32(0.0),
+        jr_weight=f32(1.0),
+        has_prev=f32(0.0),
+        prev_last=np.zeros(skeleton.n_frame_params, f32),
+        start_q=np.array([1.0, 0, 0, 0], f32), start_delta=np.zeros(3, f32),
+        n_canonical=f32(float(n_canonical)),
     )
 
 
@@ -324,6 +328,14 @@ def evaluate_error(skeleton: Skeleton, prim: MotionPrimitive,
 # Host-side builders
 # ---------------------------------------------------------------------------
 
+def _np_set(arr, idx, val):
+    """Copy-and-set a row of a host-side leaf (numpy replacement for the
+    eager `.at[idx].set(val)` device scatter)."""
+    out = np.array(arr, copy=True)
+    out[idx] = val
+    return out
+
+
 def set_keyframe_constraint(sc: StepConstraints, slot: int, skeleton: Skeleton,
                             joint: str, canonical_keyframe: float,
                             position=None, quat_wxyz=None,
@@ -340,14 +352,14 @@ def set_keyframe_constraint(sc: StepConstraints, slot: int, skeleton: Skeleton,
         q = np.asarray(quat_wxyz, np.float32)
         has_q = 1.0
     return sc.replace(
-        kf_active=sc.kf_active.at[slot].set(1.0),
-        kf_node=sc.kf_node.at[slot].set(skeleton.index_of(joint)),
-        kf_pos=sc.kf_pos.at[slot].set(pos),
-        kf_pos_mask=sc.kf_pos_mask.at[slot].set(mask),
-        kf_quat=sc.kf_quat.at[slot].set(q),
-        kf_has_quat=sc.kf_has_quat.at[slot].set(has_q),
-        kf_frame=sc.kf_frame.at[slot].set(float(canonical_keyframe)),
-        kf_weight=sc.kf_weight.at[slot].set(weight),
+        kf_active=_np_set(sc.kf_active, slot, 1.0),
+        kf_node=_np_set(sc.kf_node, slot, skeleton.index_of(joint)),
+        kf_pos=_np_set(sc.kf_pos, slot, pos),
+        kf_pos_mask=_np_set(sc.kf_pos_mask, slot, mask),
+        kf_quat=_np_set(sc.kf_quat, slot, q),
+        kf_has_quat=_np_set(sc.kf_has_quat, slot, has_q),
+        kf_frame=_np_set(sc.kf_frame, slot, float(canonical_keyframe)),
+        kf_weight=_np_set(sc.kf_weight, slot, weight),
     )
 
 
@@ -356,37 +368,38 @@ def set_direction_constraint(sc: StepConstraints, dir_xz,
                              weight: float = 1.0) -> StepConstraints:
     d = np.asarray(dir_xz, np.float32)
     d = d / max(np.linalg.norm(d), 1e-10)
-    return sc.replace(dir_active=jnp.asarray(1.0),
-                      dir_target=jnp.asarray(d),
-                      dir_frame=jnp.asarray(float(canonical_keyframe)),
-                      dir_weight=jnp.asarray(float(weight)))
+    return sc.replace(dir_active=np.float32(1.0),
+                      dir_target=d,
+                      dir_frame=np.float32(canonical_keyframe),
+                      dir_weight=np.float32(weight))
 
 
 def set_look_at_constraint(sc: StepConstraints, skeleton: Skeleton,
                            joint: str, target, canonical_keyframe: float,
                            weight: float = 1.0) -> StepConstraints:
-    return sc.replace(la_active=jnp.asarray(1.0),
-                      la_node=jnp.asarray(skeleton.index_of(joint), jnp.int32),
-                      la_target=jnp.asarray(np.asarray(target, np.float32)),
-                      la_frame=jnp.asarray(float(canonical_keyframe)),
-                      la_weight=jnp.asarray(float(weight)))
+    return sc.replace(la_active=np.float32(1.0),
+                      la_node=np.int32(skeleton.index_of(joint)),
+                      la_target=np.asarray(target, np.float32),
+                      la_frame=np.float32(canonical_keyframe),
+                      la_weight=np.float32(weight))
 
 
 def set_pose_constraint(sc: StepConstraints, skeleton: Skeleton,
                         target_frame, weight: float = 1.0) -> StepConstraints:
     pts, _ = fk_global(skeleton, jnp.asarray(target_frame, jnp.float32))
-    return sc.replace(pose_active=jnp.asarray(1.0), pose_points=pts,
-                      pose_weight=jnp.asarray(float(weight)))
+    return sc.replace(pose_active=np.float32(1.0),
+                      pose_points=np.asarray(pts),
+                      pose_weight=np.float32(weight))
 
 
 def set_trajectory_constraint(sc: StepConstraints, skeleton: Skeleton,
                               traj: spline_path.PathSpline, joint: str,
                               min_arc_length: float = 0.0,
                               weight: float = 1.0) -> StepConstraints:
-    return sc.replace(traj_active=jnp.asarray(1.0), traj=traj,
-                      traj_node=jnp.asarray(skeleton.index_of(joint), jnp.int32),
-                      traj_min_arc=jnp.asarray(float(min_arc_length)),
-                      traj_weight=jnp.asarray(float(weight)))
+    return sc.replace(traj_active=np.float32(1.0), traj=traj,
+                      traj_node=np.int32(skeleton.index_of(joint)),
+                      traj_min_arc=np.float32(min_arc_length),
+                      traj_weight=np.float32(weight))
 
 
 def set_relative_transform_constraint(sc: StepConstraints, skeleton: Skeleton,
@@ -394,12 +407,12 @@ def set_relative_transform_constraint(sc: StepConstraints, skeleton: Skeleton,
                                        canonical_keyframe: float,
                                        weight: float = 1.0) -> StepConstraints:
     return sc.replace(
-        rt_active=jnp.asarray(1.0),
-        rt_node=jnp.asarray(skeleton.index_of(joint), jnp.int32),
-        rt_parent=jnp.asarray(skeleton.index_of(parent_joint), jnp.int32),
-        rt_offset=jnp.asarray(np.asarray(offset, np.float32)),
-        rt_frame=jnp.asarray(float(canonical_keyframe)),
-        rt_weight=jnp.asarray(float(weight)))
+        rt_active=np.float32(1.0),
+        rt_node=np.int32(skeleton.index_of(joint)),
+        rt_parent=np.int32(skeleton.index_of(parent_joint)),
+        rt_offset=np.asarray(offset, np.float32),
+        rt_frame=np.float32(canonical_keyframe),
+        rt_weight=np.float32(weight))
 
 
 def set_joint_rotation_constraint(sc: StepConstraints, skeleton: Skeleton,
@@ -407,38 +420,41 @@ def set_joint_rotation_constraint(sc: StepConstraints, skeleton: Skeleton,
                                   canonical_keyframe: float,
                                   weight: float = 1.0) -> StepConstraints:
     return sc.replace(
-        jr_active=jnp.asarray(1.0),
-        jr_joint=jnp.asarray(skeleton.animated_index_of(joint), jnp.int32),
-        jr_quat=jnp.asarray(np.asarray(quat_wxyz, np.float32)),
-        jr_frame=jnp.asarray(float(canonical_keyframe)),
-        jr_weight=jnp.asarray(float(weight)))
+        jr_active=np.float32(1.0),
+        jr_joint=np.int32(skeleton.animated_index_of(joint)),
+        jr_quat=np.asarray(quat_wxyz, np.float32),
+        jr_frame=np.float32(canonical_keyframe),
+        jr_weight=np.float32(weight))
 
 
 def set_ca_constraint(sc: StepConstraints, skeleton: Skeleton, joint: str,
                       position, weight: float = 1.0) -> StepConstraints:
     p = np.asarray(position, np.float32)
     mask = (~np.isnan(p)).astype(np.float32)
-    return sc.replace(ca_active=jnp.asarray(1.0),
-                      ca_node=jnp.asarray(skeleton.index_of(joint), jnp.int32),
-                      ca_pos=jnp.asarray(np.where(np.isnan(p), 0.0, p)),
-                      ca_pos_mask=jnp.asarray(mask),
-                      ca_weight=jnp.asarray(float(weight)))
+    return sc.replace(ca_active=np.float32(1.0),
+                      ca_node=np.int32(skeleton.index_of(joint)),
+                      ca_pos=np.where(np.isnan(p), 0.0, p),
+                      ca_pos_mask=mask,
+                      ca_weight=np.float32(weight))
 
 
 def set_trajectory_active_range(sc: StepConstraints, start: float,
                                 end: float) -> StepConstraints:
-    return sc.replace(traj_range_start=jnp.asarray(float(start)),
-                      traj_range_end=jnp.asarray(float(end)))
+    return sc.replace(traj_range_start=np.float32(start),
+                      traj_range_end=np.float32(end))
 
 
 def set_alignment_from_prev(sc: StepConstraints, prev_last) -> StepConstraints:
-    return sc.replace(has_prev=jnp.asarray(1.0),
-                      prev_last=jnp.asarray(prev_last, jnp.float32))
+    return sc.replace(has_prev=np.float32(1.0),
+                      prev_last=np.asarray(prev_last, np.float32))
 
 
 def set_alignment_from_start_pose(sc: StepConstraints, position,
                                   orientation_y_deg: float) -> StepConstraints:
-    q, d = align.transform_from_start_pose(
-        jnp.asarray(position, jnp.float32),
-        jnp.asarray(float(orientation_y_deg)))
-    return sc.replace(has_prev=jnp.asarray(0.0), start_q=q, start_delta=d)
+    # numpy mirror of align.transform_from_start_pose (NaN components -> 0,
+    # rotation about +Y by the degrees heading)
+    pos = np.asarray(position, np.float32)
+    pos = np.where(np.isnan(pos), 0.0, pos)
+    half = 0.5 * np.deg2rad(float(orientation_y_deg))
+    q = np.array([np.cos(half), 0.0, np.sin(half), 0.0], np.float32)
+    return sc.replace(has_prev=np.float32(0.0), start_q=q, start_delta=pos)

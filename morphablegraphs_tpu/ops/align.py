@@ -60,6 +60,7 @@ def node_aligning_2d_transform(prev_last: jax.Array, new_first: jax.Array,
     return q_y, delta
 
 
+@jax.jit
 def transform_from_start_pose(position: jax.Array, orientation_deg: jax.Array):
     """Transform placing a clip at an absolute start pose
     (anim_utils get_transform_from_start_pose semantics: position [3] with
@@ -70,6 +71,7 @@ def transform_from_start_pose(position: jax.Array, orientation_deg: jax.Array):
     return quat.about_y(theta), pos
 
 
+@jax.jit
 def transform_frames(frames: jax.Array, q_y: jax.Array, delta: jax.Array) -> jax.Array:
     """Apply (q_y, delta) to root channels of frames [..., T, D]
     (anim_utils transform_quaternion_frames)."""
@@ -103,6 +105,7 @@ def smooth_transition(prev_frame: jax.Array, frames: jax.Array, window: int,
     return frames + factors[:, None] * (magnitude * dof_mask)[None, :]
 
 
+@functools.partial(jax.jit, static_argnames=("window", "ref_vector"))
 def align_clip(prev_last: jax.Array, new_frames: jax.Array, window: int,
                ref_vector=REF_VECTOR) -> jax.Array:
     """Align + smooth a new clip against the last frame of the motion so far

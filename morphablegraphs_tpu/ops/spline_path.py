@@ -157,21 +157,25 @@ def _arc_at_u(sp: PathSpline, u: jax.Array) -> jax.Array:
     return vals[..., 0] * (1 - frac) + vals[..., 1] * frac
 
 
+@jax.jit
 def u_at_arc_length(sp: PathSpline, arc: jax.Array) -> jax.Array:
     """Monotone interp on the arc-length table
     (reference arc_length_map.py:100-140 map_relative_arc_length semantics)."""
     return _interp_monotone(arc, sp.table_arc, sp.table_u)
 
 
+@jax.jit
 def point_at_arc_length(sp: PathSpline, arc: jax.Array) -> jax.Array:
     """reference parameterized_spline.py `query_point_by_absolute_arc_length`."""
     return point_at_u(sp, u_at_arc_length(sp, arc))
 
 
+@jax.jit
 def tangent_at_arc_length(sp: PathSpline, arc: jax.Array) -> jax.Array:
     return _tangent_u(sp.points, sp.n_points, u_at_arc_length(sp, arc))
 
 
+@jax.jit
 def point_and_dir_at_arc_length(sp: PathSpline, arc: jax.Array):
     """(position, 2D direction) at an arc length — the locomotion goal query
     (reference locomotion_constraints_builder.py:152-182)."""
@@ -183,6 +187,7 @@ def point_and_dir_at_arc_length(sp: PathSpline, arc: jax.Array):
     return pos, dir2d
 
 
+@functools.partial(jax.jit, static_argnames=("n_refine",))
 def closest_point(sp: PathSpline, point: jax.Array,
                   min_arc_length: jax.Array = 0.0, n_refine: int = 8):
     """Closest point on the spline at arc length >= min_arc_length.

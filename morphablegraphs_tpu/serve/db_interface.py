@@ -19,7 +19,32 @@ import numpy as np
 import requests
 
 
-def _post(url: str, route: str, data: dict, timeout: float = 60.0):
+def authenticate(url: str, user: str, password: str) -> dict:
+    """POST /authenticate and return the server reply (contains "token" on
+    success) — reference motion_db_interface.authenticate used by
+    examples/utils.py get_session."""
+    return _post(url, "authenticate", {"username": user, "password": password})
+
+
+def get_session(url: str, user: Optional[str] = None,
+                password: Optional[str] = None,
+                token: Optional[str] = None) -> Optional[dict]:
+    """Session dict for DB requests (reference examples/utils.py:3-11):
+    user+password -> authenticate for a token; user+token -> use directly."""
+    if user is not None and password is not None:
+        result = authenticate(url, user, password)
+        if isinstance(result, dict) and "token" in result:
+            return {"user": user, "token": result["token"]}
+        return None
+    if user is not None and token is not None:
+        return {"user": user, "token": token}
+    return None
+
+
+def _post(url: str, route: str, data: dict, timeout: float = 60.0,
+          session: Optional[dict] = None):
+    if session is not None:
+        data = dict(data, session=session)
     resp = requests.post(url.rstrip("/") + "/" + route, json=data,
                          timeout=timeout)
     resp.raise_for_status()
@@ -29,48 +54,53 @@ def _post(url: str, route: str, data: dict, timeout: float = 60.0):
         return resp.text
 
 
-def get_skeleton_from_remote_db(url: str, skeleton_name: str):
-    return _post(url, "get_skeleton", {"skeleton_name": skeleton_name})
+def get_skeleton_from_remote_db(url: str, skeleton_name: str, session=None):
+    return _post(url, "get_skeleton", {"skeleton_name": skeleton_name}, session=session)
 
 
-def get_skeleton_model_from_remote_db(url: str, skeleton_name: str):
-    return _post(url, "get_skeleton_model", {"skeleton_name": skeleton_name})
+def get_skeleton_model_from_remote_db(url: str, skeleton_name: str, session=None):
+    return _post(url, "get_skeleton_model", {"skeleton_name": skeleton_name}, session=session)
 
 
-def download_graph_from_remote_db(url: str, graph_id):
-    return _post(url, "download_graph", {"graph_id": graph_id})
+def download_graph_from_remote_db(url: str, graph_id, session=None):
+    return _post(url, "download_graph", {"graph_id": graph_id}, session=session)
 
 
-def download_motion_model_from_remote_db(url: str, model_id):
-    return _post(url, "download_motion_model", {"model_id": model_id})
+def download_motion_model_from_remote_db(url: str, model_id, session=None):
+    return _post(url, "download_motion_model", {"model_id": model_id}, session=session)
 
 
-def download_cluster_tree_from_remote_db(url: str, model_id):
+def download_cluster_tree_from_remote_db(url: str, model_id, session=None):
     try:
-        return _post(url, "download_cluster_tree", {"model_id": model_id})
+        return _post(url, "download_cluster_tree", {"model_id": model_id},
+                     session=session)
     except requests.RequestException:
         return None
 
 
-def get_motion_list_from_remote_db(url: str, collection_id, skeleton_name: str):
+def get_motion_list_from_remote_db(url: str, collection_id, skeleton_name: str,
+                                  session=None):
     return _post(url, "get_motion_list", {"collection_id": collection_id,
-                                          "skeleton": skeleton_name})
+                                          "skeleton": skeleton_name},
+                 session=session)
 
 
-def download_motion_from_remote_db(url: str, motion_id):
-    return _post(url, "download_motion", {"motion_id": motion_id})
+def download_motion_from_remote_db(url: str, motion_id, session=None):
+    return _post(url, "download_motion", {"motion_id": motion_id}, session=session)
 
 
 def upload_motion_model(url: str, name: str, collection_id, skeleton_name: str,
-                        model_data: dict):
+                        model_data: dict, session=None):
     return _post(url, "upload_motion_model",
                  {"name": name, "collection": collection_id,
-                  "skeleton": skeleton_name, "data": model_data})
+                  "skeleton": skeleton_name, "data": model_data},
+                 session=session)
 
 
-def upload_cluster_tree(url: str, model_id, tree_data: dict):
+def upload_cluster_tree(url: str, model_id, tree_data: dict, session=None):
     return _post(url, "upload_cluster_tree",
-                 {"model_id": model_id, "cluster_tree_data": tree_data})
+                 {"model_id": model_id, "cluster_tree_data": tree_data},
+                 session=session)
 
 
 # ---------------------------------------------------------------------------
@@ -78,15 +108,17 @@ def upload_cluster_tree(url: str, model_id, tree_data: dict):
 # ---------------------------------------------------------------------------
 
 def align_motion_data_in_db(url: str, collection_id, skeleton_name: str,
-                            skeleton, constructor_config: Optional[dict] = None):
+                            skeleton, constructor_config: Optional[dict] = None,
+                            session: Optional[dict] = None):
     """Download a collection's motions, run spatial+temporal alignment, and
     return the aligned frames + warps (reference align_motion_data :178)."""
     from ..construct.constructor import (align_frames_spatially,
                                          align_frames_temporally)
-    motion_list = get_motion_list_from_remote_db(url, collection_id, skeleton_name)
+    motion_list = get_motion_list_from_remote_db(url, collection_id, skeleton_name,
+                                                 session=session)
     motions = {}
     for entry in motion_list or []:
-        m = download_motion_from_remote_db(url, entry["id"])
+        m = download_motion_from_remote_db(url, entry["id"], session=session)
         if m is not None:
             motions[entry["id"]] = np.asarray(m["frames"], np.float64)
     if not motions:
@@ -97,14 +129,16 @@ def align_motion_data_in_db(url: str, collection_id, skeleton_name: str,
 
 def create_motion_model_in_db(url: str, collection_id, skeleton_name: str,
                               skeleton, name: str, version: int = 3,
-                              config: Optional[dict] = None):
+                              config: Optional[dict] = None,
+                              session: Optional[dict] = None):
     """Train a model on a DB collection and upload it (reference
     create_motion_model_in_db :274)."""
     from ..construct.constructor import MotionModelConstructor
-    motion_list = get_motion_list_from_remote_db(url, collection_id, skeleton_name)
+    motion_list = get_motion_list_from_remote_db(url, collection_id, skeleton_name,
+                                                 session=session)
     motions = {}
     for entry in motion_list or []:
-        m = download_motion_from_remote_db(url, entry["id"])
+        m = download_motion_from_remote_db(url, entry["id"], session=session)
         if m is not None:
             motions[entry["id"]] = np.asarray(m["frames"], np.float64)
     if not motions:
@@ -112,17 +146,20 @@ def create_motion_model_in_db(url: str, collection_id, skeleton_name: str,
     c = MotionModelConstructor(skeleton, config)
     c.set_motions(motions)
     model = c.construct_model(name, version=version)
-    upload_motion_model(url, name, collection_id, skeleton_name, model)
+    upload_motion_model(url, name, collection_id, skeleton_name, model,
+                        session=session)
     return model
 
 
-def create_cluster_tree_for_model_in_db(url: str, model_id, n_samples: int = 10000):
+def create_cluster_tree_for_model_in_db(url: str, model_id, n_samples: int = 10000,
+                                        session: Optional[dict] = None):
     """Build + upload a cluster tree for a DB-hosted model (reference
     create_cluster_tree_from_model :45)."""
     import jax
     from ..construct.space_partitioning import build_cluster_tree_for_primitive
     from ..models.primitive import load_primitive_json
-    model_data = download_motion_model_from_remote_db(url, model_id)
+    model_data = download_motion_model_from_remote_db(url, model_id,
+                                                      session=session)
     prim = load_primitive_json(model_data)
     tree = build_cluster_tree_for_primitive(jax.random.PRNGKey(0), prim,
                                             n_samples=n_samples)
@@ -130,5 +167,5 @@ def create_cluster_tree_for_model_in_db(url: str, model_id, n_samples: int = 100
                  "options": {"n_subdivisions_per_level": tree.n_subdivisions,
                              "n_levels": tree.max_level},
                  "root": tree._node_to_json(tree.root)}
-    upload_cluster_tree(url, model_id, tree_json)
+    upload_cluster_tree(url, model_id, tree_json, session=session)
     return tree

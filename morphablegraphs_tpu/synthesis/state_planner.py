@@ -54,6 +54,21 @@ class MGStatePlanningSettings:
     split_pfnn_primitives: bool = True
     pfnn_n_target_averaging: int = 1
     max_pfnn_frames: int = 2000  # hard bound (the reference loops unbounded)
+    # cubic control-point upsampling factor before PFNN locomotion; 0 = off,
+    # the reference uses 0.1 (mg_state_planner.py:874 stretch_points)
+    pfnn_stretch_scale: float = 0.0
+
+
+def stretch_points(points, scale: float) -> np.ndarray:
+    """Cubic resampling of a control-point sequence at parameter step
+    `scale` (reference mg_state_planner.py:78-90 stretch_points, built on
+    anim_utils CubicMotionSpline.fit_frames): interpolating cubic spline over
+    times 0..n-1 evaluated at arange(0, n-1, scale)."""
+    from scipy.interpolate import CubicSpline
+    points = np.asarray(points, np.float64)
+    times = np.arange(len(points))
+    spline = CubicSpline(times, points, axis=0)
+    return spline(np.arange(0.0, float(len(points) - 1), scale))
 
 
 class MGStatePlanner:
@@ -157,6 +172,13 @@ class MGStatePlanner:
 
     # -- locomotion loops ----------------------------------------------
     def generate_locomotion_from_pfnn(self, pose_buffer, control_points):
+        """Frame-by-frame PFNN locomotion toward the control points."""
+        scale = float(getattr(self.settings, "pfnn_stretch_scale", 0.0))
+        if scale > 0.0:
+            control_points = stretch_points(control_points, scale)
+        return self._generate_locomotion_from_pfnn(pose_buffer, control_points)
+
+    def _generate_locomotion_from_pfnn(self, pose_buffer, control_points):
         """Frame-by-frame PFNN locomotion toward the control points
         (reference generate_locomotion_from_pfnn :855-930): reset the
         controller at the current position, pull frames until the final

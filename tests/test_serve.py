@@ -298,6 +298,20 @@ def test_state_planner_pfnn_locomotion(graph):
     assert len(p2.state_queue) >= 1
 
 
+def test_stretch_points_cubic_upsampling():
+    """reference mg_state_planner.py stretch_points: cubic interpolation of
+    control points at step `scale` — endpoints and density preserved."""
+    from morphablegraphs_tpu.synthesis.state_planner import stretch_points
+    pts = np.array([[0.0, 0, 0], [10.0, 0, 0], [10.0, 0, 10], [0.0, 0, 10]])
+    out = stretch_points(pts, 0.1)
+    assert out.shape == (30, 3)  # arange(0, 3, 0.1)
+    assert np.allclose(out[0], pts[0])
+    assert np.allclose(out[10], pts[1])  # interpolates through the points
+    assert np.allclose(out[20], pts[2])
+    # straight segments stay within the hull along x
+    assert out[:, 0].max() < 12.0
+
+
 def test_rest_context_retargets_output(graph):
     """MGContext with a target skeleton retargets before export (reference
     mg_rest_interface.py:133-136) — the BVH output uses the target rig's
