@@ -45,11 +45,12 @@ def best_of_n(skeleton: Skeleton, key: jax.Array, prim: MotionPrimitive,
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("n_iters",))
+                   static_argnames=("n_iters", "use_traj", "use_ca"))
 def refine_lm(skeleton: Skeleton, prim: MotionPrimitive,
               sc: compiled.StepConstraints, s0: jax.Array,
               n_iters: int = 10, error_scale: float = 1.0,
-              quality_scale: float = 0.1, init_lambda: float = 1e-2):
+              quality_scale: float = 0.1, init_lambda: float = 1e-2,
+              use_traj: bool = True, use_ca: bool = True):
     """Levenberg-Marquardt on the weighted residual vector + naturalness.
 
     Residual layout matches the reference (objective_functions.py:239-267):
@@ -63,7 +64,8 @@ def refine_lm(skeleton: Skeleton, prim: MotionPrimitive,
     active = _active_mask(sc)
 
     def residuals(s):
-        res = compiled.evaluate_residuals(skeleton, prim, sc, s)
+        res = compiled.evaluate_residuals(skeleton, prim, sc, s,
+                                          use_traj=use_traj, use_ca=use_ca)
         nll = -gmm_ops.log_prob(prim.gmm, s)
         return active * (error_scale * res + quality_scale * nll)
 
@@ -88,7 +90,8 @@ def refine_lm(skeleton: Skeleton, prim: MotionPrimitive,
 
     (s_opt, _), _ = jax.lax.scan(body, (s0, jnp.asarray(init_lambda)),
                                  None, length=n_iters)
-    final_err = compiled.evaluate_error(skeleton, prim, sc, s_opt)
+    final_err = compiled.evaluate_error(skeleton, prim, sc, s_opt,
+                                        use_traj=use_traj, use_ca=use_ca)
     return s_opt, final_err
 
 
@@ -115,6 +118,33 @@ def search_candidates(skeleton: Skeleton, prim: MotionPrimitive,
     return candidates[i], errors[i]
 
 
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("n_iters", "use_traj", "use_ca"))
+def _refine_if_above_threshold(skeleton: Skeleton, prim: MotionPrimitive,
+                               sc: compiled.StepConstraints, s: jax.Array,
+                               err: jax.Array, threshold: float,
+                               n_iters: int, error_scale: float,
+                               quality_scale: float,
+                               use_traj: bool = True, use_ca: bool = True):
+    """LM refinement gated on-device by the activation threshold
+    (reference motion_primitive_generator.py:149-155 `min_error >=
+    start_error_threshold`) — lax.cond instead of a host sync on `err`."""
+
+    def refine(args):
+        s0, e0 = args
+        s_ref, err_ref = refine_lm(skeleton, prim, sc, s0, n_iters=n_iters,
+                                   error_scale=error_scale,
+                                   quality_scale=quality_scale,
+                                   use_traj=use_traj, use_ca=use_ca)
+        # keep the better of the two (reference keeps the optimizer output;
+        # LM with adaptive damping never worsens the residual objective, but
+        # the *constraint* error may differ from the damped objective)
+        better = err_ref < e0
+        return jnp.where(better, s_ref, s0), jnp.minimum(e0, err_ref)
+
+    return jax.lax.cond(err >= threshold, refine, lambda args: args, (s, err))
+
+
 def generate_constrained_sample(key: jax.Array, skeleton: Skeleton,
                                 prim: MotionPrimitive,
                                 sc: compiled.StepConstraints,
@@ -122,7 +152,8 @@ def generate_constrained_sample(key: jax.Array, skeleton: Skeleton,
     """Full per-step selection (reference
     motion_primitive_generator.py:126-178): cluster-tree search or best-of-N,
     then LM when the error exceeds the activation threshold and local
-    optimization is enabled.
+    optimization is enabled.  Selection and refinement stay on-device with
+    no intermediate host pull.
 
     Returns (s, error) as device arrays.
     """
@@ -139,18 +170,13 @@ def generate_constrained_sample(key: jax.Array, skeleton: Skeleton,
         s, err = best_of_n(skeleton, key, prim, sc, n_samples=n,
                            use_traj=use_traj, use_ca=use_ca)
     opt = config.get("local_optimization_settings", {})
-    mode = config.get("local_optimization_mode", "all")
-    threshold = float(opt.get("start_error_threshold", 0.0))
-    if mode != "none" and float(err) >= threshold:
-        s_ref, err_ref = refine_lm(
-            skeleton, prim, sc, s,
+    opt_mode = config.get("local_optimization_mode", "all")
+    if opt_mode != "none":
+        s, err = _refine_if_above_threshold(
+            skeleton, prim, sc, s, err,
+            threshold=float(opt.get("start_error_threshold", 0.0)),
             n_iters=int(config.get("lm_iterations", 10)),
             error_scale=float(opt.get("error_scale_factor", 1.0)),
-            quality_scale=float(opt.get("quality_scale_factor", 0.1)))
-        # keep the better of the two (reference keeps the optimizer output;
-        # LM with adaptive damping never worsens the residual objective, but
-        # the *constraint* error may differ from the damped objective)
-        better = err_ref < err
-        s = jnp.where(better, s_ref, s)
-        err = jnp.minimum(err, err_ref)
+            quality_scale=float(opt.get("quality_scale_factor", 0.1)),
+            use_traj=use_traj, use_ca=use_ca)
     return s, err
