@@ -121,13 +121,19 @@ class StepConstraints:
         return MAX_KF + 6 + TRAJ_SAMPLES
 
 
+@functools.lru_cache(maxsize=1)
+def _dummy_spline() -> spline_path.PathSpline:
+    # one device round-trip total, not one per constraint set
+    return spline_path.build(np.array([[0.0, 0, 0], [1.0, 0, 0]]),
+                             max_points=spline_path_max_points())
+
+
 def empty_step_constraints(skeleton: Skeleton,
                            n_canonical: int = 0) -> StepConstraints:
     # Host-side numpy leaves: the builders below mutate copies without any
     # device dispatch (each eager jnp op costs a tunnel round-trip on
     # remote-attached TPUs); jit converts the leaves at the call boundary.
-    dummy_spline = spline_path.build(np.array([[0.0, 0, 0], [1.0, 0, 0]]),
-                                     max_points=spline_path_max_points())
+    dummy_spline = _dummy_spline()
     j = skeleton.n_nodes
     f32 = np.float32
     return StepConstraints(

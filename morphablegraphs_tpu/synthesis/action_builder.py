@@ -15,6 +15,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..constraints import compiled
@@ -43,6 +44,24 @@ class ActionConstraintSet:
     contains_two_hands_constraints: bool = False  # Left+Right tool on one label
     contains_user_constraints: bool = False
     ca_trajectories: list = dataclasses.field(default_factory=list)  # non-root joints
+    # host-cached trajectory scalars (avoid a device pull per planner query)
+    _full_arc: Optional[float] = None
+    _last_cp: Optional[np.ndarray] = None
+
+    @property
+    def full_arc_length(self) -> float:
+        if self._full_arc is None and self.root_trajectory is not None:
+            object.__setattr__(self, "_full_arc", float(
+                np.asarray(self.root_trajectory.full_arc_length)))
+        return self._full_arc if self._full_arc is not None else 0.0
+
+    @property
+    def last_control_point(self) -> np.ndarray:
+        if self._last_cp is None and self.root_trajectory is not None:
+            tr = self.root_trajectory
+            object.__setattr__(self, "_last_cp", np.asarray(
+                tr.points[int(np.asarray(tr.n_points))]))
+        return self._last_cp
 
     def check_end_condition(self, prev_root_pos, travelled_arc_length,
                             arc_length_offset, full_arc_length,
@@ -144,9 +163,11 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
             step_length = node.average_step_length * tf["heuristic_step_length_factor"]
             goal_arc_length = travelled_arc_length + step_length
         else:
-            goal_arc_length = float(np.asarray(acs.root_trajectory.full_arc_length))
-        goal, goal_dir = spline_path.point_and_dir_at_arc_length(
-            acs.root_trajectory, jnp.asarray(goal_arc_length))
+            goal_arc_length = acs.full_arc_length
+        # one transfer for both outputs (separate np.asarray pulls pay a
+        # device round-trip each on remote-attached TPUs)
+        goal, goal_dir = jax.device_get(spline_path.point_and_dir_at_arc_length(
+            acs.root_trajectory, jnp.asarray(goal_arc_length)))
         goal = np.asarray(goal, np.float64)
         for d in acs.root_unconstrained_dims:
             goal[d] = np.nan

@@ -145,6 +145,45 @@ def _refine_if_above_threshold(skeleton: Skeleton, prim: MotionPrimitive,
     return jax.lax.cond(err >= threshold, refine, lambda args: args, (s, err))
 
 
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("n_samples", "n_iters", "do_refine",
+                                    "use_traj", "use_ca"))
+def _sample_and_refine(skeleton: Skeleton, key: jax.Array,
+                       prim: MotionPrimitive, sc: compiled.StepConstraints,
+                       threshold, error_scale, quality_scale,
+                       n_samples: int, n_iters: int, do_refine: bool,
+                       use_traj: bool, use_ca: bool):
+    """best_of_n + threshold-gated LM as ONE dispatch (two separate jit
+    calls each pay a tunnel round-trip on remote-attached TPUs)."""
+    s, err = best_of_n(skeleton, key, prim, sc, n_samples=n_samples,
+                       use_traj=use_traj, use_ca=use_ca)
+    if do_refine:
+        s, err = _refine_if_above_threshold(
+            skeleton, prim, sc, s, err, threshold, n_iters=n_iters,
+            error_scale=error_scale, quality_scale=quality_scale,
+            use_traj=use_traj, use_ca=use_ca)
+    return s, err
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("n_iters", "do_refine",
+                                    "use_traj", "use_ca"))
+def _search_and_refine(skeleton: Skeleton, prim: MotionPrimitive,
+                       sc: compiled.StepConstraints, candidates: jax.Array,
+                       threshold, error_scale, quality_scale,
+                       n_iters: int, do_refine: bool,
+                       use_traj: bool, use_ca: bool):
+    """search_candidates + threshold-gated LM as one dispatch."""
+    s, err = search_candidates(skeleton, prim, sc, candidates,
+                               use_traj=use_traj, use_ca=use_ca)
+    if do_refine:
+        s, err = _refine_if_above_threshold(
+            skeleton, prim, sc, s, err, threshold, n_iters=n_iters,
+            error_scale=error_scale, quality_scale=quality_scale,
+            use_traj=use_traj, use_ca=use_ca)
+    return s, err
+
+
 def generate_constrained_sample(key: jax.Array, skeleton: Skeleton,
                                 prim: MotionPrimitive,
                                 sc: compiled.StepConstraints,
@@ -152,8 +191,8 @@ def generate_constrained_sample(key: jax.Array, skeleton: Skeleton,
     """Full per-step selection (reference
     motion_primitive_generator.py:126-178): cluster-tree search or best-of-N,
     then LM when the error exceeds the activation threshold and local
-    optimization is enabled.  Selection and refinement stay on-device with
-    no intermediate host pull.
+    optimization is enabled.  Selection and refinement run as a single
+    device dispatch with no intermediate host pull.
 
     Returns (s, error) as device arrays.
     """
@@ -161,22 +200,18 @@ def generate_constrained_sample(key: jax.Array, skeleton: Skeleton,
     use_traj = bool(float(_np.asarray(sc.traj_active)) > 0)
     use_ca = bool(float(_np.asarray(sc.ca_active)) > 0)
     mode = config.get("constrained_sampling_mode", "random_discrete")
-    if mode == "cluster_tree_search" and cluster_tree is not None:
-        s, err = search_candidates(skeleton, prim, sc,
-                                   jnp.asarray(cluster_tree.data),
-                                   use_traj=use_traj, use_ca=use_ca)
-    else:
-        n = int(config.get("n_random_samples", 100))
-        s, err = best_of_n(skeleton, key, prim, sc, n_samples=n,
-                           use_traj=use_traj, use_ca=use_ca)
     opt = config.get("local_optimization_settings", {})
-    opt_mode = config.get("local_optimization_mode", "all")
-    if opt_mode != "none":
-        s, err = _refine_if_above_threshold(
-            skeleton, prim, sc, s, err,
-            threshold=float(opt.get("start_error_threshold", 0.0)),
-            n_iters=int(config.get("lm_iterations", 10)),
-            error_scale=float(opt.get("error_scale_factor", 1.0)),
-            quality_scale=float(opt.get("quality_scale_factor", 0.1)),
-            use_traj=use_traj, use_ca=use_ca)
-    return s, err
+    do_refine = config.get("local_optimization_mode", "all") != "none"
+    threshold = float(opt.get("start_error_threshold", 0.0))
+    n_iters = int(config.get("lm_iterations", 10))
+    error_scale = float(opt.get("error_scale_factor", 1.0))
+    quality_scale = float(opt.get("quality_scale_factor", 0.1))
+    if mode == "cluster_tree_search" and cluster_tree is not None:
+        return _search_and_refine(
+            skeleton, prim, sc, jnp.asarray(cluster_tree.data),
+            threshold, error_scale, quality_scale, n_iters=n_iters,
+            do_refine=do_refine, use_traj=use_traj, use_ca=use_ca)
+    return _sample_and_refine(
+        skeleton, key, prim, sc, threshold, error_scale, quality_scale,
+        n_samples=int(config.get("n_random_samples", 100)), n_iters=n_iters,
+        do_refine=do_refine, use_traj=use_traj, use_ca=use_ca)

@@ -11,6 +11,7 @@ reference's Python objective loops.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import List, Optional
 
@@ -119,8 +120,7 @@ class MotionGenerator:
         graph = self.graph
         group = graph.node_groups[acs.action_name]
         travelled = 0.0
-        full_arc = (float(np.asarray(acs.root_trajectory.full_arc_length))
-                    if acs.root_trajectory is not None else 0.0)
+        full_arc = acs.full_arc_length
         arc_of_end = self._end_step_arc_length(acs)
 
         node_key = self._best_start_node(acs, frames, prev_node_key)
@@ -185,11 +185,9 @@ class MotionGenerator:
         graph = self.graph
         if acs.root_trajectory is not None:
             root_pos = frames[-1][:3]
-            last_cp = np.asarray(acs.root_trajectory.points[
-                int(np.asarray(acs.root_trajectory.n_points))])
             ended = acs.check_end_condition(
                 root_pos, travelled, arc_of_end,
-                float(np.asarray(acs.root_trajectory.full_arc_length)), last_cp)
+                acs.full_arc_length, acs.last_control_point)
             next_type = NODE_TYPE_END if ended else NODE_TYPE_STANDARD
         else:
             n_std = self.graph.nodes[prev_key].edges_of_type(NODE_TYPE_STANDARD)
@@ -255,19 +253,26 @@ class MotionGenerator:
             err = 0.0
         s_np = np.asarray(s)
 
-        new_frames, n_frames, _ = prim_mod.back_project(
-            prim, s, max_frames=_pad_frames(prim.n_canonical_frames),
-            use_time=False)
-        new_frames = np.asarray(new_frames)[: int(n_frames)]
+        use_traj = acs.root_trajectory is not None
+        window = self.config["smoothing_settings"]["spatial_smoothing_window"]
+        path = acs.root_trajectory if use_traj else sc.traj
+        # one transfer for the whole epilogue (frames + counts + arc)
+        new_frames, n_frames, new_arc = jax.device_get(_finalize_step(
+            prim, s, sc, path, travelled,
+            max_frames=_pad_frames(prim.n_canonical_frames),
+            window=window, use_traj=use_traj))
+        new_frames = new_frames[: int(n_frames)]
+        if use_traj:
+            travelled = float(new_arc)
 
         start_frame = 0 if frames is None else len(frames)
-        frames = self._append(frames, new_frames, acs)
-
-        if acs.root_trajectory is not None:
-            _, new_arc, _ = spline_path.closest_point(
-                acs.root_trajectory, jnp.asarray(frames[-1][:3], jnp.float32),
-                jnp.asarray(travelled, jnp.float32))
-            travelled = float(new_arc)
+        if frames is None or len(frames) == 0:
+            # record the start placement for later re-projection passes
+            self._start_transform = (jnp.asarray(sc.start_q),
+                                     jnp.asarray(sc.start_delta))
+            frames = new_frames
+        else:
+            frames = np.concatenate([frames, new_frames], axis=0)
 
         time_cs = []
         user_cs = []
@@ -291,21 +296,6 @@ class MotionGenerator:
                                     user_constraints=tuple(user_cs)))
         self._step_times.append(time.time() - t_step)
         return frames, travelled, err
-
-    def _append(self, frames, new_frames, acs):
-        window = self.config["smoothing_settings"]["spatial_smoothing_window"]
-        if frames is None or len(frames) == 0:
-            q, d = align.transform_from_start_pose(
-                jnp.asarray(acs.start_pose_position, jnp.float32),
-                jnp.asarray(float(acs.start_pose_orientation_y)))
-            self._start_transform = (q, d)
-            placed = np.asarray(align.transform_frames(
-                jnp.asarray(new_frames, jnp.float32), q, d))
-            return placed
-        aligned = np.asarray(align.align_clip(
-            jnp.asarray(frames[-1], jnp.float32),
-            jnp.asarray(new_frames, jnp.float32), window))
-        return np.concatenate([frames, aligned], axis=0)
 
     def _maybe_optimize_globally(self, steps, frames):
         """Windowed multi-step spatial refinement after an action
@@ -343,20 +333,24 @@ class MotionGenerator:
                 prim, jnp.asarray(step.parameters),
                 max_frames=_pad_frames(prim.n_canonical_frames),
                 use_time=False)
-            f = np.asarray(f)[: int(n)]
-            if frames is None:
-                if self._start_transform is not None:
-                    f = np.asarray(align.transform_frames(
-                        jnp.asarray(f), *self._start_transform))
-                frames = f
-            else:
-                aligned = np.asarray(align.align_clip(
-                    jnp.asarray(frames[-1], jnp.float32),
-                    jnp.asarray(f, jnp.float32), window))
-                frames = np.concatenate([frames, aligned], axis=0)
-            step.start_frame = len(frames) - len(f)
+            frames = self._append_padded(frames, f, int(n), window)
+            step.start_frame = len(frames) - int(n)
             step.end_frame = len(frames) - 1
         return frames
+
+    def _append_padded(self, frames, f, n: int, window: int):
+        """Align a PADDED clip [M, D] (static shape -> one compile per
+        primitive instead of one per dynamic clip length) and append its
+        first n rows."""
+        if frames is None:
+            if self._start_transform is not None:
+                f = align.transform_frames(jnp.asarray(f),
+                                           *self._start_transform)
+            return np.asarray(f)[:n]
+        aligned = np.asarray(align.align_clip(
+            jnp.asarray(frames[-1], jnp.float32),
+            jnp.asarray(f, jnp.float32), window))[:n]
+        return np.concatenate([frames, aligned], axis=0)
 
     def _maybe_optimize_time(self, steps):
         """Global time optimization over steps carrying desired_time
@@ -405,36 +399,54 @@ class MotionGenerator:
         (reference graph_walk.py:154-176)."""
         frames = None
         smooth_time = bool(self.config.get("smooth_time_parameters", False))
+        window = self.config["smoothing_settings"]["spatial_smoothing_window"]
         for step in steps:
             prim = self.graph.nodes[step.node_key].primitive
+            max_frames = _pad_frames(prim.n_canonical_frames * 2)
             f, n, t_fn = prim_mod.back_project(
                 prim, jnp.asarray(step.parameters),
-                max_frames=_pad_frames(prim.n_canonical_frames * 2),
-                use_time=True)
+                max_frames=max_frames, use_time=True)
+            n = int(n)
             if smooth_time and prim.has_time:
                 # reference motion_primitive.py:284-285: savgol-filter the
                 # sampled time function, then evaluate the spatial spline at
-                # the smoothed times.
-                t_s = timewarp.smooth_time_function_np(np.asarray(t_fn)[: int(n)])
+                # the smoothed times.  Padded to the static max_frames (tail
+                # repeats the last time) so the eval + align shapes stay
+                # constant across steps.
+                t_s = timewarp.smooth_time_function_np(np.asarray(t_fn)[:n])
+                t_pad = np.concatenate(
+                    [t_s, np.full(max_frames - n, t_s[-1], t_s.dtype)])
                 f = prim_mod.evaluate_at(prim, jnp.asarray(step.parameters),
-                                         jnp.asarray(t_s, jnp.float32))
-                f = np.asarray(f)
-            else:
-                f = np.asarray(f)[: int(n)]
-            if frames is None:
-                frames = f if self._start_transform is None else np.asarray(
-                    align.transform_frames(jnp.asarray(f),
-                                           self._start_transform[0],
-                                           self._start_transform[1]))
-            else:
-                window = self.config["smoothing_settings"]["spatial_smoothing_window"]
-                aligned = np.asarray(align.align_clip(
-                    jnp.asarray(frames[-1], jnp.float32),
-                    jnp.asarray(f, jnp.float32), window))
-                frames = np.concatenate([frames, aligned], axis=0)
+                                         jnp.asarray(t_pad, jnp.float32))
+            frames = self._append_padded(frames, f, n, window)
         return frames if frames is not None else np.zeros((0, 0), np.float32)
 
 
 def _pad_frames(n: int, multiple: int = 32) -> int:
     """Round up to a multiple to bound the number of jit recompiles."""
     return ((n + multiple - 1) // multiple) * multiple
+
+
+@functools.partial(jax.jit, static_argnames=("max_frames", "window",
+                                             "use_traj"))
+def _finalize_step(prim, s, sc, path, travelled, max_frames: int,
+                   window: int, use_traj: bool):
+    """Fused step epilogue: back-project the winning latent, align the clip
+    to the motion so far (or place it at the start pose), and advance the
+    travelled arc length — one device dispatch + one host pull instead of
+    three (back_project / align_clip / closest_point round-trips dominate
+    p50 step latency on remote-attached TPUs).
+
+    Alignment state rides in `sc` exactly as constraint evaluation uses it
+    (has_prev selects seam alignment vs the start-pose transform), so the
+    emitted frames match what the constraints scored."""
+    frames, n_frames, _ = prim_mod.back_project(prim, s, max_frames,
+                                                use_time=False)
+    aligned_prev = align.align_clip(sc.prev_last, frames, window)
+    placed_start = align.transform_frames(frames, sc.start_q, sc.start_delta)
+    frames = jnp.where(sc.has_prev > 0, aligned_prev, placed_start)
+    if use_traj:
+        last = frames[jnp.maximum(n_frames - 1, 0)]
+        _, travelled, _ = spline_path.closest_point(path, last[:3],
+                                                    jnp.asarray(travelled))
+    return frames, n_frames, travelled
