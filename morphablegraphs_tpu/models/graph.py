@@ -106,6 +106,10 @@ class MotionStateGraph:
         self.start_node: Optional[Tuple[str, str]] = None
         self.action_definitions: dict = {}
         self.animated_joints: tuple = ()
+        # optional zip sections (reference motion_state_graph_loader.py:219
+        # hand_pose_generator + mg_state_planner PFNN weights)
+        self.hand_pose_generator = None
+        self.pfnn_data: Optional[dict] = None
 
     # -- transitions ------------------------------------------------------
 
@@ -304,6 +308,13 @@ def build_graph_from_dict(graph_dict: dict, skeleton: Optional[Skeleton] = None,
         graph.action_definitions = graph_dict["actionDefinitions"]
     if "startNode" in graph_dict:
         graph.start_node = tuple(graph_dict["startNode"])
+    if "hand_pose_info" in graph_dict:
+        # reference motion_state_graph_loader.py:219-221
+        from ..synthesis.hand_pose import HandPoseGenerator
+        graph.hand_pose_generator = HandPoseGenerator(graph.skeleton)
+        graph.hand_pose_generator.init_from_desc(graph_dict["hand_pose_info"])
+    if "pfnn_data" in graph_dict:
+        graph.pfnn_data = graph_dict["pfnn_data"]
     return graph
 
 
@@ -352,6 +363,30 @@ def read_zip(zip_path: str) -> dict:
         data["bvh_skeleton_string"] = zf.read("skeleton.bvh").decode("utf-8")
     elif "skeleton.json" in zf.namelist():
         data["skeleton"] = json.loads(zf.read("skeleton.json").decode("utf-8"))
+
+    # optional hand-pose section (reference zip_io.py:152-166
+    # _read_hand_pose_data: info JSON + example skeleton BVHs)
+    names = zf.namelist()
+    if "hand_poses/hand_pose_info.json" in names:
+        info = json.loads(zf.read("hand_poses/hand_pose_info.json").decode("utf-8"))
+        info["skeletonStrings"] = {}
+        for n in names:
+            parts = n.split("/")
+            if len(parts) > 1 and parts[0] == "hand_poses" and n.endswith(".bvh"):
+                info["skeletonStrings"][parts[1][:-4]] = zf.read(n).decode("utf-8")
+        data["hand_pose_info"] = info
+
+    # optional PFNN section (reference zip_io.py:96-117: flat float32
+    # binaries under pfnn/weights and pfnn/means)
+    if any(n.startswith("pfnn/") for n in names):
+        weights = {k: np.frombuffer(zf.read(f"pfnn/weights/{k}.bin"), np.float32)
+                   for k in ("W0", "W1", "W2", "b0", "b1", "b2")
+                   if f"pfnn/weights/{k}.bin" in names}
+        means = {k: np.frombuffer(zf.read(f"pfnn/means/{k}.bin"), np.float32)
+                 for k in ("Xmean", "Ymean", "Xstd", "Ystd")
+                 if f"pfnn/means/{k}.bin" in names}
+        if len(weights) == 6 and len(means) == 4:
+            data["pfnn_data"] = {"weights": weights, "means": means}
     return data
 
 

@@ -24,11 +24,15 @@ def write_graph_zip(path: str, skeleton: Skeleton,
                     transitions: Dict[str, list],
                     start_node: Optional[tuple] = None,
                     action_definitions: Optional[dict] = None,
-                    format_version: float = 2.0):
+                    format_version: float = 2.0,
+                    hand_pose_info: Optional[dict] = None,
+                    pfnn_data: Optional[dict] = None):
     """actions: {action_name: {"nodes": {mp_name: model_json},
                                "info": meta_info_dict,
                                "cluster_trees": {mp_name: tree_json}}}.
     transitions: {"action_mp": ["action2_mp2", ...]}.
+    hand_pose_info / pfnn_data: optional sections in the reference layout
+    (zip_io.py hand_poses/ + pfnn/weights|means float32 binaries).
     """
     if not path.endswith(".zip"):
         path += ".zip"
@@ -57,4 +61,19 @@ def write_graph_zip(path: str, skeleton: Skeleton,
             for mp_name, tree in desc.get("cluster_trees", {}).items():
                 zf.writestr(f"{prefix}/{action}_{mp_name}_cluster_tree.json",
                             json.dumps(tree))
+
+        if hand_pose_info is not None:
+            info = {k: v for k, v in hand_pose_info.items()
+                    if k != "skeletonStrings"}
+            zf.writestr("hand_poses/hand_pose_info.json", json.dumps(info))
+            for name, bvh in hand_pose_info.get("skeletonStrings", {}).items():
+                zf.writestr(f"hand_poses/{name}.bvh", bvh)
+
+        if pfnn_data is not None:
+            for k, v in pfnn_data.get("weights", {}).items():
+                zf.writestr(f"pfnn/weights/{k}.bin",
+                            np.asarray(v, np.float32).tobytes())
+            for k, v in pfnn_data.get("means", {}).items():
+                zf.writestr(f"pfnn/means/{k}.bin",
+                            np.asarray(v, np.float32).tobytes())
     return path

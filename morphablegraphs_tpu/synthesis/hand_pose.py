@@ -40,15 +40,33 @@ class HandPoseGenerator:
         self.pose_map: Dict[str, HandPose] = {}
         self.status = {"Right": "standard", "Left": "standard"}
         self.smoothing_window = smoothing_window
+        self.status_change_map: Dict[str, str] = {}
 
     def init_from_desc(self, desc: dict):
-        """Load hand poses from the zip's hand_pose_info structure
-        (reference init_from_desc; poses stored as joint->quat maps)."""
+        """Load hand poses from the zip's hand_pose_info structure.
+
+        Accepts both the reference zip schema (reference
+        hand_pose_generator.py:49-67: per-hand flattened quaternion vectors
+        plus `{left,right}_hand_skeleton.joint_names` + status_change_map)
+        and the flat joint->quat map form."""
+        self.status_change_map = dict(desc.get("status_change_map", {}))
+        left = desc.get("left_hand_skeleton", {}).get("joint_names", [])
+        right = desc.get("right_hand_skeleton", {}).get("joint_names", [])
         for name, pose in desc.get("poses", {}).items():
-            self.pose_map[name] = HandPose(
-                name=name,
-                joint_quats={j: np.asarray(q, np.float32)
-                             for j, q in pose.items()})
+            if (isinstance(pose, dict)
+                    and ("LeftHand" in pose or "RightHand" in pose)
+                    and (left or right)):
+                joint_quats = {}
+                for side, joints in (("LeftHand", left), ("RightHand", right)):
+                    vec = np.asarray(pose.get(side, ()), np.float32).reshape(-1, 4)
+                    for j, q in zip(joints, vec):
+                        joint_quats[j] = q
+                self.pose_map[name] = HandPose(name=name, joint_quats=joint_quats)
+            else:
+                self.pose_map[name] = HandPose(
+                    name=name,
+                    joint_quats={j: np.asarray(q, np.float32)
+                                 for j, q in pose.items()})
 
     def add_pose(self, name: str, joint_quats: Dict[str, np.ndarray]):
         self.pose_map[name] = HandPose(name, {j: np.asarray(q, np.float32)
@@ -56,7 +74,10 @@ class HandPoseGenerator:
 
     def _status_for_event(self, event: str, current: str) -> str:
         """attach -> pick pose, detach -> standard, transfer flips hands
-        (reference handle_event semantics :114-147)."""
+        (reference handle_event semantics :114-147); an explicit
+        status_change_map from the zip takes precedence."""
+        if event in self.status_change_map:
+            return self.status_change_map[event]
         if event == "attach":
             return "pick"
         if event == "detach":

@@ -225,12 +225,43 @@ def test_zip_writer_roundtrip(tmp_path):
         "nodes": {mp: node["mm"] for mp, node in gd["subgraphs"]["walk"]["nodes"].items()},
         "info": gd["subgraphs"]["walk"]["info"],
     }}
+    # optional sections in the reference layout (zip_io.py:96-166): hand
+    # poses as per-hand flattened quat vectors + PFNN float32 binaries
+    hand_pose_info = {
+        "status_change_map": {"attach": "pick", "release": "standard"},
+        "right_hand_skeleton": {"joint_names": ["RightHand"]},
+        "left_hand_skeleton": {"joint_names": ["LeftHand"]},
+        "poses": {"pick": {"RightHand": [0.0, 1.0, 0.0, 0.0],
+                           "LeftHand": [1.0, 0.0, 0.0, 0.0]}},
+        "skeletonStrings": {"pick": "HIERARCHY"},
+    }
+    rng = np.random.default_rng(0)
+    pfnn_data = {
+        "weights": {k: rng.standard_normal(8).astype(np.float32)
+                    for k in ("W0", "W1", "W2", "b0", "b1", "b2")},
+        "means": {k: rng.standard_normal(4).astype(np.float32)
+                  for k in ("Xmean", "Ymean", "Xstd", "Ystd")},
+    }
     path = write_graph_zip(str(tmp_path / "packaged"), skel, actions,
-                           gd["transitions"], start_node=gd["startNode"])
+                           gd["transitions"], start_node=gd["startNode"],
+                           hand_pose_info=hand_pose_info, pfnn_data=pfnn_data)
     g = graph_mod.load_graph(path)
     assert ("walk", "leftStance") in g.nodes
     assert g.nodes[("walk", "beginLeftStance")].node_type == graph_mod.NODE_TYPE_START
     assert g.start_node == ("walk", "beginLeftStance")
+    # hand poses hydrated through the reference schema
+    hp = g.hand_pose_generator
+    assert hp is not None and "pick" in hp.pose_map
+    assert np.allclose(hp.pose_map["pick"].joint_quats["RightHand"],
+                       [0.0, 1.0, 0.0, 0.0])
+    assert hp.status_change_map["release"] == "standard"
+    assert hp._status_for_event("release", "pick") == "standard"
+    # pfnn binaries round-trip exactly
+    assert g.pfnn_data is not None
+    assert np.array_equal(g.pfnn_data["weights"]["W1"],
+                          pfnn_data["weights"]["W1"])
+    assert np.array_equal(g.pfnn_data["means"]["Ystd"],
+                          pfnn_data["means"]["Ystd"])
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,21 @@ def test_state_queue_alignment(graph):
     assert np.linalg.norm(np.asarray(seam_next) - np.asarray(seam_prev)) < 1.0
 
 
+def test_generate_idle_state(graph):
+    """reference mg_state_queue.py:160-197: an idle clip enters the queue
+    aligned to the pose buffer with node type 'idle'."""
+    q = MGStateQueue(graph.skeleton, 1 / 30)
+    e1 = q.add_state(("walk", "a"), "start", _frames(10), None)
+    idle = q.generate_idle_state(_frames(6, z0=99.0), e1.pose_buffer)
+    assert idle.node_type == "idle"
+    assert idle.node_key == ("walk", "idle")
+    seam = np.linalg.norm(np.asarray(idle.state.frames[0][:3])
+                          - np.asarray(e1.pose_buffer[-1][:3]))
+    assert seam < 1.0
+    assert q.pop().node_key == ("walk", "a")
+    assert q.pop().node_type == "idle"
+
+
 def test_motion_state_playback():
     ms = MotionState(_frames(10), frame_time=1 / 30)
     assert ms.update(1 / 30)
