@@ -117,11 +117,15 @@ def config4_cluster_search():
     s, err = generator.search_candidates(skel, prim, sc, candidates,
                                          use_traj=False, use_ca=False)  # warmup
     jax.block_until_ready(err)
+    # pipelined dispatch + one barrier (see bench.py): a per-iteration
+    # block_until_ready measures the tunnel round-trip, not the search
+    outs = []
     t0 = time.perf_counter()
     for _ in range(10):
         s, err = generator.search_candidates(skel, prim, sc, candidates,
                                              use_traj=False, use_ca=False)
-        jax.block_until_ready(err)
+        outs.append(err)
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / 10
 
     def obj(x):
