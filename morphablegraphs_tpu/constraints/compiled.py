@@ -72,6 +72,8 @@ class StepConstraints:
     pose_active: jax.Array  # f32 0/1
     pose_points: jax.Array  # [J, 3] target joint positions
     pose_weight: jax.Array  # f32
+    pose_joint_weights: jax.Array  # [J] per-joint importance (anim_utils
+    #                                skeleton joint_weight_map)
     # root trajectory-following constraint
     traj_active: jax.Array  # f32 0/1
     traj: spline_path.PathSpline
@@ -148,7 +150,7 @@ def empty_step_constraints(skeleton: Skeleton,
         la_target=np.zeros(3, f32), la_frame=f32(0.0),
         la_weight=f32(1.0),
         pose_active=f32(0.0), pose_points=np.zeros((j, 3), f32),
-        pose_weight=f32(1.0),
+        pose_weight=f32(1.0), pose_joint_weights=np.ones(j, f32),
         traj_active=f32(0.0), traj=dummy_spline,
         traj_node=np.int32(0), traj_min_arc=f32(0.0),
         traj_weight=f32(1.0),
@@ -275,7 +277,9 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
     frame0 = coeffs[0]  # clamped spline: first coeff == first frame
     pose_pos, _ = fk_global(skeleton, frame0)
     diff_pose = pose_pos - sc.pose_points
-    pose_err = jnp.mean(jnp.sqrt(jnp.sum(diff_pose * diff_pose, axis=-1) + 1e-12))
+    pose_d = jnp.sqrt(jnp.sum(diff_pose * diff_pose, axis=-1) + 1e-12)
+    pose_err = (jnp.sum(sc.pose_joint_weights * pose_d)
+                / jnp.maximum(jnp.sum(sc.pose_joint_weights), 1e-6))
     pose_res = sc.pose_active * sc.pose_weight * pose_err
 
     # ---- trajectory constraint: sampled canonical frames, advancing arc
@@ -391,11 +395,19 @@ def set_look_at_constraint(sc: StepConstraints, skeleton: Skeleton,
 
 
 def set_pose_constraint(sc: StepConstraints, skeleton: Skeleton,
-                        target_frame, weight: float = 1.0) -> StepConstraints:
+                        target_frame, weight: float = 1.0,
+                        joint_weights=None) -> StepConstraints:
     pts, _ = fk_global(skeleton, jnp.asarray(target_frame, jnp.float32))
+    if joint_weights is None:
+        # per-NODE weights from the skeleton's animated-joint weight map
+        # (reference create_pose_constraint pulls skeleton.joint_weight_map,
+        # motion_primitive_constraints_builder.py:291-300)
+        wmap = skeleton.joint_weight_map
+        joint_weights = [wmap.get(n, 1.0) for n in skeleton.node_names]
     return sc.replace(pose_active=np.float32(1.0),
                       pose_points=np.asarray(pts),
-                      pose_weight=np.float32(weight))
+                      pose_weight=np.float32(weight),
+                      pose_joint_weights=np.asarray(joint_weights, np.float32))
 
 
 def set_trajectory_constraint(sc: StepConstraints, skeleton: Skeleton,

@@ -42,6 +42,9 @@ class Skeleton:
     node_channels: tuple  # per node: tuple of BVH channel names (may be empty)
     animated_joints: tuple  # names of joints carrying quaternions in frames
     frame_time: float = 1.0 / 30
+    # per-animated-joint importance weights (anim_utils skeleton
+    # joint_weight_map, consumed by pose constraints); empty = all 1.0
+    joint_weights: tuple = ()
 
     def __post_init__(self):
         object.__setattr__(self, "offsets", np.asarray(self.offsets, np.float32))
@@ -78,6 +81,40 @@ class Skeleton:
         """Slice into a quaternion frame for a joint's 4 quaternion params."""
         i = self.animated_index_of(joint_name)
         return slice(3 + 4 * i, 3 + 4 * i + 4)
+
+    @property
+    def joint_weight_map(self) -> dict:
+        """animated joint name -> weight (anim_utils joint_weight_map)."""
+        w = self.joint_weights or (1.0,) * self.n_animated
+        return dict(zip(self.animated_joints, w))
+
+
+def add_fixed_joint_parameters_to_motion(skel: Skeleton, frames: np.ndarray,
+                                         animated_subset=None) -> np.ndarray:
+    """Expand frames animated over a joint SUBSET to the skeleton's full
+    animated set, identity quaternions for unmodelled joints (anim_utils
+    Skeleton.add_fixed_joint_parameters_to_motion; called by the reference
+    when complete_motion_vector is set, motion_generator.py:281-320 and
+    motion_model_constructor.py:101).
+
+    frames: [T, 3 + 4*len(animated_subset)].  animated_subset defaults to
+    the first joints of the skeleton's animated set (dimension-inferred).
+    """
+    frames = np.asarray(frames)
+    if animated_subset is None:
+        n_sub = (frames.shape[-1] - 3) // 4
+        animated_subset = skel.animated_joints[:n_sub]
+    if tuple(animated_subset) == skel.animated_joints:
+        return frames
+    out = np.zeros((frames.shape[0], skel.n_frame_params), frames.dtype)
+    out[:, :3] = frames[:, :3]
+    out[:, 3::4] = 1.0  # identity w components
+    sub_index = {name: i for i, name in enumerate(animated_subset)}
+    for j, name in enumerate(skel.animated_joints):
+        i = sub_index.get(name)
+        if i is not None:
+            out[:, 3 + 4 * j: 7 + 4 * j] = frames[:, 3 + 4 * i: 7 + 4 * i]
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -102,6 +102,18 @@ class MotionGenerator:
         warped = self._convert_with_time_warp(steps)
         warped = self._post_process(warped, steps)
 
+        # complete_motion_vector: fill identity quats for skeleton joints
+        # the motion model does not animate (reference
+        # skeleton.add_fixed_joint_parameters_to_motion call in
+        # _post_process_motion, motion_generator.py:281-320)
+        skel = self.graph.skeleton
+        if (complete_motion_vector and steps and warped is not None
+                and len(warped) > 0 and warped.shape[-1] < skel.n_frame_params):
+            from ..models.skeleton import add_fixed_joint_parameters_to_motion
+            prim0 = self.graph.nodes[steps[0].node_key].primitive
+            subset = prim0.animated_joints or None
+            warped = add_fixed_joint_parameters_to_motion(skel, warped, subset)
+
         stats = {
             "n_steps": len(steps),
             "time": time.time() - t_start,

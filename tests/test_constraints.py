@@ -218,3 +218,35 @@ def test_lm_refinement_reduces_error(setup):
     _, e_exact = generator.refine_lm(skel, prim, sc, s0, n_iters=30,
                                      quality_scale=0.0)
     assert float(e_exact) < 0.05, float(e_exact)
+
+
+def test_pose_constraint_joint_weights(setup):
+    """Pose residual uses per-joint weights (reference create_pose_constraint
+    pulls skeleton.joint_weight_map): zeroing the weight of the joint that
+    moved removes its contribution from the error."""
+    graph, skel, prim = setup
+    s = np.zeros(prim.n_latent, np.float32)
+    frames, n, _ = prim_mod.back_project(prim, jnp.asarray(s),
+                                         prim.n_canonical_frames)
+    base = np.asarray(frames)[0]
+    target = base.copy()
+    # rotate a mid-chain joint 90 deg -> only its descendants move
+    half = np.deg2rad(90) / 2
+    target[7:11] = [np.cos(half), np.sin(half), 0.0, 0.0]
+    moved = np.linalg.norm(
+        np.asarray(sk.fk_positions(skel, jnp.asarray(target)))
+        - np.asarray(sk.fk_positions(skel, jnp.asarray(base))), axis=-1) > 1e-3
+    assert moved.any() and not moved.all()
+
+    def err_with(weights):
+        sc = compiled.set_pose_constraint(
+            compiled.empty_step_constraints(skel, prim.n_canonical_frames),
+            skel, target, joint_weights=weights)
+        sc = compiled.set_alignment_from_start_pose(sc, np.zeros(3), 0.0)
+        return float(compiled.evaluate_error(skel, prim, sc, jnp.asarray(s)))
+
+    err_uniform = err_with(None)
+    # zero out exactly the moved joints -> their displacement stops counting
+    err_w = err_with(np.where(moved, 0.0, 1.0))
+    assert err_uniform > 0.5
+    assert err_w < 0.1 * err_uniform

@@ -82,3 +82,34 @@ def test_fk_batched():
     pos = np.asarray(sk.fk_positions(skel, jnp.asarray(qf, jnp.float32)))
     assert pos.shape == (2, skel.n_nodes, 3)
     assert not np.any(np.isnan(pos))
+
+
+def test_add_fixed_joint_parameters_to_motion():
+    """anim_utils add_fixed_joint_parameters_to_motion: frames over a joint
+    subset expand to the full animated set with identity quats elsewhere."""
+    skel, _ = sk.load_bvh(TEST_BVH)
+    subset = skel.animated_joints[:2]
+    frames = np.zeros((3, 3 + 4 * 2), np.float32)
+    frames[:, 0] = 7.0  # root x
+    frames[:, 3:7] = [0.0, 1.0, 0.0, 0.0]  # first joint: 180deg about x
+    frames[:, 7:11] = [0.0, 0.0, 1.0, 0.0]
+    out = sk.add_fixed_joint_parameters_to_motion(skel, frames, subset)
+    assert out.shape == (3, skel.n_frame_params)
+    assert np.all(out[:, 0] == 7.0)
+    assert np.allclose(out[:, 3:7], [0, 1, 0, 0])
+    assert np.allclose(out[:, 7:11], [0, 0, 1, 0])
+    # unmodelled joints get identity quaternions
+    for j in range(2, skel.n_animated):
+        assert np.allclose(out[:, 3 + 4 * j: 7 + 4 * j], [1, 0, 0, 0])
+    # full-set input is returned unchanged
+    full = np.zeros((2, skel.n_frame_params), np.float32)
+    assert sk.add_fixed_joint_parameters_to_motion(skel, full) is full
+
+
+def test_joint_weight_map():
+    skel, _ = sk.load_bvh(TEST_BVH)
+    assert skel.joint_weight_map == {j: 1.0 for j in skel.animated_joints}
+    import dataclasses
+    w = tuple(float(i + 1) for i in range(skel.n_animated))
+    skel2 = dataclasses.replace(skel, joint_weights=w)
+    assert skel2.joint_weight_map[skel.animated_joints[-1]] == float(skel.n_animated)
