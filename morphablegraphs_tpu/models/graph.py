@@ -376,17 +376,13 @@ def read_zip(zip_path: str) -> dict:
                 info["skeletonStrings"][parts[1][:-4]] = zf.read(n).decode("utf-8")
         data["hand_pose_info"] = info
 
-    # optional PFNN section (reference zip_io.py:96-117: flat float32
-    # binaries under pfnn/weights and pfnn/means)
-    if any(n.startswith("pfnn/") for n in names):
-        weights = {k: np.frombuffer(zf.read(f"pfnn/weights/{k}.bin"), np.float32)
-                   for k in ("W0", "W1", "W2", "b0", "b1", "b2")
-                   if f"pfnn/weights/{k}.bin" in names}
-        means = {k: np.frombuffer(zf.read(f"pfnn/means/{k}.bin"), np.float32)
-                 for k in ("Xmean", "Ymean", "Xstd", "Ystd")
-                 if f"pfnn/means/{k}.bin" in names}
-        if len(weights) == 6 and len(means) == 4:
-            data["pfnn_data"] = {"weights": weights, "means": means}
+    # optional PFNN section (reference zip_io.py:96-117; shared reader —
+    # raises on a present-but-incomplete section instead of silently
+    # disabling PFNN locomotion)
+    from .pfnn import read_pfnn_arrays
+    pfnn_data = read_pfnn_arrays(zf)
+    if pfnn_data is not None:
+        data["pfnn_data"] = pfnn_data
     return data
 
 
@@ -399,6 +395,17 @@ def load_graph(path: str) -> MotionStateGraph:
     skeleton = None
     if "bvh_skeleton_string" in data:
         skeleton, _ = load_bvh(data["bvh_skeleton_string"])
+    if skeleton is not None and not skeleton.joint_weights:
+        # pose-constraint joint weights: explicit per-joint values from the
+        # package's skeleton JSON if present, else depth-attenuated defaults
+        # (anim_utils joint_weight_map weighs proximal joints above distal)
+        import dataclasses
+        from .skeleton_models import depth_joint_weights
+        explicit = (data.get("skeleton") or {}).get("joint_weights")
+        weights = (tuple(float(w) for w in explicit) if explicit
+                   else depth_joint_weights(skeleton))
+        if len(weights) == skeleton.n_animated:
+            skeleton = dataclasses.replace(skeleton, joint_weights=weights)
     return build_graph_from_dict(data, skeleton)
 
 

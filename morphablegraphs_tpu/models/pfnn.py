@@ -100,20 +100,41 @@ def forward_crowd(model: PFNN, xs: jax.Array, phases: jax.Array) -> jax.Array:
     return jax.vmap(lambda x, p: forward(model, x, p))(xs, phases)
 
 
-def read_pfnn_from_zip(zip_path: str, n_controls: int = 4,
-                       hidden: int = 512):
-    """Load PFNN data from a graph zip if present (reference
-    zip_io.py get_pfnn_data :99-117).  Returns None when absent."""
-    import zipfile
-    zf = zipfile.ZipFile(zip_path, "r")
-    names = zf.namelist()
+PFNN_WEIGHT_KEYS = ("W0", "W1", "W2", "b0", "b1", "b2")
+PFNN_MEAN_KEYS = ("Xmean", "Ymean", "Xstd", "Ystd")
+
+
+def read_pfnn_arrays(zf) -> "dict | None":
+    """Raw {weights, means} arrays from an open graph-zip's pfnn/ section
+    (reference zip_io.py get_pfnn_data :99-117).  Returns None when the
+    section is absent; raises ValueError listing the missing binaries when
+    it is present but incomplete (a silent None would disable PFNN
+    locomotion with no diagnostic)."""
+    names = set(zf.namelist())
     if not any(n.startswith("pfnn/") for n in names):
         return None
-    weights = {k: np.frombuffer(zf.read(f"pfnn/weights/{k}.bin"), np.float32)
-               for k in ("W0", "W1", "W2", "b0", "b1", "b2")}
-    means = {k: np.frombuffer(zf.read(f"pfnn/means/{k}.bin"), np.float32)
-             for k in ("Xmean", "Ymean", "Xstd", "Ystd")}
-    return load_from_arrays(weights, means, n_controls, hidden)
+    paths = {k: f"pfnn/weights/{k}.bin" for k in PFNN_WEIGHT_KEYS}
+    paths.update({k: f"pfnn/means/{k}.bin" for k in PFNN_MEAN_KEYS})
+    missing = [p for p in paths.values() if p not in names]
+    if missing:
+        raise ValueError(f"incomplete pfnn/ section in graph zip: missing {missing}")
+    weights = {k: np.frombuffer(zf.read(paths[k]), np.float32)
+               for k in PFNN_WEIGHT_KEYS}
+    means = {k: np.frombuffer(zf.read(paths[k]), np.float32)
+             for k in PFNN_MEAN_KEYS}
+    return {"weights": weights, "means": means}
+
+
+def read_pfnn_from_zip(zip_path: str, n_controls: int = 4,
+                       hidden: int = 512):
+    """Load a PFNN model from a graph zip if present.  Returns None when
+    absent."""
+    import zipfile
+    with zipfile.ZipFile(zip_path, "r") as zf:
+        data = read_pfnn_arrays(zf)
+    if data is None:
+        return None
+    return load_from_arrays(data["weights"], data["means"], n_controls, hidden)
 
 
 class PFNNWrapper:

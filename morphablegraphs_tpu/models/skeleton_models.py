@@ -60,3 +60,22 @@ def mirror_frames(skeleton: Skeleton, frames: np.ndarray) -> np.ndarray:
         src_sl = skeleton.quat_slice(src)
         out[:, dst_sl] = mirrored_quat(frames[:, src_sl])
     return out
+
+
+def depth_joint_weights(skel: Skeleton, decay: float = 0.9) -> tuple:
+    """Per-animated-joint weights attenuated by hierarchy depth
+    (root/torso weigh more than extremities), a producer for
+    `Skeleton.joint_weights` (anim_utils joint_weight_map semantics: pose
+    constraints weight proximal joints above distal ones).
+
+    weight(joint) = decay ** depth, depth counted over the node hierarchy.
+    """
+    depths = []
+    for name in skel.animated_joints:
+        i = skel.index_of(name)
+        d = 0
+        while skel.parents[i] >= 0:
+            i = skel.parents[i]
+            d += 1
+        depths.append(d)
+    return tuple(float(decay ** d) for d in depths)

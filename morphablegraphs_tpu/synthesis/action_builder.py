@@ -184,8 +184,8 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
                 sc, d, end_kf, weight=tf["dir_constraint_factor"])
         if tf.get("generate_half_step_constraint", False):
             half_arc = 0.5 * travelled_arc_length + 0.5 * goal_arc_length
-            half_goal, _ = spline_path.point_and_dir_at_arc_length(
-                acs.root_trajectory, jnp.asarray(half_arc))
+            half_goal, _ = jax.device_get(spline_path.point_and_dir_at_arc_length(
+                acs.root_trajectory, jnp.asarray(half_arc)))
             half_goal = np.asarray(half_goal, np.float64)
             for d_ in acs.root_unconstrained_dims:
                 half_goal[d_] = np.nan

@@ -97,22 +97,16 @@ class MotionGenerator:
                                   0 if frames is None else len(frames)))
 
         # final conversion with time warping (reference
-        # graph_walk.py:112-176 convert_to_annotated_motion)
+        # graph_walk.py:112-176 convert_to_annotated_motion);
+        # complete_motion_vector fills identity quats for skeleton joints a
+        # step's model does not animate, per step with that step's own
+        # animated subset (reference add_fixed_joint_parameters_to_motion in
+        # _post_process_motion, motion_generator.py:281-320) — post-process
+        # IK/grounding then runs on full-width frames.
         self._maybe_optimize_time(steps)
-        warped = self._convert_with_time_warp(steps)
+        warped = self._convert_with_time_warp(
+            steps, complete_motion_vector=complete_motion_vector)
         warped = self._post_process(warped, steps)
-
-        # complete_motion_vector: fill identity quats for skeleton joints
-        # the motion model does not animate (reference
-        # skeleton.add_fixed_joint_parameters_to_motion call in
-        # _post_process_motion, motion_generator.py:281-320)
-        skel = self.graph.skeleton
-        if (complete_motion_vector and steps and warped is not None
-                and len(warped) > 0 and warped.shape[-1] < skel.n_frame_params):
-            from ..models.skeleton import add_fixed_joint_parameters_to_motion
-            prim0 = self.graph.nodes[steps[0].node_key].primitive
-            subset = prim0.animated_joints or None
-            warped = add_fixed_joint_parameters_to_motion(skel, warped, subset)
 
         stats = {
             "n_steps": len(steps),
@@ -406,9 +400,14 @@ class MotionGenerator:
             scene=self.scene_interface)
 
     # -- final conversion ----------------------------------------------
-    def _convert_with_time_warp(self, steps) -> np.ndarray:
+    def _convert_with_time_warp(self, steps,
+                                complete_motion_vector: bool = False) -> np.ndarray:
         """Re-project every step WITH its time warp and re-concatenate
-        (reference graph_walk.py:154-176)."""
+        (reference graph_walk.py:154-176).  With complete_motion_vector,
+        each step's clip is expanded to the full skeleton using that step's
+        own animated-joint subset before concatenation."""
+        from ..models.skeleton import add_fixed_joint_parameters_to_motion
+        skel = self.graph.skeleton
         frames = None
         smooth_time = bool(self.config.get("smooth_time_parameters", False))
         window = self.config["smoothing_settings"]["spatial_smoothing_window"]
@@ -430,6 +429,10 @@ class MotionGenerator:
                     [t_s, np.full(max_frames - n, t_s[-1], t_s.dtype)])
                 f = prim_mod.evaluate_at(prim, jnp.asarray(step.parameters),
                                          jnp.asarray(t_pad, jnp.float32))
+            if (complete_motion_vector and skel is not None
+                    and np.shape(f)[-1] < skel.n_frame_params):
+                f = add_fixed_joint_parameters_to_motion(
+                    skel, np.asarray(f), prim.animated_joints or None)
             frames = self._append_padded(frames, f, n, window)
         return frames if frames is not None else np.zeros((0, 0), np.float32)
 

@@ -441,3 +441,25 @@ def test_retarget_identity_and_scaled():
 
     # the reference's Rocketbox->game-engine map round-trips
     assert retarget.GAME_ENGINE_TO_ROCKETBOX_MAP["pelvis"] == "Hips"
+
+
+def test_zip_load_populates_joint_weights_and_rejects_partial_pfnn(tmp_path):
+    """load_graph gives the skeleton depth-attenuated pose weights when the
+    package carries none, and a present-but-incomplete pfnn/ section raises
+    instead of silently disabling PFNN locomotion."""
+    import zipfile
+    skel, _ = sk.load_bvh(TEST_BVH)
+    gd = make_graph_dict()
+    actions = {"walk": {
+        "nodes": {mp: n["mm"] for mp, n in gd["subgraphs"]["walk"]["nodes"].items()},
+        "info": gd["subgraphs"]["walk"]["info"]}}
+    path = write_graph_zip(str(tmp_path / "w"), skel, actions, gd["transitions"])
+    g = graph_mod.load_graph(path)
+    w = g.skeleton.joint_weights
+    assert len(w) == skel.n_animated and w[0] == 1.0 and min(w) < 1.0
+
+    with zipfile.ZipFile(path, "a") as zf:  # only one of 10 pfnn binaries
+        zf.writestr("pfnn/weights/W0.bin", b"\x00\x00\x80\x3f")
+    import pytest
+    with pytest.raises(ValueError, match="incomplete pfnn"):
+        graph_mod.load_graph(path)

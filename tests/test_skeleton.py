@@ -113,3 +113,19 @@ def test_joint_weight_map():
     w = tuple(float(i + 1) for i in range(skel.n_animated))
     skel2 = dataclasses.replace(skel, joint_weights=w)
     assert skel2.joint_weight_map[skel.animated_joints[-1]] == float(skel.n_animated)
+
+
+def test_depth_joint_weights():
+    from morphablegraphs_tpu.models.skeleton_models import depth_joint_weights
+    skel, _ = sk.load_bvh(TEST_BVH)
+    w = depth_joint_weights(skel, decay=0.5)
+    assert len(w) == skel.n_animated
+    assert w[0] == 1.0  # root at depth 0
+    # monotone down the chain: child weight <= parent weight
+    by_name = dict(zip(skel.animated_joints, w))
+    for name in skel.animated_joints:
+        p = skel.parents[skel.index_of(name)]
+        while p >= 0 and skel.node_names[p] not in by_name:
+            p = skel.parents[p]
+        if p >= 0:
+            assert by_name[name] <= by_name[skel.node_names[p]]
