@@ -260,9 +260,14 @@ def build_graph_from_dict(graph_dict: dict, skeleton: Optional[Skeleton] = None,
     }
     (reference motion_state_graph_loader.py:184-307)
     """
+    from ..utils.log import LOG_MODE_DEBUG, write_message_to_log
     graph = MotionStateGraph()
     graph.skeleton = skeleton
     for action, action_data in graph_dict.get("subgraphs", {}).items():
+        # reference zip_io.py logs "Load action <name>" per action
+        write_message_to_log(f"Load action {action} "
+                             f"({len(action_data.get('nodes', {}))} primitives)",
+                             LOG_MODE_DEBUG)
         group = NodeGroup(name=action)
         graph.node_groups[action] = group
         for mp_name, desc in action_data.get("nodes", {}).items():

@@ -247,6 +247,9 @@ def main(graph_path: Optional[str] = None, port: int = 8889,
     retarget_scale = 1.0
     if service_config is not None:
         svc = load_service_config(service_config)
+        # write_log / log_file / log_level (reference service.config keys)
+        from ..utils.log import configure_from_service_config
+        configure_from_service_config(svc)
         graph_path = graph_path or svc.get("model_data")
         port = svc.get("port", port)
         joint_map = svc.get("activate_joint_map", False)
@@ -273,6 +276,8 @@ def main(graph_path: Optional[str] = None, port: int = 8889,
                     retarget_scale=retarget_scale)
     app = make_app(ctx)
     app.listen(port)
+    from ..utils.log import write_message_to_log
+    write_message_to_log(f"serving morphablegraphs on :{port}")
     print(f"serving morphablegraphs on :{port}")
     tornado.ioloop.IOLoop.current().start()
 

@@ -116,6 +116,13 @@ class MotionGenerator:
             # BASELINE.md secondary metric: p50 graph-walk step latency
             "p50_step_latency": float(np.median(self._step_times)) if self._step_times else 0.0,
         }
+        # reference logs the wall time + statistics after every request
+        # (motion_generator.py:124-147, graph_walk.py:396-414)
+        from ..utils.log import write_message_to_log
+        write_message_to_log(
+            "generated motion in {time:.3f}s: {n_steps} steps, "
+            "avg constraint error {average_error:.3f}, "
+            "{objective_evaluations} objective evaluations".format(**stats))
         return MotionResult(frames=warped, steps=steps,
                             action_ranges=action_ranges, stats=stats)
 

@@ -463,3 +463,41 @@ def test_zip_load_populates_joint_weights_and_rejects_partial_pfnn(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="incomplete pfnn"):
         graph_mod.load_graph(path)
+
+
+def test_logging_surface(tmp_path, caplog):
+    """anim_utils-style logging surface (SURVEY §5): write_message_to_log /
+    set_log_mode / file logging via service-config keys / clear_log."""
+    import logging
+    from morphablegraphs_tpu.utils import log as mglog
+
+    mglog.set_log_mode(mglog.LOG_MODE_DEBUG)
+    with caplog.at_level(logging.DEBUG, logger="morphablegraphs_tpu"):
+        mglog.write_message_to_log("hello debug", mglog.LOG_MODE_DEBUG)
+        mglog.write_message_to_log("hello error", mglog.LOG_MODE_ERROR)
+    assert "hello debug" in caplog.text and "hello error" in caplog.text
+
+    # INFO mode filters DEBUG records (caplog.at_level would override the
+    # logger threshold, so check the threshold directly)
+    mglog.set_log_mode(mglog.LOG_MODE_INFO)
+    assert not mglog.logger.isEnabledFor(logging.DEBUG)
+    mglog.set_log_mode(mglog.LOG_MODE_ERROR)
+    assert not mglog.logger.isEnabledFor(logging.INFO)
+
+    # service-config file logging + clear_log truncation
+    log_path = str(tmp_path / "svc.log")
+    mglog.configure_from_service_config(
+        {"write_log": True, "log_file": log_path, "log_level": 1})
+    mglog.write_message_to_log("to file")
+    assert "to file" in open(log_path).read()
+    mglog.clear_log()
+    assert open(log_path).read() == ""
+    mglog.set_log_file(None)
+
+    # graph loading emits debug messages through the same logger
+    mglog.set_log_mode(mglog.LOG_MODE_DEBUG)
+    caplog.clear()
+    with caplog.at_level(logging.DEBUG, logger="morphablegraphs_tpu"):
+        graph_mod.build_graph_from_dict(make_graph_dict())
+    assert "Load action walk" in caplog.text
+    mglog.set_log_mode(mglog.LOG_MODE_INFO)
