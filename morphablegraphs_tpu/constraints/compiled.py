@@ -338,6 +338,62 @@ def evaluate_error(skeleton: Skeleton, prim: MotionPrimitive,
 # Host-side builders
 # ---------------------------------------------------------------------------
 
+class LocoSpec(struct.PyTreeNode):
+    """Locomotion goal parameters for on-device constraint filling
+    (reference locomotion_constraints_builder.py:54-120): the goal position/
+    direction queries run inside the selection kernel instead of paying a
+    host round-trip per step."""
+
+    goal_arc: jax.Array  # f32 goal arc length on the path
+    half_arc: jax.Array  # f32 half-step arc length
+    node: jax.Array  # i32 root joint skeleton index
+    end_kf: jax.Array  # f32 canonical keyframe of the step end
+    mid_kf: jax.Array  # f32 canonical keyframe of the step middle
+    dim_mask: jax.Array  # [3] 1 where the goal component is constrained
+    pos_weight: jax.Array  # f32
+    dir_weight: jax.Array  # f32
+
+
+def fill_locomotion_slots(sc: StepConstraints, path: spline_path.PathSpline,
+                          loco: LocoSpec, use_pos: bool = True,
+                          use_dir: bool = True,
+                          use_half: bool = False) -> StepConstraints:
+    """Fill the reserved locomotion keyframe/direction slots from on-device
+    path queries (slot 0 = end goal, slot 1 = half step; the host builder
+    reserves them).  Traced — call inside a jitted selection kernel."""
+    goal, gdir = spline_path.point_and_dir_at_arc_length(path, loco.goal_arc)
+    kf_active = jnp.asarray(sc.kf_active)
+    kf_node = jnp.asarray(sc.kf_node)
+    kf_pos = jnp.asarray(sc.kf_pos)
+    kf_mask = jnp.asarray(sc.kf_pos_mask)
+    kf_frame = jnp.asarray(sc.kf_frame)
+    kf_weight = jnp.asarray(sc.kf_weight)
+    if use_pos:
+        kf_active = kf_active.at[0].set(1.0)
+        kf_node = kf_node.at[0].set(loco.node)
+        kf_pos = kf_pos.at[0].set(goal * loco.dim_mask)
+        kf_mask = kf_mask.at[0].set(loco.dim_mask)
+        kf_frame = kf_frame.at[0].set(loco.end_kf)
+        kf_weight = kf_weight.at[0].set(loco.pos_weight)
+    if use_half:
+        half_goal, _ = spline_path.point_and_dir_at_arc_length(path, loco.half_arc)
+        slot = 1 if use_pos else 0
+        kf_active = kf_active.at[slot].set(1.0)
+        kf_node = kf_node.at[slot].set(loco.node)
+        kf_pos = kf_pos.at[slot].set(half_goal * loco.dim_mask)
+        kf_mask = kf_mask.at[slot].set(loco.dim_mask)
+        kf_frame = kf_frame.at[slot].set(loco.mid_kf)
+        kf_weight = kf_weight.at[slot].set(loco.pos_weight)
+    sc = sc.replace(kf_active=kf_active, kf_node=kf_node, kf_pos=kf_pos,
+                    kf_pos_mask=kf_mask, kf_frame=kf_frame,
+                    kf_weight=kf_weight)
+    if use_dir:
+        sc = sc.replace(dir_active=jnp.asarray(1.0), dir_target=gdir,
+                        dir_frame=jnp.asarray(loco.end_kf),
+                        dir_weight=jnp.asarray(loco.dir_weight))
+    return sc
+
+
 def _np_set(arr, idx, val):
     """Copy-and-set a row of a host-side leaf (numpy replacement for the
     eager `.at[idx].set(val)` device scatter)."""

@@ -144,10 +144,16 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
                            node_key, travelled_arc_length: float,
                            prev_frames: Optional[np.ndarray],
                            is_last_step: bool,
-                           config: dict) -> compiled.StepConstraints:
+                           config: dict,
+                           defer_locomotion: bool = False):
     """Per-step constraint assembly (reference
     motion_primitive_constraints_builder.py:98-220 +
-    locomotion_constraints_builder.py:54-120)."""
+    locomotion_constraints_builder.py:54-120).
+
+    With defer_locomotion the goal/direction slots are only RESERVED here
+    and filled on device inside the selection kernel (no host round-trip
+    per step); returns (sc, LocoSpec-or-None, (use_pos, use_dir, use_half)).
+    """
     skeleton = graph.skeleton
     node = graph.nodes[node_key]
     prim = node.primitive
@@ -156,6 +162,8 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
 
     sc = compiled.empty_step_constraints(skeleton, n_canonical)
     slot = 0
+    loco = None
+    loco_flags = (False, False, False)
 
     # ---- locomotion constraints from the root trajectory
     if acs.root_trajectory is not None:
@@ -164,36 +172,58 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
             goal_arc_length = travelled_arc_length + step_length
         else:
             goal_arc_length = acs.full_arc_length
-        # one transfer for both outputs (separate np.asarray pulls pay a
-        # device round-trip each on remote-attached TPUs)
-        goal, goal_dir = jax.device_get(spline_path.point_and_dir_at_arc_length(
-            acs.root_trajectory, jnp.asarray(goal_arc_length)))
-        goal = np.asarray(goal, np.float64)
-        for d in acs.root_unconstrained_dims:
-            goal[d] = np.nan
+        use_pos = tf["position_constraint_factor"] > 0.0
+        use_dir = tf["dir_constraint_factor"] > 0.0
+        use_half = bool(tf.get("generate_half_step_constraint", False))
         root_joint = _aligning_joint(skeleton)
         end_kf = _label_keyframe(graph, node_key, "end", n_canonical)
-        if tf["position_constraint_factor"] > 0.0:
-            sc = compiled.set_keyframe_constraint(
-                sc, slot, skeleton, root_joint, end_kf, position=goal,
-                weight=tf["position_constraint_factor"])
-            slot += 1
-        if tf["dir_constraint_factor"] > 0.0:
-            d = np.asarray(goal_dir, np.float32)
-            sc = compiled.set_direction_constraint(
-                sc, d, end_kf, weight=tf["dir_constraint_factor"])
-        if tf.get("generate_half_step_constraint", False):
-            half_arc = 0.5 * travelled_arc_length + 0.5 * goal_arc_length
-            half_goal, _ = jax.device_get(spline_path.point_and_dir_at_arc_length(
-                acs.root_trajectory, jnp.asarray(half_arc)))
-            half_goal = np.asarray(half_goal, np.float64)
-            for d_ in acs.root_unconstrained_dims:
-                half_goal[d_] = np.nan
-            mid_kf = _label_keyframe(graph, node_key, "middle", n_canonical)
-            sc = compiled.set_keyframe_constraint(
-                sc, slot, skeleton, root_joint, mid_kf, position=half_goal,
-                weight=tf["position_constraint_factor"])
-            slot += 1
+        mid_kf = _label_keyframe(graph, node_key, "middle", n_canonical)
+        dim_mask = np.ones(3, np.float32)
+        for d_ in acs.root_unconstrained_dims:
+            dim_mask[d_] = 0.0
+        if defer_locomotion:
+            loco = compiled.LocoSpec(
+                goal_arc=np.float32(goal_arc_length),
+                half_arc=np.float32(0.5 * travelled_arc_length
+                                    + 0.5 * goal_arc_length),
+                node=np.int32(skeleton.index_of(root_joint)),
+                end_kf=np.float32(end_kf), mid_kf=np.float32(mid_kf),
+                dim_mask=dim_mask,
+                pos_weight=np.float32(tf["position_constraint_factor"]),
+                dir_weight=np.float32(tf["dir_constraint_factor"]))
+            loco_flags = (use_pos, use_dir, use_half)
+            slot += int(use_pos) + int(use_half)  # reserve the slots
+        else:
+            # one transfer for both outputs (separate np.asarray pulls pay
+            # a device round-trip each on remote-attached TPUs)
+            goal, goal_dir = jax.device_get(
+                spline_path.point_and_dir_at_arc_length(
+                    acs.root_trajectory, jnp.asarray(goal_arc_length)))
+            goal = np.asarray(goal, np.float64)
+            for d in acs.root_unconstrained_dims:
+                goal[d] = np.nan
+            if use_pos:
+                sc = compiled.set_keyframe_constraint(
+                    sc, slot, skeleton, root_joint, end_kf, position=goal,
+                    weight=tf["position_constraint_factor"])
+                slot += 1
+            if use_dir:
+                d = np.asarray(goal_dir, np.float32)
+                sc = compiled.set_direction_constraint(
+                    sc, d, end_kf, weight=tf["dir_constraint_factor"])
+            if use_half:
+                half_arc = 0.5 * travelled_arc_length + 0.5 * goal_arc_length
+                half_goal, _ = jax.device_get(
+                    spline_path.point_and_dir_at_arc_length(
+                        acs.root_trajectory, jnp.asarray(half_arc)))
+                half_goal = np.asarray(half_goal, np.float64)
+                for d_ in acs.root_unconstrained_dims:
+                    half_goal[d_] = np.nan
+                sc = compiled.set_keyframe_constraint(
+                    sc, slot, skeleton, root_joint, mid_kf,
+                    position=half_goal,
+                    weight=tf["position_constraint_factor"])
+                slot += 1
         # transition pose constraint
         if (tf.get("use_transition_constraint", False)
                 and tf["transition_pose_constraint_factor"] > 0.0
@@ -267,6 +297,8 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
     else:
         sc = compiled.set_alignment_from_start_pose(
             sc, acs.start_pose_position, acs.start_pose_orientation_y)
+    if defer_locomotion:
+        return sc, loco, loco_flags
     return sc
 
 

@@ -184,6 +184,83 @@ def _search_and_refine(skeleton: Skeleton, prim: MotionPrimitive,
     return s, err
 
 
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("n_samples", "n_iters", "do_refine",
+                                    "use_traj", "use_ca", "loco_flags"))
+def _loco_sample_and_refine(skeleton: Skeleton, key: jax.Array,
+                            prim: MotionPrimitive,
+                            sc: compiled.StepConstraints, path, loco,
+                            threshold, error_scale, quality_scale,
+                            n_samples: int, n_iters: int, do_refine: bool,
+                            use_traj: bool, use_ca: bool, loco_flags: tuple):
+    """Locomotion-slot fill + best_of_n + gated LM as ONE dispatch: the goal
+    position/direction path queries run on device instead of a host
+    round-trip per step (reference locomotion_constraints_builder.py:54-120).
+    Returns (s, err, filled sc) — the filled set feeds global optimization."""
+    sc = compiled.fill_locomotion_slots(sc, path, loco, *loco_flags)
+    s, err = best_of_n(skeleton, key, prim, sc, n_samples=n_samples,
+                       use_traj=use_traj, use_ca=use_ca)
+    if do_refine:
+        s, err = _refine_if_above_threshold(
+            skeleton, prim, sc, s, err, threshold, n_iters=n_iters,
+            error_scale=error_scale, quality_scale=quality_scale,
+            use_traj=use_traj, use_ca=use_ca)
+    return s, err, sc
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("n_iters", "do_refine",
+                                    "use_traj", "use_ca", "loco_flags"))
+def _loco_search_and_refine(skeleton: Skeleton, prim: MotionPrimitive,
+                            sc: compiled.StepConstraints, candidates,
+                            path, loco, threshold, error_scale,
+                            quality_scale, n_iters: int, do_refine: bool,
+                            use_traj: bool, use_ca: bool, loco_flags: tuple):
+    """Cluster-candidate variant of _loco_sample_and_refine."""
+    sc = compiled.fill_locomotion_slots(sc, path, loco, *loco_flags)
+    s, err = search_candidates(skeleton, prim, sc, candidates,
+                               use_traj=use_traj, use_ca=use_ca)
+    if do_refine:
+        s, err = _refine_if_above_threshold(
+            skeleton, prim, sc, s, err, threshold, n_iters=n_iters,
+            error_scale=error_scale, quality_scale=quality_scale,
+            use_traj=use_traj, use_ca=use_ca)
+    return s, err, sc
+
+
+def generate_constrained_sample_loco(key: jax.Array, skeleton: Skeleton,
+                                     prim: MotionPrimitive,
+                                     sc: compiled.StepConstraints,
+                                     path, loco, loco_flags: tuple,
+                                     config: dict, cluster_tree=None):
+    """generate_constrained_sample with deferred locomotion slots (see
+    action_builder.build_step_constraints(defer_locomotion=True)).
+
+    Returns (s, error, filled StepConstraints) as device values.
+    """
+    import numpy as _np
+    use_traj = bool(float(_np.asarray(sc.traj_active)) > 0)
+    use_ca = bool(float(_np.asarray(sc.ca_active)) > 0)
+    mode = config.get("constrained_sampling_mode", "random_discrete")
+    opt = config.get("local_optimization_settings", {})
+    do_refine = config.get("local_optimization_mode", "all") != "none"
+    threshold = float(opt.get("start_error_threshold", 0.0))
+    n_iters = int(config.get("lm_iterations", 10))
+    error_scale = float(opt.get("error_scale_factor", 1.0))
+    quality_scale = float(opt.get("quality_scale_factor", 0.1))
+    if mode == "cluster_tree_search" and cluster_tree is not None:
+        return _loco_search_and_refine(
+            skeleton, prim, sc, jnp.asarray(cluster_tree.data), path, loco,
+            threshold, error_scale, quality_scale, n_iters=n_iters,
+            do_refine=do_refine, use_traj=use_traj, use_ca=use_ca,
+            loco_flags=loco_flags)
+    return _loco_sample_and_refine(
+        skeleton, key, prim, sc, path, loco, threshold, error_scale,
+        quality_scale, n_samples=int(config.get("n_random_samples", 100)),
+        n_iters=n_iters, do_refine=do_refine, use_traj=use_traj,
+        use_ca=use_ca, loco_flags=loco_flags)
+
+
 def generate_constrained_sample(key: jax.Array, skeleton: Skeleton,
                                 prim: MotionPrimitive,
                                 sc: compiled.StepConstraints,

@@ -224,20 +224,33 @@ class MotionGenerator:
 
     def _select_best_option(self, acs, options, frames, travelled):
         """Score each option with best-of-K GMM samples under its own step
-        constraints (reference graph_walk_planner.py:184-226)."""
+        constraints (reference graph_walk_planner.py:184-226).  Option
+        errors are pulled in one transfer after all dispatches are queued."""
         k = int(self.config.get("planner_samples_per_option", 10))
-        best, best_err = options[0], np.inf
+        errs = []
         for option in options:
-            sc = action_builder.build_step_constraints(
-                self.graph, acs, option, travelled,
-                frames, is_last_step=False, config=self.config)
             prim = self.graph.nodes[option].primitive
-            _, err = generator.best_of_n(self.graph.skeleton, self._next_key(),
-                                         prim, sc, n_samples=k)
-            err = float(err)
-            if err < best_err:
-                best, best_err = option, err
-        return best
+            if acs.root_trajectory is not None:
+                sc, loco, loco_flags = action_builder.build_step_constraints(
+                    self.graph, acs, option, travelled, frames,
+                    is_last_step=False, config=self.config,
+                    defer_locomotion=True)
+                cfg = dict(self.config, n_random_samples=k,
+                           local_optimization_mode="none",
+                           constrained_sampling_mode="random_discrete")
+                _, err, _ = generator.generate_constrained_sample_loco(
+                    self._next_key(), self.graph.skeleton, prim, sc,
+                    acs.root_trajectory, loco, loco_flags, cfg)
+            else:
+                sc = action_builder.build_step_constraints(
+                    self.graph, acs, option, travelled,
+                    frames, is_last_step=False, config=self.config)
+                _, err = generator.best_of_n(self.graph.skeleton,
+                                             self._next_key(), prim, sc,
+                                             n_samples=k)
+            errs.append(err)
+        errs = [float(e) for e in jax.device_get(errs)]
+        return options[int(np.argmin(errs))]
 
     # -- step ----------------------------------------------------------
     def _generate_step(self, acs, node_key, frames, steps, travelled,
@@ -246,24 +259,38 @@ class MotionGenerator:
         t_step = time.time()
         graph = self.graph
         prim = graph.nodes[node_key].primitive
-        sc = action_builder.build_step_constraints(
-            graph, acs, node_key, travelled, frames, is_last_step, self.config)
-
-        has_constraints = (float(np.asarray(sc.kf_active).sum())
-                           + float(np.asarray(sc.dir_active))
-                           + float(np.asarray(sc.traj_active))) > 0
-        if has_constraints:
-            s, err = generator.generate_constrained_sample(
-                self._next_key(), graph.skeleton, prim, sc, self.config,
+        if acs.root_trajectory is not None:
+            # locomotion slots fill on device inside the selection kernel —
+            # no goal-query host round-trip per step
+            sc, loco, loco_flags = action_builder.build_step_constraints(
+                graph, acs, node_key, travelled, frames, is_last_step,
+                self.config, defer_locomotion=True)
+            s, err, sc = generator.generate_constrained_sample_loco(
+                self._next_key(), graph.skeleton, prim, sc,
+                acs.root_trajectory, loco, loco_flags, self.config,
                 cluster_tree=graph.nodes[node_key].cluster_tree)
             err = float(err)
-            # objective-evaluation accounting (reference
-            # MotionPrimitiveConstraints.evaluations, SURVEY.md §5 tracing)
             self._objective_evaluations += int(self.config.get("n_random_samples", 100))
             self._objective_evaluations += 2 * int(self.config.get("lm_iterations", 10))
         else:
-            s = prim_mod.sample_latent(self._next_key(), prim, 1)[0]
-            err = 0.0
+            sc = action_builder.build_step_constraints(
+                graph, acs, node_key, travelled, frames, is_last_step,
+                self.config)
+            has_constraints = (float(np.asarray(sc.kf_active).sum())
+                               + float(np.asarray(sc.dir_active))
+                               + float(np.asarray(sc.traj_active))) > 0
+            if has_constraints:
+                s, err = generator.generate_constrained_sample(
+                    self._next_key(), graph.skeleton, prim, sc, self.config,
+                    cluster_tree=graph.nodes[node_key].cluster_tree)
+                err = float(err)
+                # objective-evaluation accounting (reference
+                # MotionPrimitiveConstraints.evaluations, SURVEY.md §5)
+                self._objective_evaluations += int(self.config.get("n_random_samples", 100))
+                self._objective_evaluations += 2 * int(self.config.get("lm_iterations", 10))
+            else:
+                s = prim_mod.sample_latent(self._next_key(), prim, 1)[0]
+                err = 0.0
         s_np = np.asarray(s)
 
         use_traj = acs.root_trajectory is not None
