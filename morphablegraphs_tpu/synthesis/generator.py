@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constraints import compiled
 from ..models.primitive import MotionPrimitive, sample_latent
@@ -198,13 +199,10 @@ def _loco_sample_and_refine(skeleton: Skeleton, key: jax.Array,
     round-trip per step (reference locomotion_constraints_builder.py:54-120).
     Returns (s, err, filled sc) — the filled set feeds global optimization."""
     sc = compiled.fill_locomotion_slots(sc, path, loco, *loco_flags)
-    s, err = best_of_n(skeleton, key, prim, sc, n_samples=n_samples,
-                       use_traj=use_traj, use_ca=use_ca)
-    if do_refine:
-        s, err = _refine_if_above_threshold(
-            skeleton, prim, sc, s, err, threshold, n_iters=n_iters,
-            error_scale=error_scale, quality_scale=quality_scale,
-            use_traj=use_traj, use_ca=use_ca)
+    s, err = _sample_and_refine(
+        skeleton, key, prim, sc, threshold, error_scale, quality_scale,
+        n_samples=n_samples, n_iters=n_iters, do_refine=do_refine,
+        use_traj=use_traj, use_ca=use_ca)
     return s, err, sc
 
 
@@ -218,14 +216,29 @@ def _loco_search_and_refine(skeleton: Skeleton, prim: MotionPrimitive,
                             use_traj: bool, use_ca: bool, loco_flags: tuple):
     """Cluster-candidate variant of _loco_sample_and_refine."""
     sc = compiled.fill_locomotion_slots(sc, path, loco, *loco_flags)
-    s, err = search_candidates(skeleton, prim, sc, candidates,
-                               use_traj=use_traj, use_ca=use_ca)
-    if do_refine:
-        s, err = _refine_if_above_threshold(
-            skeleton, prim, sc, s, err, threshold, n_iters=n_iters,
-            error_scale=error_scale, quality_scale=quality_scale,
-            use_traj=use_traj, use_ca=use_ca)
+    s, err = _search_and_refine(
+        skeleton, prim, sc, candidates, threshold, error_scale,
+        quality_scale, n_iters=n_iters, do_refine=do_refine,
+        use_traj=use_traj, use_ca=use_ca)
     return s, err, sc
+
+
+def _selection_params(sc: compiled.StepConstraints, config: dict) -> dict:
+    """Static/scalar selection parameters shared by the plain and deferred
+    generate_constrained_sample entry points."""
+    opt = config.get("local_optimization_settings", {})
+    return dict(
+        use_traj=bool(float(np.asarray(sc.traj_active)) > 0),
+        use_ca=bool(float(np.asarray(sc.ca_active)) > 0),
+        do_refine=config.get("local_optimization_mode", "all") != "none",
+        threshold=float(opt.get("start_error_threshold", 0.0)),
+        n_iters=int(config.get("lm_iterations", 10)),
+        error_scale=float(opt.get("error_scale_factor", 1.0)),
+        quality_scale=float(opt.get("quality_scale_factor", 0.1)),
+        n_samples=int(config.get("n_random_samples", 100)),
+        cluster_mode=config.get("constrained_sampling_mode",
+                                "random_discrete") == "cluster_tree_search",
+    )
 
 
 def generate_constrained_sample_loco(key: jax.Array, skeleton: Skeleton,
@@ -238,27 +251,17 @@ def generate_constrained_sample_loco(key: jax.Array, skeleton: Skeleton,
 
     Returns (s, error, filled StepConstraints) as device values.
     """
-    import numpy as _np
-    use_traj = bool(float(_np.asarray(sc.traj_active)) > 0)
-    use_ca = bool(float(_np.asarray(sc.ca_active)) > 0)
-    mode = config.get("constrained_sampling_mode", "random_discrete")
-    opt = config.get("local_optimization_settings", {})
-    do_refine = config.get("local_optimization_mode", "all") != "none"
-    threshold = float(opt.get("start_error_threshold", 0.0))
-    n_iters = int(config.get("lm_iterations", 10))
-    error_scale = float(opt.get("error_scale_factor", 1.0))
-    quality_scale = float(opt.get("quality_scale_factor", 0.1))
-    if mode == "cluster_tree_search" and cluster_tree is not None:
+    p = _selection_params(sc, config)
+    if p.pop("cluster_mode") and cluster_tree is not None:
+        p.pop("n_samples")
         return _loco_search_and_refine(
             skeleton, prim, sc, jnp.asarray(cluster_tree.data), path, loco,
-            threshold, error_scale, quality_scale, n_iters=n_iters,
-            do_refine=do_refine, use_traj=use_traj, use_ca=use_ca,
-            loco_flags=loco_flags)
+            p.pop("threshold"), p.pop("error_scale"), p.pop("quality_scale"),
+            loco_flags=loco_flags, **p)
     return _loco_sample_and_refine(
-        skeleton, key, prim, sc, path, loco, threshold, error_scale,
-        quality_scale, n_samples=int(config.get("n_random_samples", 100)),
-        n_iters=n_iters, do_refine=do_refine, use_traj=use_traj,
-        use_ca=use_ca, loco_flags=loco_flags)
+        skeleton, key, prim, sc, path, loco,
+        p.pop("threshold"), p.pop("error_scale"), p.pop("quality_scale"),
+        loco_flags=loco_flags, **p)
 
 
 def generate_constrained_sample(key: jax.Array, skeleton: Skeleton,
@@ -273,22 +276,14 @@ def generate_constrained_sample(key: jax.Array, skeleton: Skeleton,
 
     Returns (s, error) as device arrays.
     """
-    import numpy as _np
-    use_traj = bool(float(_np.asarray(sc.traj_active)) > 0)
-    use_ca = bool(float(_np.asarray(sc.ca_active)) > 0)
-    mode = config.get("constrained_sampling_mode", "random_discrete")
-    opt = config.get("local_optimization_settings", {})
-    do_refine = config.get("local_optimization_mode", "all") != "none"
-    threshold = float(opt.get("start_error_threshold", 0.0))
-    n_iters = int(config.get("lm_iterations", 10))
-    error_scale = float(opt.get("error_scale_factor", 1.0))
-    quality_scale = float(opt.get("quality_scale_factor", 0.1))
-    if mode == "cluster_tree_search" and cluster_tree is not None:
+    p = _selection_params(sc, config)
+    if p.pop("cluster_mode") and cluster_tree is not None:
+        p.pop("n_samples")
         return _search_and_refine(
             skeleton, prim, sc, jnp.asarray(cluster_tree.data),
-            threshold, error_scale, quality_scale, n_iters=n_iters,
-            do_refine=do_refine, use_traj=use_traj, use_ca=use_ca)
+            p.pop("threshold"), p.pop("error_scale"), p.pop("quality_scale"),
+            **p)
     return _sample_and_refine(
-        skeleton, key, prim, sc, threshold, error_scale, quality_scale,
-        n_samples=int(config.get("n_random_samples", 100)), n_iters=n_iters,
-        do_refine=do_refine, use_traj=use_traj, use_ca=use_ca)
+        skeleton, key, prim, sc,
+        p.pop("threshold"), p.pop("error_scale"), p.pop("quality_scale"),
+        **p)

@@ -227,6 +227,9 @@ class MotionGenerator:
         constraints (reference graph_walk_planner.py:184-226).  Option
         errors are pulled in one transfer after all dispatches are queued."""
         k = int(self.config.get("planner_samples_per_option", 10))
+        cfg = dict(self.config, n_random_samples=k,
+                   local_optimization_mode="none",
+                   constrained_sampling_mode="random_discrete")
         errs = []
         for option in options:
             prim = self.graph.nodes[option].primitive
@@ -235,9 +238,6 @@ class MotionGenerator:
                     self.graph, acs, option, travelled, frames,
                     is_last_step=False, config=self.config,
                     defer_locomotion=True)
-                cfg = dict(self.config, n_random_samples=k,
-                           local_optimization_mode="none",
-                           constrained_sampling_mode="random_discrete")
                 _, err, _ = generator.generate_constrained_sample_loco(
                     self._next_key(), self.graph.skeleton, prim, sc,
                     acs.root_trajectory, loco, loco_flags, cfg)
@@ -249,7 +249,9 @@ class MotionGenerator:
                                              self._next_key(), prim, sc,
                                              n_samples=k)
             errs.append(err)
-        errs = [float(e) for e in jax.device_get(errs)]
+        # NaN-scoring options (degenerate samples) must never win the argmin
+        errs = np.nan_to_num(np.asarray(jax.device_get(errs), np.float64),
+                             nan=np.inf)
         return options[int(np.argmin(errs))]
 
     # -- step ----------------------------------------------------------

@@ -250,3 +250,40 @@ def test_pose_constraint_joint_weights(setup):
     err_w = err_with(np.where(moved, 0.0, 1.0))
     assert err_uniform > 0.5
     assert err_w < 0.1 * err_uniform
+
+
+def test_deferred_locomotion_fill_matches_eager_build(setup):
+    """The on-device locomotion fill (LocoSpec + fill_locomotion_slots) must
+    produce the same constraint set as the eager host build — the eager
+    branch stays the public default of build_step_constraints, so the two
+    encodings of locomotion_constraints_builder semantics are pinned
+    together here."""
+    from morphablegraphs_tpu.synthesis import action_builder
+    from morphablegraphs_tpu.ops import spline_path
+    from morphablegraphs_tpu.utils.config import default_config
+
+    graph, skel, prim = setup
+    cfg = default_config()
+    cfg["trajectory_following_settings"]["generate_half_step_constraint"] = True
+    acs = action_builder.ActionConstraintSet(action_name="walk")
+    acs.root_trajectory = spline_path.build(
+        np.array([[0.0, 0, 0], [10.0, 0, 40], [0.0, 0, 80]]),
+        max_points=compiled.spline_path_max_points(),
+        unconstrained_dims=(1,))
+    acs.root_unconstrained_dims = (1,)
+
+    node_key = ("walk", "leftStance")
+    eager = action_builder.build_step_constraints(
+        graph, acs, node_key, 12.0, None, False, cfg)
+    sc, loco, flags = action_builder.build_step_constraints(
+        graph, acs, node_key, 12.0, None, False, cfg, defer_locomotion=True)
+    filled = jax.jit(compiled.fill_locomotion_slots,
+                     static_argnames=("use_pos", "use_dir", "use_half"))(
+        sc, acs.root_trajectory, loco,
+        use_pos=flags[0], use_dir=flags[1], use_half=flags[2])
+    for field in ("kf_active", "kf_node", "kf_pos", "kf_pos_mask",
+                  "kf_frame", "kf_weight", "dir_active", "dir_target",
+                  "dir_frame", "dir_weight"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(filled, field)),
+            np.asarray(getattr(eager, field)), atol=2e-3, err_msg=field)
