@@ -14,7 +14,7 @@ reference).
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -62,10 +62,44 @@ def distance_grid(x: jax.Array, y: jax.Array) -> jax.Array:
     return pair_distance(x[:, None], y[None, :])
 
 
-def accumulate(grid: np.ndarray) -> np.ndarray:
-    """Cumulative DP distances (reference get_distgrid second half)."""
-    s = np.asarray(grid)
+def window_mask(n: int, m: int, window: str = "none",
+                band: Optional[int] = None) -> np.ndarray:
+    """Global path-constraint windows of the legacy DTW class (reference
+    preprocessing/motion_dtw.py:213-260, which delegated to the GPL R `dtw`
+    package; natively: True = cell allowed).
+
+      * "none": no constraint;
+      * "sakoechiba": |i - j| <= band (Sakoe & Chiba 1978);
+      * "slantedband": band around the main diagonal scaled to the grid
+        aspect, |j - i*m/n| <= band;
+      * "itakura": the Itakura parallelogram (local slope between 1/2 and 2
+        measured from both endpoints).
+    """
+    if window == "none":
+        return np.ones((n, m), bool)
+    i = np.arange(n)[:, None].astype(np.float64)
+    j = np.arange(m)[None, :].astype(np.float64)
+    if band is None:
+        band = max(1, int(0.1 * max(n, m)))
+    if window == "sakoechiba":
+        return np.abs(i - j) <= band
+    if window == "slantedband":
+        return np.abs(j - i * (m - 1) / max(n - 1, 1)) <= band
+    if window == "itakura":
+        return ((j <= 2 * i + 1) & (i <= 2 * j + 1)
+                & (m - 1 - j <= 2 * (n - 1 - i) + 1)
+                & (n - 1 - i <= 2 * (m - 1 - j) + 1))
+    raise ValueError(f"unknown DTW window: {window}")
+
+
+def accumulate(grid: np.ndarray, window: str = "none",
+               band: Optional[int] = None) -> np.ndarray:
+    """Cumulative DP distances (reference get_distgrid second half), with
+    optional global window constraints (cells outside the window = inf)."""
+    s = np.asarray(grid, np.float64)
     n, m = s.shape
+    if window != "none":
+        s = np.where(window_mask(n, m, window, band), s, np.inf)
     d = np.zeros_like(s)
     d[0, 0] = s[0, 0]
     d[1:, 0] = np.cumsum(s[1:, 0]) + s[0, 0]
@@ -96,11 +130,12 @@ def find_path(d: np.ndarray) -> List[tuple]:
     return path
 
 
-def run_dtw(x: np.ndarray, y: np.ndarray):
+def run_dtw(x: np.ndarray, y: np.ndarray, window: str = "none",
+            band: Optional[int] = None):
     """Full DTW: (path, cumulative grid).  x, y: [N/M, J, 3] point clouds."""
     grid = np.asarray(distance_grid(jnp.asarray(x, jnp.float32),
                                     jnp.asarray(y, jnp.float32)))
-    d = accumulate(grid)
+    d = accumulate(grid, window=window, band=band)
     return find_path(d), d
 
 

@@ -229,3 +229,30 @@ def test_scaled_fpca_weights_reduce_cartesian_error():
     assert proj.shape == (n_samples, npc)
     assert recon.shape == coeffs.shape
     assert np.isfinite(recon).all()
+
+
+def test_dtw_window_constraints():
+    """Global window constraints of the legacy DTW class (reference
+    motion_dtw.py:213-260 "none"/"itakura"/"sakoechiba"/"slantedband"):
+    masks have the right shape/anchors and constrained paths stay inside."""
+    from morphablegraphs_tpu.construct import dtw
+
+    m_it = dtw.window_mask(40, 40, "itakura")
+    assert m_it[0, 0] and m_it[39, 39]
+    assert not m_it[0, 30]  # slope > 2 from the start corner
+    m_sc = dtw.window_mask(40, 40, "sakoechiba", band=3)
+    assert m_sc[10, 12] and not m_sc[10, 14]
+    m_sl = dtw.window_mask(20, 40, "slantedband", band=2)
+    assert m_sl[10, 21] and not m_sl[10, 30]
+    with pytest.raises(ValueError):
+        dtw.window_mask(5, 5, "bogus")
+
+    # a speed-changed clip still aligns under the Itakura window, and the
+    # path respects the window
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((30, 4, 3)).astype(np.float32)
+    slow = np.repeat(base, 2, axis=0)[:40]
+    path, _ = dtw.run_dtw(base, slow, window="itakura")
+    assert path[0] == (0, 0) and path[-1] == (29, 39)
+    mask = dtw.window_mask(30, 40, "itakura")
+    assert all(mask[i, j] for i, j in path)
