@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..ops import gmm as gmm_ops
 from . import primitive as prim_mod
 from .primitive import MotionPrimitive, load_primitive_json
 from .skeleton import Skeleton, load_bvh

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constraints import compiled
-from ..constraints.input_reader import MGInput, read_input
+from ..constraints.input_reader import read_input
 from ..models import primitive as prim_mod
 from ..models.graph import (MotionStateGraph, NODE_TYPE_END, NODE_TYPE_SINGLE,
                             NODE_TYPE_STANDARD, NODE_TYPE_CYCLE_END)
