@@ -143,7 +143,8 @@ class MotionGenerator:
 
         n = 0
         while not self._is_end_state(node_type, acs, frames, travelled,
-                                     arc_of_end, full_arc) and n < max_steps:
+                                     arc_of_end, full_arc,
+                                     len(steps)) and n < max_steps:
             node_key, next_type = self._best_transition_node(
                 acs, node_key, frames, travelled, arc_of_end)
             if node_key is None:
@@ -157,8 +158,16 @@ class MotionGenerator:
         return frames, node_key
 
     def _is_end_state(self, node_type, acs, frames, travelled, arc_of_end,
-                      full_arc):
+                      full_arc, n_total_steps):
+        """reference motion_generator_state.py:60-72 is_end_state: last
+        node type, cycled action (one step, the next same-action instance
+        continues the cycle), debug step cap, or path consumed."""
         if node_type in (NODE_TYPE_END, NODE_TYPE_SINGLE):
+            return True
+        if acs.cycled_next:
+            return True
+        debug_max_step = int(self.config.get("debug_max_step", -1))
+        if debug_max_step > -1 and n_total_steps > debug_max_step:
             return True
         if acs.root_trajectory is not None and travelled >= full_arc:
             return True

@@ -122,3 +122,24 @@ def test_smooth_time_parameters_path(graph, result):
     # same seed, same walk: smoothing only perturbs time sampling slightly
     n = min(len(res.frames), len(result.frames))
     assert n > 0
+
+
+def test_end_state_conditions(graph):
+    """reference motion_generator_state.py is_end_state: cycled actions end
+    after one step; debug_max_step caps the walk; consumed path ends it."""
+    from morphablegraphs_tpu.synthesis.action_builder import ActionConstraintSet
+    gen = MotionGenerator(graph, default_config(), seed=0)
+    acs = ActionConstraintSet(action_name="walk")
+
+    assert gen._is_end_state(graph_mod.NODE_TYPE_END, acs, None, 0.0, 0, 0.0, 1)
+    assert not gen._is_end_state(graph_mod.NODE_TYPE_STANDARD, acs, None,
+                                 0.0, 0, 0.0, 1)
+    acs.cycled_next = True
+    assert gen._is_end_state(graph_mod.NODE_TYPE_STANDARD, acs, None,
+                             0.0, 0, 0.0, 1)
+    acs.cycled_next = False
+    gen.config["debug_max_step"] = 2
+    assert gen._is_end_state(graph_mod.NODE_TYPE_STANDARD, acs, None,
+                             0.0, 0, 0.0, 3)
+    assert not gen._is_end_state(graph_mod.NODE_TYPE_STANDARD, acs, None,
+                                 0.0, 0, 0.0, 1)
