@@ -59,7 +59,7 @@ def fit_functional_data(motions: np.ndarray, n_basis: int) -> np.ndarray:
     n_samples, t, d = motions.shape
     knots = jnp.asarray(bspline.clamped_knots(n_basis, t), jnp.float32)
     ts = jnp.arange(t, dtype=jnp.float32)
-    fit = jax.vmap(lambda y: bspline.fit_coeffs(y, knots, ts, n_basis))
+    fit = jax.vmap(lambda y: bspline.fit_coeffs(y, knots, ts))
     return np.asarray(fit(jnp.asarray(motions)))
 
 

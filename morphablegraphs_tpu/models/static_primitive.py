@@ -87,7 +87,7 @@ def make_static_model_json(frames: np.ndarray, n_basis: int = 16,
     ts = jnp.arange(t, dtype=jnp.float32)
     coeffs = np.asarray(bspline.fit_coeffs(
         jnp.asarray(frames, jnp.float32), jnp.asarray(knots, jnp.float32),
-        ts, n_basis))
+        ts))
     return {"name": name,
             "spatial_coeffs": coeffs.tolist(),
             "n_basis_spatial": n_basis,

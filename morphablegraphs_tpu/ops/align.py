@@ -127,7 +127,11 @@ def append_frames(buffer: jax.Array, n_valid: jax.Array, new_frames: jax.Array,
     appends or masked by consumers.  When n_valid == 0 the clip is written
     unaligned (caller applies a start-pose transform first if desired).
 
-    Returns (buffer, n_valid + n_new).
+    A clip whose full S-row slab would overrun the buffer is DROPPED
+    (n_valid unchanged): dynamic_update_slice clamps out-of-range starts
+    backward, which would silently overwrite valid earlier frames.
+
+    Returns (buffer, new n_valid).
     """
     has_prev = n_valid > 0
     prev_last = buffer[jnp.maximum(n_valid - 1, 0)]
@@ -137,5 +141,8 @@ def append_frames(buffer: jax.Array, n_valid: jax.Array, new_frames: jax.Array,
         lambda nf: nf,
         new_frames,
     )
-    buffer = jax.lax.dynamic_update_slice_in_dim(buffer, aligned, n_valid, axis=0)
-    return buffer, n_valid + n_new
+    fits = n_valid + new_frames.shape[0] <= buffer.shape[0]
+    updated = jax.lax.dynamic_update_slice_in_dim(buffer, aligned, n_valid,
+                                                  axis=0)
+    buffer = jnp.where(fits, updated, buffer)
+    return buffer, jnp.where(fits, n_valid + n_new, n_valid)

@@ -93,9 +93,9 @@ def evaluate(coeffs: jax.Array, knots: jax.Array, t: jax.Array,
                       preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("n_basis", "degree"))
-def fit_coeffs(y: jax.Array, knots: jax.Array, t: jax.Array, n_basis: int,
-               degree: int = DEGREE, reg: float = 1e-8) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("degree",))
+def fit_coeffs(y: jax.Array, knots: jax.Array, t: jax.Array,
+               degree: int = DEGREE) -> jax.Array:
     """Least-squares B-spline fit: solve min ||B(t) @ C - y||² for C.
 
     Replaces scipy `splrep` in the construction pipeline (reference
@@ -103,9 +103,9 @@ def fit_coeffs(y: jax.Array, knots: jax.Array, t: jax.Array, n_basis: int,
     solve — a batched matmul + Cholesky, MXU-friendly, and exact when the
     basis has full column rank (n_samples >= n_basis).
 
-    y: [T, n_channels] samples at times t: [T] -> coeffs [n_basis, n_channels].
+    y: [T, n_channels] samples at times t: [T] -> coeffs [n_basis, n_channels]
+    (the basis width comes from the knot vector).
     """
-    del reg  # QR path needs no ridge term
     b = basis_matrix(knots, t, degree)  # [T, n_basis]
     # QR instead of normal equations: the Gram matrix squares the basis
     # condition number, which costs ~1e-3 in f32 — too much for round-trips.

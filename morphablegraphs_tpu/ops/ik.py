@@ -52,7 +52,8 @@ def _apply_deltas(skel: Skeleton, frame: jax.Array, deltas: jax.Array,
 def solve_ik(skel: Skeleton, frame: jax.Array,
              target_nodes: jax.Array, target_positions: jax.Array,
              constraint_mask: jax.Array, joint_mask: jax.Array = None,
-             n_iters: int = 10, damping: float = 0.5):
+             n_iters: int = 10, damping: float = 0.5,
+             prior_weight: float = 0.3):
     """Damped least-squares IK on one frame.
 
     target_nodes: [C] skeleton node indices; target_positions: [C, 3];
@@ -73,8 +74,13 @@ def solve_ik(skel: Skeleton, frame: jax.Array,
         r = residuals(deltas)
         jac = jax.jacfwd(residuals)(deltas)  # [3C, 3J]
         a = jnp.matmul(jac.T, jac, precision=jax.lax.Precision.HIGHEST)
-        a = a + damping * jnp.eye(a.shape[0])
-        g = jnp.matmul(jac.T, r, precision=jax.lax.Precision.HIGHEST)
+        a = a + (damping + prior_weight) * jnp.eye(a.shape[0])
+        # minimum-norm prior: the objective includes prior_weight*|deltas|^2,
+        # so joints in the jacobian's null space (unable to affect any
+        # constraint) decay geometrically back to zero instead of keeping
+        # the nonzero init as a permanent ~2 degree distortion.
+        g = jnp.matmul(jac.T, r, precision=jax.lax.Precision.HIGHEST) \
+            + prior_weight * deltas
         deltas = deltas - jnp.linalg.solve(a, g)
         return deltas, jnp.sum(r * r)
 
@@ -84,6 +90,35 @@ def solve_ik(skel: Skeleton, frame: jax.Array,
     deltas0 = jnp.full(j * 3, 0.02)
     deltas, errs = jax.lax.scan(body, deltas0, None, length=n_iters)
     return _apply_deltas(skel, frame, deltas.reshape(j, 3), joint_mask)
+
+
+def _rotate_joint_toward(skel: Skeleton, frame: jax.Array, ori: jax.Array,
+                         joint_idx: int, node_idx: int,
+                         v_from: jax.Array, v_to: jax.Array) -> jax.Array:
+    """Pre-multiply animated joint `joint_idx`'s local quaternion with the
+    world rotation aligning v_from onto v_to, converted into the joint's
+    parent frame: q_local' = q_p^-1 q_world q_p q_local.  Shared core of
+    CCD and look-at edits."""
+    v1 = v_from / jnp.maximum(jnp.linalg.norm(v_from), 1e-10)
+    v2 = v_to / jnp.maximum(jnp.linalg.norm(v_to), 1e-10)
+    axis = jnp.cross(v1, v2)
+    s = jnp.linalg.norm(axis)
+    c = jnp.dot(v1, v2)
+    angle = jnp.arctan2(s, c)
+    axis = axis / jnp.maximum(s, 1e-10)
+    half = angle * 0.5
+    q_world = jnp.concatenate([jnp.cos(half)[None], jnp.sin(half) * axis])
+    parent_node = skel.parents[node_idx]
+    if parent_node >= 0:
+        p_ori = ori[parent_node]
+    else:
+        p_ori = jnp.array([1.0, 0, 0, 0])
+    q_rel = quat.multiply(quat.conjugate(p_ori),
+                          quat.multiply(q_world, p_ori))
+    sl = 3 + 4 * joint_idx
+    q_old = jax.lax.dynamic_slice(frame, (sl,), (4,))
+    q_new = quat.normalize(quat.multiply(q_rel, q_old))
+    return jax.lax.dynamic_update_slice(frame, q_new, (sl,))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2),
@@ -96,33 +131,11 @@ def run_ccd(skel: Skeleton, chain: tuple, effector_node: int,
     def one_pass(frame, _):
         for joint_idx in chain:
             pos, ori = fk_global(skel, frame)
-            eff = pos[effector_node]
             node_idx = skel.index_of(skel.animated_joints[joint_idx])
             pivot = pos[node_idx]
-            v1 = eff - pivot
-            v2 = target - pivot
-            v1 = v1 / jnp.maximum(jnp.linalg.norm(v1), 1e-10)
-            v2 = v2 / jnp.maximum(jnp.linalg.norm(v2), 1e-10)
-            # world-space rotation aligning v1 to v2
-            axis = jnp.cross(v1, v2)
-            s = jnp.linalg.norm(axis)
-            c = jnp.dot(v1, v2)
-            angle = jnp.arctan2(s, c)
-            axis = axis / jnp.maximum(s, 1e-10)
-            half = angle * 0.5
-            q_world = jnp.concatenate([jnp.cos(half)[None], jnp.sin(half) * axis])
-            # convert to the joint's local frame: q_local' = q_p^-1 q_w q_p q_local
-            parent_node = skel.parents[node_idx]
-            if parent_node >= 0:
-                p_ori = ori[parent_node]
-            else:
-                p_ori = jnp.array([1.0, 0, 0, 0])
-            q_rel = quat.multiply(quat.conjugate(p_ori),
-                                  quat.multiply(q_world, p_ori))
-            sl = 3 + 4 * joint_idx
-            q_old = jax.lax.dynamic_slice(frame, (sl,), (4,))
-            q_new = quat.normalize(quat.multiply(q_rel, q_old))
-            frame = jax.lax.dynamic_update_slice(frame, q_new, (sl,))
+            frame = _rotate_joint_toward(skel, frame, ori, joint_idx,
+                                         node_idx, pos[effector_node] - pivot,
+                                         target - pivot)
         return frame, None
 
     frame, _ = jax.lax.scan(one_pass, frame, None, length=n_iters)
@@ -136,23 +149,6 @@ def look_at(skel: Skeleton, head_joint_idx: int, frame: jax.Array,
     target (anim_utils edit_motion_to_look_at_target core edit)."""
     pos, ori = fk_global(skel, frame)
     node_idx = skel.index_of(skel.animated_joints[head_joint_idx])
-    head_pos = pos[node_idx]
-    head_ori = ori[node_idx]
-    cur_dir = quat.rotate_vec(head_ori, jnp.asarray(local_dir))
-    want = target - head_pos
-    want = want / jnp.maximum(jnp.linalg.norm(want), 1e-10)
-    axis = jnp.cross(cur_dir, want)
-    s = jnp.linalg.norm(axis)
-    c = jnp.dot(cur_dir, want)
-    angle = jnp.arctan2(s, c)
-    axis = axis / jnp.maximum(s, 1e-10)
-    half = angle * 0.5
-    q_world = jnp.concatenate([jnp.cos(half)[None], jnp.sin(half) * axis])
-    parent_node = skel.parents[node_idx]
-    p_ori = jnp.where(parent_node >= 0, ori[jnp.maximum(parent_node, 0)],
-                      jnp.array([1.0, 0, 0, 0]))
-    q_rel = quat.multiply(quat.conjugate(p_ori), quat.multiply(q_world, p_ori))
-    sl = 3 + 4 * head_joint_idx
-    q_old = jax.lax.dynamic_slice(frame, (sl,), (4,))
-    q_new = quat.normalize(quat.multiply(q_rel, q_old))
-    return jax.lax.dynamic_update_slice(frame, q_new, (sl,))
+    cur_dir = quat.rotate_vec(ori[node_idx], jnp.asarray(local_dir))
+    return _rotate_joint_toward(skel, frame, ori, head_joint_idx, node_idx,
+                                cur_dir, target - pos[node_idx])

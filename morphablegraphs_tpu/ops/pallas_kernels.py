@@ -67,16 +67,15 @@ def _back_project_kernel(alpha_ref, eigen_ref, mean_ref, basis_ref, out_ref):
                                     precision=jax.lax.Precision.HIGHEST)
 
 
-@functools.partial(jax.jit, static_argnames=("block_chars", "interpret"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def crowd_back_project(alphas: jax.Array, eigen: jax.Array, mean: jax.Array,
-                       basis: jax.Array, block_chars: int = 128,
+                       basis: jax.Array,
                        interpret: bool = False) -> jax.Array:
     """frames[c] = basis @ reshape(eigen @ alphas[c] + mean).
 
     alphas: [C, K]; eigen: [D, K]; mean: [D]; basis: [T, n_basis]
-    -> [C, T, n_dim].  C must be a multiple of block_chars (pad upstream).
+    -> [C, T, n_dim].  C must be a multiple of SUBLANE=8 (pad upstream).
     """
-    del block_chars  # SUBLANE-character grid
     c, k = alphas.shape
     d = eigen.shape[0]
     t, n_basis = basis.shape

@@ -205,7 +205,9 @@ def closest_point(sp: PathSpline, point: jax.Array,
     d2 = jnp.sum(((sp.table_points - point) * mask_dim) ** 2, axis=-1)
     valid = sp.table_arc >= jnp.asarray(min_arc_length) - 1e-6
     d2 = jnp.where(valid, d2, jnp.inf)
-    i = jnp.argmin(d2)
+    # min_arc_length beyond the path: snap to the END (reference
+    # parameterized_spline.py:287 special-case), not argmin-of-all-inf = 0
+    i = jnp.where(jnp.any(valid), jnp.argmin(d2), d2.shape[0] - 1)
     # table_u is uniform: neighbours need no gather
     g = sp.table_u.shape[0] - 1
     lo = jnp.maximum(i - 1, 0).astype(d2.dtype) / g

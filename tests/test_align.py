@@ -71,3 +71,21 @@ def test_append_frames_masked():
     assert int(n_valid) == 22
     # second clip got aligned: its first frame == last frame of first clip
     np.testing.assert_allclose(np.asarray(buf)[10][:3], np.asarray(buf)[9][:3], atol=1e-4)
+
+
+def test_append_frames_overflow_drops_clip():
+    """A clip whose write slab would overrun the fixed buffer is dropped
+    (dynamic_update_slice would clamp backward and corrupt earlier frames)."""
+    from morphablegraphs_tpu.ops import align
+    d = 7
+    buf = jnp.zeros((100, d))
+    marker = jnp.full((40, d), 5.0).at[:, 3].set(1.0)
+    buf, n = align.append_frames(buf, jnp.asarray(0), marker, jnp.asarray(40),
+                                 window=4)
+    buf, n = align.append_frames(buf, n, marker, jnp.asarray(40), window=4)
+    assert int(n) == 80
+    before = np.asarray(buf).copy()
+    # 40 more rows do not fit into the remaining 20
+    buf, n = align.append_frames(buf, n, marker, jnp.asarray(40), window=4)
+    assert int(n) == 80  # unchanged
+    np.testing.assert_array_equal(np.asarray(buf), before)

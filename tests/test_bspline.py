@@ -63,7 +63,7 @@ def test_fit_roundtrip():
     coeffs = rng.standard_normal((n_basis, 4))
     t = np.arange(n_frames, dtype=np.float32)
     y = bspline.evaluate(jnp.asarray(coeffs, jnp.float32), jnp.asarray(knots, jnp.float32), jnp.asarray(t))
-    fitted = bspline.fit_coeffs(y, jnp.asarray(knots, jnp.float32), jnp.asarray(t), n_basis)
+    fitted = bspline.fit_coeffs(y, jnp.asarray(knots, jnp.float32), jnp.asarray(t))
     assert np.max(np.abs(np.asarray(fitted) - coeffs)) < 1e-2
     y2 = bspline.evaluate(fitted, jnp.asarray(knots, jnp.float32), jnp.asarray(t))
     assert np.max(np.abs(np.asarray(y2 - y))) < 1e-4

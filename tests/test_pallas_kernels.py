@@ -18,7 +18,7 @@ def test_crowd_back_project_matches_xla():
     mean = jnp.asarray(rng.standard_normal(d), jnp.float32)
     basis = jnp.asarray(rng.random((t, n_basis)), jnp.float32)
     ours = pk.crowd_back_project(alphas, eigen, mean, basis,
-                                 block_chars=64, interpret=True)
+                                 interpret=True)
     ref = pk.crowd_back_project_xla(alphas, eigen, mean, basis)
     assert ours.shape == (c, t, n_dim)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-4)

@@ -150,3 +150,28 @@ def test_export_files(skel, tmp_path):
     assert "elementaryActionSequence" in ann
     acts = json.load(open(prefix + "_actions.json"))
     assert "events" in acts
+
+
+def test_solve_ik_leaves_null_space_joints_untouched():
+    """Joints that cannot affect any constraint must come back unrotated
+    (the singularity-escape init must not leak a ~2 degree distortion)."""
+    from morphablegraphs_tpu.ops import ik
+    from morphablegraphs_tpu.ops import quat as quat_ops
+    skel, _ = sk.load_bvh(WALK_BVH)
+    frame = np.zeros(skel.n_frame_params, np.float32)
+    frame[1] = 10.0
+    for j in range(skel.n_animated):
+        frame[3 + 4 * j] = 1.0
+    # constrain the LEFT foot; RIGHT-leg joints have zero jacobian columns
+    target_node = skel.index_of("LeftFoot")
+    cur = np.asarray(sk.fk_positions(skel, jnp.asarray(frame)))[target_node]
+    out = ik.solve_ik(skel, jnp.asarray(frame),
+                      jnp.asarray([target_node], jnp.int32),
+                      jnp.asarray([cur + np.array([2.0, 0, 0])], jnp.float32),
+                      jnp.asarray([1.0]), n_iters=10)
+    out = np.asarray(out)
+    for joint in ("RightUpLeg", "RightLeg"):
+        slq = skel.quat_slice(joint)
+        q = out[slq] / np.linalg.norm(out[slq])
+        angle = 2 * np.arccos(min(abs(q[0]), 1.0))
+        assert np.degrees(angle) < 0.2, (joint, np.degrees(angle))

@@ -113,3 +113,14 @@ def test_closest_point_min_arc_monotone():
     # constrained to arc >= 60% of the path, result must respect that
     _, arc, _ = spline_path.closest_point(sp, q, jnp.asarray(0.6 * full))
     assert float(arc) >= 0.6 * full - 1.0
+
+
+def test_closest_point_min_arc_beyond_end_snaps_to_end():
+    """min_arc_length past the path end returns the END of the spline
+    (reference parameterized_spline.py:287 special case), not the start."""
+    sp = spline_path.build(np.array([[0.0, 0, 0], [100.0, 0, 0]]))
+    full = float(np.asarray(sp.full_arc_length))
+    pos, arc, d = spline_path.closest_point(
+        sp, jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray(full + 50.0))
+    assert float(arc) > full - 1.0
+    assert abs(float(np.asarray(pos)[0]) - 100.0) < 1.0
