@@ -162,13 +162,16 @@ class MotionStateGraph:
         if current is None:
             current = self.node_groups[action].node_keys[0]
         walk = []
-        for i in range(number_of_steps + 1):
+        # entries: start + number_of_steps standard targets + one end target
+        for i in range(number_of_steps + 2):
             key, sub = jax.random.split(key)
             params = np.asarray(prim_mod.sample_latent(
                 sub, self.nodes[current].primitive, 1)[0])
             walk.append({"node_key": current, "parameters": params})
-            t_type = (NODE_TYPE_END if i >= number_of_steps - 1
-                      else NODE_TYPE_STANDARD)
+            if i > number_of_steps:
+                break
+            t_type = (NODE_TYPE_STANDARD if i < number_of_steps
+                      else NODE_TYPE_END)
             nxt = self.random_transition(rng, current, t_type)
             if nxt is None and t_type == NODE_TYPE_STANDARD:
                 nxt = self.random_transition(rng, current, NODE_TYPE_END)
@@ -180,15 +183,19 @@ class MotionStateGraph:
     # -- stats ------------------------------------------------------------
 
     def update_motion_stats(self, key: jax.Array, n_samples: int = 5,
-                            method: str = "median"):
+                            method: str = "median", only_missing: bool = True):
         """Median root-path arc length over sampled motions
         (reference motion_state_graph_node.py:183-231), computed with one
-        vmapped back-projection per node instead of per-sample Python."""
+        vmapped back-projection per node instead of per-sample Python.
+
+        only_missing keeps packaged/trained stats authoritative — only
+        nodes that loaded without an average_step_length are sampled."""
         for node in self.nodes.values():
-            prim = node.primitive
             node.n_standard_transitions = len(node.edges_of_type(NODE_TYPE_STANDARD))
+            if only_missing and node.average_step_length != 0.0:
+                continue
             key, sub = jax.random.split(key)
-            lengths = np.asarray(_sample_step_lengths(sub, prim, n_samples))
+            lengths = np.asarray(_sample_step_lengths(sub, node.primitive, n_samples))
             node.average_step_length = float(
                 np.median(lengths) if method == "median" else np.mean(lengths))
 
@@ -204,12 +211,20 @@ class MotionStateGraph:
             group.idle_states = list(info.get("idle_states", []))
             group.cycle_states = list(info.get("cycle_states", []))
             if "annotations" in info:
-                group.labeled_frames = dict(info["annotations"])
+                # merge with the keyframes already collected from the model
+                # files (replacing would orphan their label-map entries)
+                for mp, ann in info["annotations"].items():
+                    if isinstance(ann, dict):
+                        group.labeled_frames.setdefault(mp, {}).update(ann)
+                    else:
+                        group.labeled_frames[mp] = ann
             for mp, annotations in group.labeled_frames.items():
                 if mp == "all_primitives":
                     continue
                 for label in annotations:
-                    group.label_to_motion_primitive_map.setdefault(label, []).append(mp)
+                    mps = group.label_to_motion_primitive_map.setdefault(label, [])
+                    if mp not in mps:
+                        mps.append(mp)
         if len(group.node_keys) == 1:
             self.nodes[group.node_keys[0]].node_type = NODE_TYPE_SINGLE
         else:
@@ -274,6 +289,12 @@ def build_graph_from_dict(graph_dict: dict, skeleton: Optional[Skeleton] = None,
             prim = load_primitive_json(desc["mm"], name=f"{action}_{mp_name}")
             graph.nodes[key] = GraphNode(key=key, primitive=prim)
             group.node_keys.append(key)
+            st = desc.get("stats")
+            if st:  # packaged <mp>.stats files (reference zip_io _add_stats)
+                graph.nodes[key].average_step_length = float(
+                    st.get("average_step_length", 0.0))
+                graph.nodes[key].n_standard_transitions = int(
+                    st.get("n_standard_transitions", 0))
             if "space_partition_json" in desc:
                 from ..construct.space_partitioning import load_reference_feature_tree_json
                 graph.nodes[key].cluster_tree = load_reference_feature_tree_json(
@@ -293,12 +314,12 @@ def build_graph_from_dict(graph_dict: dict, skeleton: Optional[Skeleton] = None,
     if transitions:
         split_key = ":" if ":" in next(iter(transitions)) else "_"
         for from_str, to_list in transitions.items():
-            from_key = tuple(from_str.split(split_key)[:2])
-            if from_key not in graph.nodes:
+            from_key = _resolve_node_key(from_str, split_key, graph.nodes)
+            if from_key is None:
                 continue
             for to_str in to_list:
-                to_key = tuple(to_str.split(split_key)[:2])
-                if to_key in graph.nodes:
+                to_key = _resolve_node_key(to_str, split_key, graph.nodes)
+                if to_key is not None:
                     graph.add_transition(from_key, to_key)
 
     if stats_key is None:
@@ -322,16 +343,30 @@ def build_graph_from_dict(graph_dict: dict, skeleton: Optional[Skeleton] = None,
     return graph
 
 
+def _resolve_node_key(s: str, split_key: str, nodes: dict):
+    """"<action><sep><primitive>" -> a known (action, primitive) key.
+    Action/primitive names may contain the separator themselves, so try
+    every split position against the node table."""
+    pieces = s.split(split_key)
+    for i in range(1, len(pieces)):
+        key = (split_key.join(pieces[:i]), split_key.join(pieces[i:]))
+        if key in nodes:
+            return key
+    return None
+
+
 def read_zip(zip_path: str) -> dict:
     """Read a packaged graph zip into the dict form (reference
     utilities/zip_io.py:51-246, format versions 1-4, sans pickle trees)."""
     zf = zipfile.ZipFile(zip_path, "r", zipfile.ZIP_DEFLATED)
     data = json.loads(zf.read("graph_definition.json").decode("utf-8"))
     version = float(data.get("formatVersion", 1.0))
+    names = set(zf.namelist())
 
     ea_dir = "elementary_action_models"
+    ea_prefix = "elementary_action_"
     actions: Dict[str, dict] = {}
-    for name in zf.namelist():
+    for name in sorted(names):
         parts = name.split("/")
         if version >= 2.0:
             if len(parts) > 2 and parts[0] == ea_dir and parts[2].endswith("mm.json"):
@@ -343,34 +378,40 @@ def read_zip(zip_path: str) -> dict:
                 action_dir, fname = parts[0], parts[1]
             else:
                 continue
-        # directory name: elementary_action_<name>
-        action_key = action_dir.split("_")[2] if action_dir.count("_") >= 2 else action_dir
+        # directory name: elementary_action_<name>; action names may
+        # themselves contain underscores, so strip the PREFIX, never split
+        action_key = (action_dir[len(ea_prefix):]
+                      if action_dir.startswith(ea_prefix) else action_dir)
         entry = actions.setdefault(action_key, {"name": action_key, "nodes": {}})
         mp_full = fname[: -len("_mm.json")]  # <action>_<primitive>
-        mp_key = mp_full[len(mp_full.split("_")[0]) + 1:]
+        mp_key = (mp_full[len(action_key) + 1:]
+                  if mp_full.startswith(action_key + "_")
+                  else mp_full[len(mp_full.split("_")[0]) + 1:])
         prefix = (f"{ea_dir}/{action_dir}" if version >= 2.0 else action_dir)
         mm = json.loads(zf.read(name).decode("utf-8"))
         node = {"name": mp_full, "mm": mm}
         stats_path = f"{prefix}/{mp_full}.stats"
-        if stats_path in zf.namelist():
+        if stats_path in names:
             node["stats"] = json.loads(zf.read(stats_path).decode("utf-8"))
         tree_path = f"{prefix}/{mp_full}_cluster_tree.json"
-        if tree_path in zf.namelist():
+        if tree_path in names:
             node["space_partition_json"] = json.loads(zf.read(tree_path).decode("utf-8"))
         entry["nodes"][mp_key] = node
         meta_path = f"{prefix}/meta_information.json"
-        if meta_path in zf.namelist() and "info" not in entry:
+        if meta_path in names and "info" not in entry:
             entry["info"] = json.loads(zf.read(meta_path).decode("utf-8"))
 
     data["subgraphs"] = actions
-    if version <= 2.0 and "skeleton.bvh" in zf.namelist():
+    # read whatever skeleton the package carries, regardless of version
+    # (the reference gates on version, but v3+ packages shipping
+    # skeleton.bvh exist and a None skeleton crashes every consumer)
+    if "skeleton.bvh" in names:
         data["bvh_skeleton_string"] = zf.read("skeleton.bvh").decode("utf-8")
-    elif "skeleton.json" in zf.namelist():
+    if "skeleton.json" in names:
         data["skeleton"] = json.loads(zf.read("skeleton.json").decode("utf-8"))
 
     # optional hand-pose section (reference zip_io.py:152-166
     # _read_hand_pose_data: info JSON + example skeleton BVHs)
-    names = zf.namelist()
     if "hand_poses/hand_pose_info.json" in names:
         info = json.loads(zf.read("hand_poses/hand_pose_info.json").decode("utf-8"))
         info["skeletonStrings"] = {}
@@ -399,6 +440,11 @@ def load_graph(path: str) -> MotionStateGraph:
     skeleton = None
     if "bvh_skeleton_string" in data:
         skeleton, _ = load_bvh(data["bvh_skeleton_string"])
+    elif "skeleton" in data:
+        # v3+ packages ship skeleton.json (reference loader delegates to
+        # SkeletonBuilder.load_from_json_data)
+        from .skeleton import load_skeleton_json
+        skeleton = load_skeleton_json(data["skeleton"])
     if skeleton is not None and not skeleton.joint_weights:
         # pose-constraint joint weights: explicit per-joint values from the
         # package's skeleton JSON if present, else depth-attenuated defaults

@@ -210,6 +210,55 @@ def load_bvh(path_or_text: str):
     return skel, frames
 
 
+def load_skeleton_json(data: dict) -> Skeleton:
+    """Build a Skeleton from the package skeleton.json form (anim_utils
+    SkeletonBuilder.load_from_json_data, consumed by the reference loader
+    for zip format versions > 2, motion_state_graph_loader.py:196).
+
+    Expected shape: {"root": name, "frame_time": s, "animated_joints": [...],
+    "nodes": {name: {"offset": [3], "children": [names],
+                     "channels": [...] (optional)}}}.
+    """
+    nodes = data["nodes"]
+    root = data.get("root")
+    if root is None:  # fall back to the node nobody lists as a child
+        children = {c for nd in nodes.values() for c in nd.get("children", ())}
+        root = next(n for n in nodes if n not in children)
+    names: List[str] = []
+    parents: List[int] = []
+    offsets: List[list] = []
+    channels: List[tuple] = []
+    animated = tuple(data.get("animated_joints", ()))
+
+    def visit(name: str, parent_idx: int):
+        nd = nodes[name]
+        idx = len(names)
+        names.append(name)
+        parents.append(parent_idx)
+        offsets.append(list(nd.get("offset", (0.0, 0.0, 0.0))))
+        chans = nd.get("channels")
+        if chans is None:
+            chans = (("Xposition", "Yposition", "Zposition",
+                      "Xrotation", "Yrotation", "Zrotation")
+                     if parent_idx < 0 else
+                     ("Xrotation", "Yrotation", "Zrotation")
+                     if not animated or name in animated else ())
+        channels.append(tuple(chans))
+        for child in nd.get("children", ()):
+            if child in nodes:
+                visit(child, idx)
+
+    visit(root, -1)
+    if not animated:
+        animated = tuple(n for n, c in zip(names, channels)
+                         if any(ch.endswith("rotation") for ch in c))
+    else:
+        animated = tuple(n for n in names if n in animated)  # DFS order
+    return Skeleton(tuple(names), tuple(parents),
+                    np.asarray(offsets, np.float32), tuple(channels),
+                    animated, float(data.get("frame_time", 1.0 / 30)))
+
+
 def _rotation_order(chans: Sequence[str]) -> str:
     return "r" + "".join(c[0].lower() for c in chans if c.endswith("rotation"))
 
@@ -264,7 +313,13 @@ def bvh_to_quat_frames(skel: Skeleton, euler_frames: np.ndarray) -> np.ndarray:
         pos_cols = [i for i, c in enumerate(chans) if c.endswith("position")]
         rot_cols = [i for i, c in enumerate(chans) if c.endswith("rotation")]
         if pos_cols and not root_seen:
-            out[0] = vals[:, pos_cols].astype(np.float32)
+            # map by channel letter, not file order (permuted exports like
+            # "Zposition Xposition Yposition" exist; the inverse writer
+            # already maps by letter)
+            pos = np.zeros((t, 3), np.float32)
+            for ci in pos_cols:
+                pos[:, "XYZ".index(chans[ci][0].upper())] = vals[:, ci]
+            out[0] = pos
             root_seen = True
         if rot_cols and name in skel.animated_joints:
             order = _rotation_order(chans)

@@ -51,7 +51,10 @@ def write_graph_zip(path: str, skeleton: Skeleton,
         zf.writestr("skeleton.bvh", write_bvh(skeleton, rest))
 
         for action, desc in actions.items():
-            prefix = f"elementary_action_models/elementary_action_{action}"
+            # v1 packages use 2-part paths (no elementary_action_models/
+            # container, reference zip_io _read_..._v1); v2+ use 3-part
+            prefix = (f"elementary_action_{action}" if format_version < 2.0
+                      else f"elementary_action_models/elementary_action_{action}")
             for mp_name, mm in desc.get("nodes", {}).items():
                 zf.writestr(f"{prefix}/{action}_{mp_name}_mm.json",
                             json.dumps(mm))

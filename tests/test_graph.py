@@ -12,7 +12,9 @@ import jax.numpy as jnp
 from morphablegraphs_tpu.models import graph as graph_mod
 from morphablegraphs_tpu.synthesis import walk as walk_mod
 
-from fixtures import make_graph_dict
+from morphablegraphs_tpu.models import skeleton as sk
+
+from fixtures import TEST_BVH, make_graph_dict
 
 
 @pytest.fixture(scope="module")
@@ -148,3 +150,79 @@ def test_zip_roundtrip(tmp_path):
     assert g.skeleton is not None
     assert g.skeleton.animated_joints == ("Hips", "Spine", "Head", "Leg")
     assert g.start_node == ("walk", "beginLeftStance")
+
+
+def test_zip_roundtrip_v1_v3_and_underscore_names(tmp_path):
+    """Review fixes: v1 layout parses; v3 packages keep their skeleton;
+    underscore action names survive the zip round trip with transitions."""
+    from morphablegraphs_tpu.models.zip_writer import write_graph_zip
+    skel, _ = sk.load_bvh(TEST_BVH)
+    gd = make_graph_dict()
+    nodes = {mp: n["mm"] for mp, n in gd["subgraphs"]["walk"]["nodes"].items()}
+    info = gd["subgraphs"]["walk"]["info"]
+
+    # v1 layout (2-part paths)
+    p1 = write_graph_zip(str(tmp_path / "v1"), skel, {"walk": {"nodes": nodes,
+                                                               "info": info}},
+                         gd["transitions"], format_version=1.0)
+    g1 = graph_mod.load_graph(p1)
+    assert ("walk", "leftStance") in g1.nodes and g1.skeleton is not None
+
+    # v3 header with skeleton.bvh must still yield a skeleton
+    p3 = write_graph_zip(str(tmp_path / "v3"), skel, {"walk": {"nodes": nodes,
+                                                               "info": info}},
+                         gd["transitions"], format_version=3.0)
+    g3 = graph_mod.load_graph(p3)
+    assert g3.skeleton is not None
+    assert g3.nodes[("walk", "leftStance")].outgoing_edges
+
+    # underscore-bearing action name: nodes AND transitions survive
+    uname = "pick_both"
+    trans = {f"{uname}_leftStance": [f"{uname}_rightStance"]}
+    pu = write_graph_zip(str(tmp_path / "u"), skel,
+                         {uname: {"nodes": nodes, "info": info}}, trans)
+    gu = graph_mod.load_graph(pu)
+    assert (uname, "leftStance") in gu.nodes
+    assert (uname, "rightStance") in gu.nodes[(uname, "leftStance")].outgoing_edges
+
+
+def test_packaged_stats_are_authoritative():
+    """Packaged per-node .stats load and are NOT clobbered by the sampled
+    recompute; mm-file keyframes survive meta annotations."""
+    gd = make_graph_dict()
+    node = gd["subgraphs"]["walk"]["nodes"]["leftStance"]
+    node["stats"] = {"average_step_length": 123.5, "n_standard_transitions": 7}
+    node["mm"]["keyframes"] = {"contact_label": 11}
+    gd["subgraphs"]["walk"]["info"]["annotations"] = {"leftStance": {"meta_label": 3}}
+    g = graph_mod.build_graph_from_dict(gd)
+    assert g.nodes[("walk", "leftStance")].average_step_length == 123.5
+    group = g.node_groups["walk"]
+    # both label sources resolvable, no duplicate map entries
+    assert group.map_label_to_keyframe("leftStance", "contact_label", 50) == 11
+    assert group.map_label_to_keyframe("leftStance", "meta_label", 50) == 3
+    assert group.label_to_motion_primitive_map["contact_label"] == ["leftStance"]
+
+
+def test_skeleton_json_loader():
+    from morphablegraphs_tpu.models.skeleton import load_skeleton_json
+    data = {"root": "Hips", "frame_time": 1 / 60,
+            "animated_joints": ["Hips", "Spine"],
+            "nodes": {
+                "Hips": {"offset": [0, 90, 0], "children": ["Spine"]},
+                "Spine": {"offset": [0, 20, 0], "children": ["Head"]},
+                "Head": {"offset": [0, 15, 0], "children": []},
+            }}
+    skel = load_skeleton_json(data)
+    assert skel.node_names == ("Hips", "Spine", "Head")
+    assert skel.parents == (-1, 0, 1)
+    assert skel.animated_joints == ("Hips", "Spine")
+    assert skel.n_frame_params == 11
+    assert abs(skel.frame_time - 1 / 60) < 1e-9
+
+
+def test_random_walk_step_count(graph):
+    import random as _random
+    walk = graph.generate_random_walk(jax.random.PRNGKey(0), "walk", 3,
+                                      _random.Random(1))
+    # start + 3 standard targets + end (when transitions allow)
+    assert len(walk) == 5
