@@ -132,9 +132,11 @@ def build_action_constraints(graph: MotionStateGraph, mg_input: MGInput,
         by_label = {}
         for kc in spec.keyframe_constraints:
             by_label.setdefault(kc.keyframe_label, set()).add(kc.joint)
+        hand_joints = ("LeftHand", "LeftToolEndSite", "RightHand",
+                       "RightToolEndSite")
         for joints in by_label.values():
-            sides = {j[:5] for j in joints if j.startswith(("Left", "Right"))}
-            if {"LeftH", "Right"} & sides and len(joints) >= 2:
+            sides = {j[:5] for j in joints if j.startswith(hand_joints)}
+            if {"LeftH", "Right"} <= sides:  # BOTH hands on one label
                 acs.contains_two_hands_constraints = True
         out.append(acs)
     return out
@@ -249,10 +251,12 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
         if not np.any(np.isnan(kc.orientation)):
             from ..models.skeleton import _np_from_euler
             quat_wxyz = _np_from_euler(kc.orientation, "rxyz")
+        # user constraints get their own unit weight (reference keyframe
+        # constraints default weight 1.0) — tying them to the locomotion
+        # position factor would disable them under factor-0 presets
         sc = compiled.set_keyframe_constraint(
             sc, slot, skeleton, joint, kf,
-            position=kc.position, quat_wxyz=quat_wxyz,
-            weight=tf["position_constraint_factor"])
+            position=kc.position, quat_wxyz=quat_wxyz, weight=1.0)
         slot += 1
         # pose constraint on last step with user constraints (reference
         # motion_primitive_constraints_builder.py:157-160)

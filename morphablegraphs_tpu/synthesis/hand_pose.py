@@ -116,30 +116,37 @@ class HandPoseGenerator:
                 new_status = self._status_for_event(e.get("event", ""), status[hand])
                 if new_status != status[hand]:
                     status[hand] = new_status
-                    switch_frames.append(i)
+                    switch_frames.append((i, hand))
                 ci += 1
             for hand, st in status.items():
                 if st != "standard":
                     frames[i] = self.set_pose_in_frame(frames[i], st, hand)
-        for sf in switch_frames:
-            frames = self.smooth_state_transition(frames, sf)
+        for sf, hand in switch_frames:
+            frames = self.smooth_state_transition(frames, sf, hand=hand)
         self.status = status
         return frames
 
     def smooth_state_transition(self, frames: np.ndarray, at_frame: int,
-                                window: Optional[int] = None) -> np.ndarray:
-        """Slerp-blend all joint quats across the transition (:158-188)."""
+                                window: Optional[int] = None,
+                                hand: Optional[str] = None) -> np.ndarray:
+        """Slerp-blend the switching hand's joint quats across the
+        transition (:158-188).  Only the joints the hand pose overwrites are
+        blended — the rest of the body keeps its real motion."""
         window = window or self.smoothing_window
         n = len(frames)
         lo = max(at_frame - window // 2, 0)
         hi = min(at_frame + window // 2, n - 1)
         if hi <= lo:
             return frames
-        q_lo = frames[lo, 3:].reshape(-1, 4)
-        q_hi = frames[hi, 3:].reshape(-1, 4)
+        joints = [j for j in self.skeleton.animated_joints
+                  if hand is None or j.startswith(hand)]
+        slots = [self.skeleton.quat_slice(j) for j in joints]
+        q_lo = np.stack([frames[lo, s] for s in slots])
+        q_hi = np.stack([frames[hi, s] for s in slots])
         for i in range(lo, hi + 1):
             t = (i - lo) / (hi - lo)
             blended = np.asarray(quat.slerp(jnp.asarray(q_lo), jnp.asarray(q_hi),
                                             jnp.asarray(t, jnp.float32)))
-            frames[i, 3:] = blended.reshape(-1)
+            for s, q in zip(slots, blended):
+                frames[i, s] = q
         return frames

@@ -87,14 +87,13 @@ class MotionGenerator:
 
         steps: List[GraphWalkEntry] = []
         frames: Optional[np.ndarray] = None
-        action_ranges = []
+        action_step_spans = []  # (action, first step idx, last step idx + 1)
         prev_node_key = None
         for acs in action_sets:
-            start_frame = 0 if frames is None else len(frames)
+            first_step = len(steps)
             frames, prev_node_key = self._generate_action(
                 acs, frames, steps, prev_node_key)
-            action_ranges.append((acs.action_name, start_frame,
-                                  0 if frames is None else len(frames)))
+            action_step_spans.append((acs.action_name, first_step, len(steps)))
 
         # final conversion with time warping (reference
         # graph_walk.py:112-176 convert_to_annotated_motion);
@@ -104,8 +103,16 @@ class MotionGenerator:
         # _post_process_motion, motion_generator.py:281-320) — post-process
         # IK/grounding then runs on full-width frames.
         self._maybe_optimize_time(steps)
+        # _convert_with_time_warp remaps every step's start/end_frame onto
+        # the WARPED buffer, so post-process IK/grounding and the exported
+        # action ranges address the frames that actually exist (warped
+        # lengths differ from the unwarped synthesis buffer's)
         warped = self._convert_with_time_warp(
             steps, complete_motion_vector=complete_motion_vector)
+        action_ranges = [
+            (name, steps[i0].start_frame if i1 > i0 else 0,
+             steps[i1 - 1].end_frame + 1 if i1 > i0 else 0)
+            for name, i0, i1 in action_step_spans]
         warped = self._post_process(warped, steps)
 
         stats = {
@@ -145,10 +152,11 @@ class MotionGenerator:
         while not self._is_end_state(node_type, acs, frames, travelled,
                                      arc_of_end, full_arc,
                                      len(steps)) and n < max_steps:
-            node_key, next_type = self._best_transition_node(
+            next_key, next_type = self._best_transition_node(
                 acs, node_key, frames, travelled, arc_of_end)
-            if node_key is None:
-                break
+            if next_key is None:
+                break  # keep node_key: the next action links from it
+            node_key = next_key
             frames, travelled, err = self._generate_step(
                 acs, node_key, frames, steps, travelled,
                 is_last_step=(next_type == NODE_TYPE_END))
@@ -289,7 +297,9 @@ class MotionGenerator:
                 self.config)
             has_constraints = (float(np.asarray(sc.kf_active).sum())
                                + float(np.asarray(sc.dir_active))
-                               + float(np.asarray(sc.traj_active))) > 0
+                               + float(np.asarray(sc.traj_active))
+                               + float(np.asarray(sc.ca_active))
+                               + float(np.asarray(sc.pose_active))) > 0
             if has_constraints:
                 s, err = generator.generate_constrained_sample(
                     self._next_key(), graph.skeleton, prim, sc, self.config,
@@ -479,6 +489,10 @@ class MotionGenerator:
                 f = add_fixed_joint_parameters_to_motion(
                     skel, np.asarray(f), prim.animated_joints or None)
             frames = self._append_padded(frames, f, n, window)
+            # remap the step onto the warped buffer (consumed by IK,
+            # grounding, and the action-range export)
+            step.start_frame = len(frames) - n
+            step.end_frame = len(frames) - 1
         return frames if frames is not None else np.zeros((0, 0), np.float32)
 
 

@@ -103,7 +103,7 @@ def post_process_motion(skeleton: Skeleton, frames: np.ndarray, steps,
     if ik_constraints and config.get("activate_inverse_kinematics", True):
         frames = apply_ik_constraints(
             skeleton, frames, ik_constraints,
-            interpolation_window=ik_settings.get("interpolation_window", 120) // 2)
+            interpolation_window=ik_settings.get("interpolation_window", 120))
     if config.get("activate_motion_grounding", False):
         frames = grounding.ground_motion(skeleton, frames, steps, scene)
     return frames

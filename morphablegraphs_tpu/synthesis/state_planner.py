@@ -89,7 +89,9 @@ class MGStatePlanner:
         # mg_state_planner.py:672-704 collision_boundary.check_trajectory)
         self.collision_boundary = collision_boundary
         self.settings = settings or MGStatePlanningSettings()
-        self.config = config or default_config()
+        # copy before overriding: mutating a shared config dict would
+        # clobber other components' sample counts
+        self.config = dict(config or default_config())
         self.config["n_random_samples"] = self.settings.n_samples
         frame_time = graph.skeleton.frame_time if graph.skeleton else 1.0 / 30
         self.state_queue = MGStateQueue(graph.skeleton, frame_time,
