@@ -135,8 +135,9 @@ def build_action_constraints(graph: MotionStateGraph, mg_input: MGInput,
         hand_joints = ("LeftHand", "LeftToolEndSite", "RightHand",
                        "RightToolEndSite")
         for joints in by_label.values():
-            sides = {j[:5] for j in joints if j.startswith(hand_joints)}
-            if {"LeftH", "Right"} <= sides:  # BOTH hands on one label
+            sides = {"Left" if j.startswith("Left") else "Right"
+                     for j in joints if j.startswith(hand_joints)}
+            if {"Left", "Right"} <= sides:  # BOTH hands on one label
                 acs.contains_two_hands_constraints = True
         out.append(acs)
     return out

@@ -138,8 +138,19 @@ class HandPoseGenerator:
         hi = min(at_frame + window // 2, n - 1)
         if hi <= lo:
             return frames
+        # Blend ONLY the joints a hand pose actually overwrites (the union of
+        # joint_quats keys across loaded poses for this hand) — a bare
+        # prefix filter would also match LeftUpLeg/LeftShoulder/... and wipe
+        # real limb motion around every status change (the reference smooths
+        # only the hand-skeleton indices, hand_pose_generator.py:158-188).
+        pose_joints = set()
+        for pose in self.pose_map.values():
+            pose_joints.update(pose.joint_quats.keys())
         joints = [j for j in self.skeleton.animated_joints
-                  if hand is None or j.startswith(hand)]
+                  if j in pose_joints
+                  and (hand is None or j.startswith(hand))]
+        if not joints:
+            return frames
         slots = [self.skeleton.quat_slice(j) for j in joints]
         q_lo = np.stack([frames[lo, s] for s in slots])
         q_hi = np.stack([frames[hi, s] for s in slots])

@@ -105,6 +105,32 @@ def test_hand_pose_overlay():
     np.testing.assert_allclose(out[0, sl], [1, 0, 0, 0], atol=1e-5)
 
 
+def test_hand_pose_smoothing_leaves_non_pose_joints_alone():
+    """The transition blend must touch ONLY joints the pose overwrites;
+    other Right*-prefixed joints (RightFoot, RightUpLeg, ...) keep their
+    real motion (advisor finding r1: prefix filter wiped limb motion)."""
+    from morphablegraphs_tpu.synthesis.hand_pose import HandPoseGenerator
+    skel, _ = sk.load_bvh(WALK_BVH)
+    gen = HandPoseGenerator(skel, smoothing_window=8)
+    grip = np.array([0.0, 0.0, 1.0, 0.0], np.float32)
+    gen.add_pose("pick", {"RightLeg": grip})
+    rng = np.random.default_rng(3)
+    frames = np.zeros((20, skel.n_frame_params), np.float32)
+    for j in range(skel.n_animated):
+        q = rng.normal(size=(20, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        frames[:, 3 + 4 * j: 7 + 4 * j] = q
+    events = [{"keyframe": 10, "event": "attach",
+               "parameters": {"joint": "RightLeg"}}]
+    out = gen.generate_hand_poses(frames, events)
+    other = [j for j in skel.animated_joints
+             if j.startswith("Right") and j != "RightLeg"]
+    assert other, "walk skeleton should have other Right* joints"
+    for j in other:
+        sl2 = skel.quat_slice(j)
+        np.testing.assert_allclose(out[:, sl2], frames[:, sl2], atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # height map
 # ---------------------------------------------------------------------------
