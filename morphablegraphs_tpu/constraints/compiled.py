@@ -125,9 +125,13 @@ class StepConstraints:
 
 @functools.lru_cache(maxsize=1)
 def _dummy_spline() -> spline_path.PathSpline:
-    # one device round-trip total, not one per constraint set
-    return spline_path.build(np.array([[0.0, 0, 0], [1.0, 0, 0]]),
-                             max_points=spline_path_max_points())
+    # one device round-trip total, not one per constraint set.
+    # ensure_compile_time_eval: this can be reached from inside a trace
+    # (e.g. a jitted walk building its default constraint set), and caching
+    # tracers in the lru_cache would leak them out of the trace.
+    with jax.ensure_compile_time_eval():
+        return spline_path.build(np.array([[0.0, 0, 0], [1.0, 0, 0]]),
+                                 max_points=spline_path_max_points())
 
 
 def empty_step_constraints(skeleton: Skeleton,
@@ -205,20 +209,47 @@ def evaluate_residuals(skeleton: Skeleton, prim: MotionPrimitive,
     trajectory branch entirely (its residual slots stay 0) — the expensive
     part when a step carries no path constraint."""
     coeffs = aligned_coeffs(prim, s, sc)
-    return residuals_from_coeffs(skeleton, prim, sc, coeffs,
+    return residuals_from_coeffs(skeleton, prim.knots_s, sc, coeffs,
                                  use_traj=use_traj, use_ca=use_ca)
 
 
-def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
+def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
                           sc: StepConstraints, coeffs: jax.Array,
                           use_traj: bool = True, use_ca: bool = True) -> jax.Array:
-    """Residuals given already-aligned coefficients (used by the global
-    multi-step optimizer where alignment chains across steps)."""
+    """Residuals given already-aligned coefficients + the node's spatial
+    knot vector (used by the global multi-step optimizer where alignment
+    chains across steps, and by the stacked-graph flagship where the knots
+    are a traced per-node gather).
 
-    # ---- keyframe constraints: evaluate spline at kf frames (one matmul)
-    b_kf = bspline.basis_matrix(prim.knots_s, sc.kf_frame)  # [K, n_basis]
-    frames_kf = jnp.matmul(b_kf, coeffs, precision=jax.lax.Precision.HIGHEST)
-    pos_all, ori_all = fk_global(skeleton, frames_kf)  # [K, nodes, 3/4]
+    All constraint families share ONE basis-matrix evaluation and ONE
+    batched FK pass over their stacked query frames (a ~5x cut in both HLO
+    size and runtime vs per-family evaluation; the per-candidate cost is
+    this whole function under vmap + jacfwd in the LM loop)."""
+
+    # ---- fused frame evaluation: stack every family's query times --------
+    # layout: [kf(8) | dir(1) | la(1) | rt(1) | jr(1) | traj(16)? | ca(16)?]
+    # + one extra row for the frame-0 pose constraint (coeffs[0] directly:
+    # clamped spline first coeff == first frame).
+    parts = [sc.kf_frame, sc.dir_frame[None], sc.la_frame[None],
+             sc.rt_frame[None], sc.jr_frame[None]]
+    o_traj = MAX_KF + 4
+    t_lin = jnp.linspace(0.0, 1.0, TRAJ_SAMPLES) * jnp.maximum(
+        sc.n_canonical - 1.0, 1.0)
+    if use_traj:
+        parts.append(t_lin)
+        o_ca = o_traj + TRAJ_SAMPLES
+    else:
+        o_ca = o_traj
+    if use_ca:
+        parts.append(t_lin)
+    o_pose = o_ca + (TRAJ_SAMPLES if use_ca else 0)
+    t_all = jnp.concatenate(parts)
+    b_all = bspline.basis_matrix(knots_s, t_all)  # [T, n_basis]
+    frames_all = jnp.matmul(b_all, coeffs, precision=jax.lax.Precision.HIGHEST)
+    frames_all = jnp.concatenate([frames_all, coeffs[:1]], axis=0)
+    pos_all, ori_all = fk_global(skeleton, frames_all)  # [T+1, nodes, 3/4]
+
+    # ---- keyframe constraints
     idx = jnp.arange(MAX_KF)
     jpos = pos_all[idx, sc.kf_node]  # [K, 3]
     jori = ori_all[idx, sc.kf_node]  # [K, 4]
@@ -230,8 +261,7 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
     kf_res = sc.kf_active * sc.kf_weight * (pos_err + sc.kf_has_quat * ang)
 
     # ---- 2D direction constraint (error in degrees, reference parity)
-    b_dir = bspline.basis_matrix(prim.knots_s, sc.dir_frame[None])  # [1, n_basis]
-    frame_dir = jnp.matmul(b_dir, coeffs, precision=jax.lax.Precision.HIGHEST)[0]
+    frame_dir = frames_all[MAX_KF]
     heading = quat.rotate_vec(quat.normalize(frame_dir[3:7]),
                               jnp.array([0.0, 0.0, 1.0]))
     motion_dir = jnp.stack([heading[0], heading[2]])
@@ -240,11 +270,8 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
     dir_res = sc.dir_active * sc.dir_weight * jnp.rad2deg(jnp.arccos(cos_a))
 
     # ---- look-at constraint: gaze angle toward target (degrees)
-    b_la = bspline.basis_matrix(prim.knots_s, sc.la_frame[None])
-    frame_la = jnp.matmul(b_la, coeffs, precision=jax.lax.Precision.HIGHEST)[0]
-    pos_la, ori_la = fk_global(skeleton, frame_la)
-    head_pos = pos_la[sc.la_node]
-    head_ori = ori_la[sc.la_node]
+    head_pos = pos_all[MAX_KF + 1, sc.la_node]
+    head_ori = ori_all[MAX_KF + 1, sc.la_node]
     gaze = quat.rotate_vec(quat.normalize(head_ori), jnp.array([0.0, 0.0, 1.0]))
     want = sc.la_target - head_pos
     want = want / jnp.maximum(jnp.linalg.norm(want), 1e-10)
@@ -252,9 +279,7 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
     la_res = sc.la_active * sc.la_weight * jnp.rad2deg(jnp.arccos(cos_la))
 
     # ---- relative-transform constraint: offset in the parent joint's space
-    b_rt = bspline.basis_matrix(prim.knots_s, sc.rt_frame[None])
-    frame_rt = jnp.matmul(b_rt, coeffs, precision=jax.lax.Precision.HIGHEST)[0]
-    pos_rt, ori_rt = fk_global(skeleton, frame_rt)
+    pos_rt, ori_rt = pos_all[MAX_KF + 2], ori_all[MAX_KF + 2]
     target_rt = pos_rt[sc.rt_parent] + quat.rotate_vec(
         quat.normalize(ori_rt[sc.rt_parent]), sc.rt_offset)
     diff_rt = pos_rt[sc.rt_node] - target_rt
@@ -264,8 +289,7 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
         jnp.sum(diff_rt * diff_rt) + 1e-12)
 
     # ---- joint-rotation constraint: local quaternion angle at a keyframe
-    b_jr = bspline.basis_matrix(prim.knots_s, sc.jr_frame[None])
-    frame_jr = jnp.matmul(b_jr, coeffs, precision=jax.lax.Precision.HIGHEST)[0]
+    frame_jr = frames_all[MAX_KF + 3]
     quats_jr = frame_jr[3:].reshape(-1, 4)
     q_local = quat.normalize(quats_jr[sc.jr_joint])
     dot_jr = jnp.abs(jnp.sum(q_local * sc.jr_quat))
@@ -273,9 +297,8 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
     jr_res = sc.jr_active * sc.jr_weight * 2.0 * jnp.arccos(
         jnp.clip(dot_jr, -1.0 + 1e-6, 1.0 - 1e-6))
 
-    # ---- transition pose constraint at frame 0
-    frame0 = coeffs[0]  # clamped spline: first coeff == first frame
-    pose_pos, _ = fk_global(skeleton, frame0)
+    # ---- transition pose constraint at frame 0 (last FK row = coeffs[0])
+    pose_pos = pos_all[o_pose]
     diff_pose = pose_pos - sc.pose_points
     pose_d = jnp.sqrt(jnp.sum(diff_pose * diff_pose, axis=-1) + 1e-12)
     pose_err = (jnp.sum(sc.pose_joint_weights * pose_d)
@@ -284,11 +307,7 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
 
     # ---- trajectory constraint: sampled canonical frames, advancing arc
     if use_traj:
-        t_samples = jnp.linspace(0.0, 1.0, TRAJ_SAMPLES) * jnp.maximum(sc.n_canonical - 1.0, 1.0)
-        b_tr = bspline.basis_matrix(prim.knots_s, t_samples)  # [S, n_basis]
-        frames_tr = jnp.matmul(b_tr, coeffs, precision=jax.lax.Precision.HIGHEST)
-        pos_tr, _ = fk_global(skeleton, frames_tr)
-        root_tr = pos_tr[:, sc.traj_node]  # [S, 3]
+        root_tr = pos_all[o_traj: o_traj + TRAJ_SAMPLES, sc.traj_node]  # [S, 3]
 
         def traj_step(min_arc, p):
             _, arc, d = spline_path.closest_point(sc.traj, p, min_arc)
@@ -304,11 +323,7 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
 
     # ---- collision-avoidance constraint: min distance over sampled frames
     if use_ca:
-        t_ca = jnp.linspace(0.0, 1.0, TRAJ_SAMPLES) * jnp.maximum(sc.n_canonical - 1.0, 1.0)
-        b_ca = bspline.basis_matrix(prim.knots_s, t_ca)
-        frames_ca = jnp.matmul(b_ca, coeffs, precision=jax.lax.Precision.HIGHEST)
-        pos_ca, _ = fk_global(skeleton, frames_ca)
-        jca = pos_ca[:, sc.ca_node]  # [S, 3]
+        jca = pos_all[o_ca: o_ca + TRAJ_SAMPLES, sc.ca_node]  # [S, 3]
         d_ca = jnp.sqrt(jnp.maximum(jnp.sum(
             ((jca - sc.ca_pos) * sc.ca_pos_mask) ** 2, axis=-1), 1e-12))
         ca_res = sc.ca_active * sc.ca_weight * jnp.min(d_ca)
@@ -320,18 +335,34 @@ def residuals_from_coeffs(skeleton: Skeleton, prim: MotionPrimitive,
                             pose_res[None], ca_res[None], traj_res])
 
 
+def active_mask(sc: StepConstraints) -> jax.Array:
+    """0/1 mask over the residual vector marking active constraint slots
+    (reference pads residuals likewise, objective_functions.py:233-236)."""
+    traj_mask = jnp.broadcast_to(sc.traj_active, (TRAJ_SAMPLES,))
+    return jnp.concatenate([sc.kf_active, sc.dir_active[None],
+                            sc.la_active[None], sc.rt_active[None],
+                            sc.jr_active[None], sc.pose_active[None],
+                            sc.ca_active[None], traj_mask])
+
+
+def error_from_residuals(res: jax.Array) -> jax.Array:
+    """Scalar constraint error from a residual vector: sum of residuals,
+    except trajectory residuals enter as their average (reference
+    trajectory_constraint.py:84 `evaluate_motion_sample` averages; other
+    constraints sum)."""
+    base = jnp.sum(res[..., : MAX_KF + 6], axis=-1)
+    traj = res[..., MAX_KF + 6:]
+    n_active = jnp.where(jnp.any(traj > 0, axis=-1), 1.0, 0.0)
+    return base + n_active * jnp.mean(traj, axis=-1)
+
+
 def evaluate_error(skeleton: Skeleton, prim: MotionPrimitive,
                    sc: StepConstraints, s: jax.Array,
                    use_traj: bool = True, use_ca: bool = True) -> jax.Array:
-    """Scalar constraint error: sum of residuals, except trajectory residuals
-    enter as their average (reference trajectory_constraint.py:84
-    `evaluate_motion_sample` averages; other constraints sum)."""
+    """Scalar constraint error (see error_from_residuals)."""
     res = evaluate_residuals(skeleton, prim, sc, s, use_traj=use_traj,
                              use_ca=use_ca)
-    base = jnp.sum(res[: MAX_KF + 6])
-    traj = res[MAX_KF + 6:]
-    n_active = jnp.where(jnp.any(traj > 0), 1.0, 0.0)
-    return base + n_active * jnp.mean(traj)
+    return error_from_residuals(res)
 
 
 # ---------------------------------------------------------------------------

@@ -23,10 +23,12 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.graph import (StackedGraph, NODE_TYPE_STANDARD, NODE_TYPE_END,
                             NODE_TYPE_IDS, TRANSITION_TYPE_IDS)
 from ..ops import align, quat, spline_path
+from ..ops import lm as lm_ops
 from . import walk as walk_mod
 
 
@@ -173,6 +175,250 @@ def constrained_walk(key: jax.Array, g: StackedGraph,
     _, (segments, n_frames, node_ids, errors) = jax.lax.scan(
         step, init, jnp.arange(n_steps))
     return segments, n_frames, node_ids, errors
+
+
+# ---------------------------------------------------------------------------
+# Full-constraint flagship: complete StepConstraints semantics + gated LM
+# ---------------------------------------------------------------------------
+#
+# The lightweight `constrained_walk` above scores only end-position +
+# end-heading from two boundary coefficient rows.  This variant evaluates the
+# COMPLETE compiled constraint slot set per candidate — keyframe transforms,
+# 2D direction, look-at, relative-transform, joint-rotation, transition pose,
+# trajectory residuals with advancing arc, collision avoidance — exactly the
+# semantics of constraints/compiled.evaluate_error (reference
+# motion_primitive_constraints.py:100-158), plus a lax.cond-gated
+# Levenberg-Marquardt refinement per scan step (reference
+# motion_primitive_generator.py:126-207 `_optimize_parameters_numerically`),
+# all inside ONE jitted scan over a StackedGraph.
+
+def node_gmm(g: StackedGraph, node_id: jax.Array):
+    """Gather node `node_id`'s mixture as a GMM pytree view."""
+    from ..ops import gmm as gmm_ops
+    return gmm_ops.GMM(g.gmm_weights[node_id], g.gmm_means[node_id],
+                       g.gmm_cov_chol[node_id], g.gmm_prec_chol[node_id])
+
+
+def stacked_aligned_coeffs(g: StackedGraph, node_id: jax.Array, sc,
+                           s: jax.Array) -> jax.Array:
+    """Back-project the spatial latent from stacked rows and apply the step's
+    aligning transform to the coefficient rows (stacked-graph twin of
+    constraints/compiled.aligned_coeffs)."""
+    from ..constraints import compiled  # local: avoid import cycle at module load
+    alpha = s[: g.k_s_max]
+    coeffs = jnp.matmul(g.eigen_s[node_id], alpha,
+                        precision=jax.lax.Precision.HIGHEST) + g.mean_s[node_id]
+    coeffs = coeffs.reshape(g.n_basis_max, g.n_dim)
+    q_prev, d_prev = align.node_aligning_2d_transform(sc.prev_last, coeffs[0])
+    q_y = jnp.where(sc.has_prev > 0, q_prev, sc.start_q)
+    delta = jnp.where(sc.has_prev > 0, d_prev, sc.start_delta)
+    return align.transform_frames(coeffs, q_y, delta)
+
+
+def stacked_residuals(skeleton, g: StackedGraph, node_id: jax.Array, sc,
+                      s: jax.Array, use_traj: bool = True,
+                      use_ca: bool = True) -> jax.Array:
+    """Full compiled-constraint residual vector for a latent candidate at a
+    (traced) stacked-graph node."""
+    from ..constraints import compiled
+    coeffs = stacked_aligned_coeffs(g, node_id, sc, s)
+    return compiled.residuals_from_coeffs(skeleton, g.knots_s[node_id], sc,
+                                          coeffs, use_traj=use_traj,
+                                          use_ca=use_ca)
+
+
+def stacked_error(skeleton, g: StackedGraph, node_id: jax.Array, sc,
+                  s: jax.Array, use_traj: bool = True,
+                  use_ca: bool = True) -> jax.Array:
+    from ..constraints import compiled
+    return compiled.error_from_residuals(
+        stacked_residuals(skeleton, g, node_id, sc, s, use_traj, use_ca))
+
+
+class FullWalkState(NamedTuple):
+    node_id: jax.Array
+    prev_last: jax.Array
+    travelled: jax.Array
+    done: jax.Array
+    key: jax.Array
+
+
+def default_step_scs(skeleton, n_steps: int):
+    """Host-built default per-step constraint pytree: n_steps broadcast
+    copies of the empty StepConstraints (numpy leaves — no trace hazard)."""
+    from ..constraints import compiled
+    base = compiled.empty_step_constraints(skeleton, 0)
+    return jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (n_steps,) + np.shape(x)),
+        base)
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("n_steps", "max_step_frames", "n_samples",
+                                    "window", "lm_iters", "use_traj",
+                                    "use_ca", "use_half", "root_node"))
+def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
+                          path: spline_path.PathSpline, start_id: jax.Array,
+                          n_steps: int, step_scs=None,
+                          max_step_frames: int = 128, n_samples: int = 64,
+                          window: int = 20, lm_iters: int = 5,
+                          lm_threshold: float = 0.0,
+                          error_scale: float = 1.0,
+                          quality_scale: float = 0.1,
+                          step_length_factor: float = 1.0,
+                          end_threshold: float = 20.0,
+                          pos_weight: float = 1.0, dir_weight: float = 0.8,
+                          traj_weight: float = 1.0, use_traj: bool = True,
+                          use_ca: bool = False, use_half: bool = False,
+                          root_node: int = 0):
+    """Trajectory-following walk with FULL constraint semantics per step.
+
+    Per scan step (reference motion_generator.py:157-268 +
+    motion_primitive_generator.py:126-207 semantics):
+      1. locomotion goal/direction slots filled from on-device path queries
+         (kf slot 0 = end goal, optional slot 1 = half step);
+      2. the step's trajectory constraint follows the path from the travelled
+         arc (advancing closest-point residuals over TRAJ_SAMPLES canonical
+         frames);
+      3. any extra user constraints from `step_scs` (a StepConstraints pytree
+         stacked over a leading [n_steps] axis; keyframe slots 2+ are free —
+         slots 0/1 are overwritten by the locomotion goals) are evaluated in
+         the same residual vector;
+      4. best of n_samples GMM candidates under the complete constraint
+         error;
+      5. lax.cond-gated Levenberg-Marquardt refinement (exact `jacfwd`
+         jacobians over residuals + GMM naturalness) when the best error is
+         still >= lm_threshold and lm_iters > 0;
+      6. back-project the winner with time warping, align + seam-smooth,
+         update the travelled arc, transition (end type once the path is
+         nearly consumed).
+
+    Returns (segments [S, T, D], n_frames [S], node_ids [S], errors [S]).
+    """
+    from ..constraints import compiled
+    from ..ops import gmm as gmm_ops
+
+    d = g.n_dim
+    std_t = TRANSITION_TYPE_IDS[NODE_TYPE_STANDARD]
+    end_t = TRANSITION_TYPE_IDS[NODE_TYPE_END]
+    full_arc = path.full_arc_length
+
+    if step_scs is None:
+        step_scs = default_step_scs(skeleton, n_steps)
+
+    init = FullWalkState(
+        node_id=jnp.asarray(start_id, jnp.int32),
+        prev_last=jnp.zeros(d, jnp.float32),
+        travelled=jnp.asarray(0.0, jnp.float32),
+        done=jnp.asarray(False),
+        key=key,
+    )
+
+    def step(state: FullWalkState, xs):
+        step_idx, sc0 = xs
+        k_s, k_t, k_n = jax.random.split(state.key, 3)
+        has_prev = (step_idx > 0).astype(jnp.float32)
+        n_can_f = g.n_canonical[state.node_id].astype(jnp.float32)
+
+        # ---- locomotion goal (reference locomotion_constraints_builder)
+        step_len = g.avg_step_length[state.node_id] * step_length_factor
+        near_end = state.travelled + step_len >= full_arc - end_threshold
+        goal_arc = jnp.where(near_end, full_arc, state.travelled + step_len)
+        loco = compiled.LocoSpec(
+            goal_arc=goal_arc, half_arc=state.travelled + 0.5 * step_len,
+            node=jnp.asarray(root_node, jnp.int32),
+            end_kf=n_can_f - 1.0, mid_kf=0.5 * (n_can_f - 1.0),
+            dim_mask=jnp.array([1.0, 0.0, 1.0]),
+            pos_weight=jnp.asarray(pos_weight),
+            dir_weight=jnp.asarray(dir_weight))
+        sc = sc0.replace(
+            traj=path,
+            traj_active=jnp.asarray(1.0 if use_traj else 0.0),
+            traj_node=jnp.asarray(root_node, jnp.int32),
+            traj_min_arc=state.travelled,
+            traj_weight=jnp.asarray(traj_weight),
+            n_canonical=n_can_f,
+            prev_last=state.prev_last, has_prev=has_prev)
+        sc = compiled.fill_locomotion_slots(sc, path, loco, use_pos=True,
+                                            use_dir=True, use_half=use_half)
+
+        # ---- best-of-N under the COMPLETE constraint error
+        samples = jax.vmap(
+            lambda kk: walk_mod.sample_node_latent(kk, g, state.node_id))(
+                jax.random.split(k_s, n_samples))
+        errors = jax.vmap(lambda sv: stacked_error(
+            skeleton, g, state.node_id, sc, sv, use_traj, use_ca))(samples)
+        best = jnp.argmin(errors)
+        s = samples[best]
+        err = errors[best]
+
+        # ---- gated LM refinement (reference leastsq semantics)
+        if lm_iters > 0:
+            gmm = node_gmm(g, state.node_id)
+            act = compiled.active_mask(sc)
+
+            def residuals(sv):
+                r = stacked_residuals(skeleton, g, state.node_id, sc, sv,
+                                      use_traj, use_ca)
+                nll = -gmm_ops.log_prob(gmm, sv)
+                return act * (error_scale * r + quality_scale * nll)
+
+            def refine(args):
+                s0, e0 = args
+                s_opt, _ = lm_ops.lm_minimize(residuals, s0, lm_iters)
+                e_opt = stacked_error(skeleton, g, state.node_id, sc, s_opt,
+                                      use_traj, use_ca)
+                better = e_opt < e0
+                return jnp.where(better, s_opt, s0), jnp.minimum(e0, e_opt)
+
+            s, err = jax.lax.cond(err >= lm_threshold, refine,
+                                  lambda args: args, (s, err))
+
+        # ---- back-project the winner + align + smooth
+        frames, n_frames, _ = walk_mod.back_project_node(
+            g, state.node_id, s, max_step_frames, use_time=True)
+        q_y, delta = align.node_aligning_2d_transform(state.prev_last, frames[0])
+        q_y = jnp.where(has_prev > 0, q_y, jnp.array([1.0, 0, 0, 0]))
+        delta = jnp.where(has_prev > 0, delta, jnp.zeros(3))
+        aligned = align.transform_frames(frames, q_y, delta)
+        aligned = jnp.where(has_prev > 0,
+                            align.smooth_transition(state.prev_last, aligned,
+                                                    window),
+                            aligned)
+        last_idx = jnp.maximum(n_frames - 1, 0)
+        new_last = aligned[last_idx]
+
+        # ---- travelled arc + transition
+        _, new_arc, _ = spline_path.closest_point(path, new_last[:3],
+                                                  state.travelled)
+        want_end = new_arc >= full_arc - end_threshold
+        type_id = jnp.where(want_end, end_t, std_t)
+        next_id, found = walk_mod.choose_transition(k_t, g, state.node_id,
+                                                    type_id)
+        emitted_id = jnp.where(state.done, -1, state.node_id)
+        n_frames = jnp.where(state.done, 0, n_frames)
+        done = state.done | ~found | (want_end & (g.node_type[state.node_id]
+                                                  == NODE_TYPE_IDS[NODE_TYPE_END]))
+        new_state = FullWalkState(next_id, new_last, new_arc, done, k_n)
+        return new_state, (aligned, n_frames, emitted_id, err)
+
+    _, (segments, n_frames, node_ids, errors) = jax.lax.scan(
+        step, init, (jnp.arange(n_steps), step_scs))
+    return segments, n_frames, node_ids, errors
+
+
+def constrained_walk_full_crowd(skeleton, key: jax.Array, g: StackedGraph,
+                                paths: spline_path.PathSpline, start_id,
+                                n_chars: int, n_steps: int, **kw):
+    """Crowd of full-constraint walks: one vmapped program, per-character
+    paths stacked along the leading axis."""
+    keys = jax.random.split(key, n_chars)
+    start_ids = jnp.broadcast_to(jnp.asarray(start_id, jnp.int32), (n_chars,))
+    if kw.get("step_scs") is None:
+        kw["step_scs"] = default_step_scs(skeleton, n_steps)
+    # n_steps as a keyword: jit static_argnames only binds keyword args
+    return jax.vmap(lambda k, p, s: constrained_walk_full(
+        skeleton, k, g, p, s, n_steps=n_steps, **kw))(keys, paths, start_ids)
 
 
 def constrained_walk_crowd(key: jax.Array, g: StackedGraph,

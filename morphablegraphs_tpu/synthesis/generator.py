@@ -26,6 +26,7 @@ from ..constraints import compiled
 from ..models.primitive import MotionPrimitive, sample_latent
 from ..models.skeleton import Skeleton
 from ..ops import gmm as gmm_ops
+from ..ops import lm as lm_ops
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
@@ -50,7 +51,7 @@ def best_of_n(skeleton: Skeleton, key: jax.Array, prim: MotionPrimitive,
 def refine_lm(skeleton: Skeleton, prim: MotionPrimitive,
               sc: compiled.StepConstraints, s0: jax.Array,
               n_iters: int = 10, error_scale: float = 1.0,
-              quality_scale: float = 0.1, init_lambda: float = 1e-2,
+              quality_scale: float = 0.1, init_lambda: float = 1.0,
               use_traj: bool = True, use_ca: bool = True):
     """Levenberg-Marquardt on the weighted residual vector + naturalness.
 
@@ -70,38 +71,14 @@ def refine_lm(skeleton: Skeleton, prim: MotionPrimitive,
         nll = -gmm_ops.log_prob(prim.gmm, s)
         return active * (error_scale * res + quality_scale * nll)
 
-    n = s0.shape[0]
-    eye = jnp.eye(n)
-
-    def body(carry, _):
-        s, lam = carry
-        r = residuals(s)
-        err = jnp.sum(r * r)
-        j = jax.jacfwd(residuals)(s)  # [R, L]
-        a = jnp.matmul(j.T, j, precision=jax.lax.Precision.HIGHEST) + lam * eye
-        g = jnp.matmul(j.T, r, precision=jax.lax.Precision.HIGHEST)
-        delta = jnp.linalg.solve(a, g)
-        s_new = s - delta
-        r_new = residuals(s_new)
-        err_new = jnp.sum(r_new * r_new)
-        improved = err_new < err
-        s = jnp.where(improved, s_new, s)
-        lam = jnp.where(improved, lam * 0.3, lam * 5.0)
-        return (s, lam), err_new
-
-    (s_opt, _), _ = jax.lax.scan(body, (s0, jnp.asarray(init_lambda)),
-                                 None, length=n_iters)
+    s_opt, _ = lm_ops.lm_minimize(residuals, s0, n_iters,
+                                  init_lambda=init_lambda)
     final_err = compiled.evaluate_error(skeleton, prim, sc, s_opt,
                                         use_traj=use_traj, use_ca=use_ca)
     return s_opt, final_err
 
 
-def _active_mask(sc: compiled.StepConstraints) -> jax.Array:
-    traj_mask = jnp.broadcast_to(sc.traj_active, (compiled.TRAJ_SAMPLES,))
-    return jnp.concatenate([sc.kf_active, sc.dir_active[None],
-                            sc.la_active[None], sc.rt_active[None],
-                            sc.jr_active[None], sc.pose_active[None],
-                            sc.ca_active[None], traj_mask])
+_active_mask = compiled.active_mask
 
 
 @functools.partial(jax.jit, static_argnums=(0,),

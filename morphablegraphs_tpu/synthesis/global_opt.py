@@ -51,7 +51,7 @@ def _chain_residuals(skeleton: Skeleton, prims: List[MotionPrimitive],
         else:
             q_y, delta = align.node_aligning_2d_transform(prev_last, coeffs[0])
         aligned = align.transform_frames(coeffs, q_y, delta)
-        res = compiled.residuals_from_coeffs(skeleton, prim, sc, aligned)
+        res = compiled.residuals_from_coeffs(skeleton, prim.knots_s, sc, aligned)
         s_full = jnp.concatenate([alpha, gammas[i]])
         nll = -gmm_ops.log_prob(prim.gmm, s_full)
         active = jnp.concatenate([sc.kf_active, sc.dir_active[None],

@@ -125,6 +125,92 @@ Frame Time: 0.033333
 """
 
 
+def _bvh_from_tree(tree, root_offset=(0.0, 90.0, 0.0)):
+    """Build a BVH HIERARCHY string from a nested (name, offset, children)
+    tree; every joint gets 3 rotation channels (root gets 6)."""
+    lines = ["HIERARCHY"]
+
+    def walk(node, depth, is_root):
+        name, off, children = node
+        pad = "  " * depth
+        kw = "ROOT" if is_root else "JOINT"
+        lines.append(f"{pad}{kw} {name}")
+        lines.append(pad + "{")
+        lines.append(f"{pad}  OFFSET {off[0]} {off[1]} {off[2]}")
+        if is_root:
+            lines.append(f"{pad}  CHANNELS 6 Xposition Yposition Zposition "
+                         "Xrotation Yrotation Zrotation")
+        else:
+            lines.append(f"{pad}  CHANNELS 3 Xrotation Yrotation Zrotation")
+        if children:
+            for c in children:
+                walk(c, depth + 1, False)
+        else:
+            lines.append(f"{pad}  End Site")
+            lines.append(pad + "  {")
+            lines.append(f"{pad}    OFFSET 0.0 5.0 0.0")
+            lines.append(pad + "  }")
+        lines.append(pad + "}")
+
+    walk((tree[0], root_offset, tree[2]), 0, True)
+    n_channels = 6 + 3 * (_count_joints(tree) - 1)
+    lines.append("MOTION")
+    lines.append("Frames: 1")
+    lines.append("Frame Time: 0.033333")
+    lines.append(" ".join(["0"] * n_channels))
+    return "\n".join(lines) + "\n"
+
+
+def _count_joints(node):
+    return 1 + sum(_count_joints(c) for c in node[2])
+
+
+# A 19-animated-joint humanoid at production dimensions (D = 3 + 4*19 = 79
+# frame channels, the reference's ~79-channel scale, SURVEY.md §2.1 row 1).
+_REF_TREE = (
+    "Hips", (0.0, 90.0, 0.0), [
+        ("Spine", (0.0, 10.0, 0.0), [
+            ("Spine1", (0.0, 12.0, 0.0), [
+                ("Neck", (0.0, 12.0, 0.0), [
+                    ("Head", (0.0, 8.0, 0.0), []),
+                ]),
+                ("LeftArm", (18.0, 8.0, 0.0), [
+                    ("LeftForeArm", (0.0, -28.0, 0.0), [
+                        ("LeftHand", (0.0, -25.0, 0.0), []),
+                    ]),
+                ]),
+                ("RightArm", (-18.0, 8.0, 0.0), [
+                    ("RightForeArm", (0.0, -28.0, 0.0), [
+                        ("RightHand", (0.0, -25.0, 0.0), []),
+                    ]),
+                ]),
+            ]),
+        ]),
+        ("LeftUpLeg", (9.0, -5.0, 0.0), [
+            ("LeftLeg", (0.0, -40.0, 0.0), [
+                ("LeftFoot", (0.0, -40.0, 0.0), [
+                    ("LeftToeBase", (0.0, -5.0, 12.0), []),
+                ]),
+            ]),
+        ]),
+        ("RightUpLeg", (-9.0, -5.0, 0.0), [
+            ("RightLeg", (0.0, -40.0, 0.0), [
+                ("RightFoot", (0.0, -40.0, 0.0), [
+                    ("RightToeBase", (0.0, -5.0, 12.0), []),
+                ]),
+            ]),
+        ]),
+    ])
+
+REF_BVH = _bvh_from_tree(_REF_TREE)
+REF_N_JOINTS = _count_joints(("Hips", (0, 0, 0), _REF_TREE[2]))  # 19
+
+# Production-scale model dimensions (SURVEY.md §2.1 / VERDICT r1 item 2:
+# D≈79 channels, n_basis 16, k_s≈25, k_t 3, ~130 canonical frames).
+REF_SCALE = dict(n_joints=19, n_canonical_frames=130, n_basis=16,
+                 k_s=25, k_t=3, n_components=5)
+
+
 def make_legacy_model_json(seed=0, n_canonical_frames=50, n_basis=12,
                            n_joints=4, k_s=5, k_t=2, n_components=3,
                            version=2, translation_maxima=(1.0, 1.0, 1.0)):
@@ -194,15 +280,19 @@ def make_legacy_model_json(seed=0, n_canonical_frames=50, n_basis=12,
     return data
 
 
-def make_graph_dict(seed=0, n_joints=4):
-    """A tiny 'walk' graph: beginLeftStance -> {left,right}Stance cycle ->
+def make_graph_dict(seed=0, n_joints=4, n_canonical_frames=40, n_basis=12,
+                    k_s=5, k_t=2, n_components=3):
+    """A 'walk' graph: beginLeftStance -> {left,right}Stance cycle ->
     endRightStance, in the dict form of the reference's zip reader
-    (motion_state_graph_loader.py:184-307)."""
+    (motion_state_graph_loader.py:184-307).  Defaults are the tiny smoke
+    scale; pass **REF_SCALE for production dimensions."""
     prims = {}
     for i, name in enumerate(["beginLeftStance", "leftStance", "rightStance",
                               "endRightStance"]):
         mm = make_legacy_model_json(seed=seed + i, n_joints=n_joints,
-                                    n_canonical_frames=40 + 4 * i)
+                                    n_canonical_frames=n_canonical_frames + 4 * i,
+                                    n_basis=n_basis, k_s=k_s, k_t=k_t,
+                                    n_components=n_components)
         mm["name"] = f"walk_{name}"
         prims[name] = {"name": f"walk_{name}", "mm": mm}
     return {
@@ -224,6 +314,13 @@ def make_graph_dict(seed=0, n_joints=4):
         },
         "startNode": ["walk", "beginLeftStance"],
     }
+
+
+def make_reference_scale_graph_dict(seed=0):
+    """The walk graph at production dimensions: 19 joints (D=79), n_basis 16,
+    k_s 25, k_t 3, ~130 canonical frames (matches the reference's trained
+    models, SURVEY.md §2.1/§3.4).  Skeleton: REF_BVH."""
+    return make_graph_dict(seed=seed, **REF_SCALE)
 
 
 def make_multi_action_graph_dict(seed=0, n_joints=4):

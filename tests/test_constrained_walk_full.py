@@ -1,0 +1,166 @@
+"""Full-constraint jitted flagship (synthesis/constrained_walk.py
+constrained_walk_full): the stacked-graph constraint evaluation must match
+the host-loop compiled path exactly, LM refinement must not worsen errors,
+and user constraint slots must participate in selection.
+
+Covers VERDICT r1 item 3 (full StepConstraints + gated LM inside the jitted
+scan) and item 8 (tests at toy AND reference scale).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from morphablegraphs_tpu.constraints import compiled
+from morphablegraphs_tpu.models import graph as graph_mod
+from morphablegraphs_tpu.models import skeleton as sk
+from morphablegraphs_tpu.ops import spline_path
+from morphablegraphs_tpu.synthesis import constrained_walk as cw
+from morphablegraphs_tpu.synthesis import generator
+from morphablegraphs_tpu.utils.synthetic import (
+    REF_BVH, TEST_BVH, make_graph_dict, make_reference_scale_graph_dict)
+
+PATH_POINTS = np.array([[0.0, 0, 0], [10.0, 0, 60], [15.0, 0, 120]],
+                       np.float32)
+
+
+def _setup(scale):
+    if scale == "toy":
+        gd, bvh = make_graph_dict(), TEST_BVH
+    else:
+        gd, bvh = make_reference_scale_graph_dict(), REF_BVH
+    skel, _ = sk.load_bvh(bvh)
+    graph = graph_mod.build_graph_from_dict(gd)
+    stacked = graph_mod.stack_graph(graph)
+    path = spline_path.build(PATH_POINTS, unconstrained_dims=(1,))
+    return skel, graph, stacked, path
+
+
+def _pad_latent(s, prim, stacked):
+    """Per-primitive latent [k_s + k_t] -> stacked layout [k_s_max + k_t_max]."""
+    out = np.zeros(stacked.k_s_max + stacked.k_t_max, np.float32)
+    out[: prim.n_spatial] = s[: prim.n_spatial]
+    out[stacked.k_s_max: stacked.k_s_max + prim.n_time] = s[prim.n_spatial:]
+    return out
+
+
+@pytest.mark.parametrize("scale", ["toy", "ref"])
+def test_stacked_residuals_match_compiled(scale):
+    """stacked_residuals (gathered rows from the StackedGraph) must equal
+    compiled.evaluate_residuals (per-primitive pytree) for the same node,
+    constraints and latent — the jitted flagship therefore scores candidates
+    with the COMPLETE host-path constraint semantics."""
+    skel, graph, stacked, path = _setup(scale)
+    node_key = ("walk", "leftStance")
+    prim = graph.nodes[node_key].primitive
+    node_id = stacked.node_id(node_key)
+
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    end = prim.n_canonical_frames - 1
+    sc = compiled.set_keyframe_constraint(
+        sc, 2, skel, skel.node_names[2], end, position=[10.0, np.nan, 30.0])
+    sc = compiled.set_keyframe_constraint(
+        sc, 3, skel, skel.node_names[-1], end // 2, position=[0.0, 50.0, 5.0],
+        quat_wxyz=[0.9, 0.1, 0.0, 0.1])
+    sc = compiled.set_direction_constraint(sc, [0.5, 0.8], end)
+    sc = compiled.set_trajectory_constraint(sc, skel, path, "Hips", 5.0)
+    prev = np.zeros(skel.n_frame_params, np.float32)
+    prev[3::4] = 1.0
+    prev[0], prev[2] = 4.0, 11.0
+    sc = compiled.set_alignment_from_prev(sc, prev)
+
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        s = rng.standard_normal(prim.n_latent).astype(np.float32)
+        r_host = np.asarray(compiled.evaluate_residuals(
+            skel, prim, sc, jnp.asarray(s)))
+        r_stacked = np.asarray(cw.stacked_residuals(
+            skel, stacked, jnp.asarray(node_id, jnp.int32), sc,
+            jnp.asarray(_pad_latent(s, prim, stacked))))
+        np.testing.assert_allclose(r_stacked, r_host, atol=2e-3, rtol=1e-4)
+        e_host = float(compiled.evaluate_error(skel, prim, sc, jnp.asarray(s)))
+        e_stacked = float(cw.stacked_error(
+            skel, stacked, jnp.asarray(node_id, jnp.int32), sc,
+            jnp.asarray(_pad_latent(s, prim, stacked))))
+        assert abs(e_host - e_stacked) < 5e-3 * max(1.0, abs(e_host))
+
+
+def test_stacked_selection_matches_search_candidates():
+    """Given the same candidate set, the stacked argmin must select the same
+    latent as the host-path generator.search_candidates."""
+    skel, graph, stacked, path = _setup("toy")
+    node_key = ("walk", "rightStance")
+    prim = graph.nodes[node_key].primitive
+    node_id = stacked.node_id(node_key)
+
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    end = prim.n_canonical_frames - 1
+    sc = compiled.set_keyframe_constraint(sc, 0, skel, "Hips", end,
+                                          position=[12.0, np.nan, 40.0])
+    sc = compiled.set_direction_constraint(sc, [0.2, 1.0], end)
+
+    rng = np.random.default_rng(3)
+    cands = rng.standard_normal((32, prim.n_latent)).astype(np.float32)
+    s_host, e_host = generator.search_candidates(skel, prim, sc,
+                                                 jnp.asarray(cands),
+                                                 use_traj=False, use_ca=False)
+    padded = jnp.asarray(np.stack([_pad_latent(c, prim, stacked)
+                                   for c in cands]))
+    errs = jax.vmap(lambda sv: cw.stacked_error(
+        skel, stacked, jnp.asarray(node_id, jnp.int32), sc, sv,
+        use_traj=False, use_ca=False))(padded)
+    i = int(jnp.argmin(errs))
+    np.testing.assert_allclose(_pad_latent(np.asarray(s_host), prim, stacked),
+                               np.asarray(padded[i]), atol=1e-6)
+    assert abs(float(e_host) - float(errs[i])) < 5e-3
+
+
+def test_full_walk_runs_and_lm_does_not_worsen():
+    """Same PRNG key: candidate selection is identical, so per-step errors
+    with LM refinement must be <= errors without (LM keeps the better)."""
+    skel, graph, stacked, path = _setup("toy")
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    kw = dict(n_steps=3, max_step_frames=64, n_samples=8, window=10)
+    segs0, nf0, ids0, errs0 = cw.constrained_walk_full(
+        skel, jax.random.PRNGKey(2), stacked, path,
+        jnp.asarray(start, jnp.int32), lm_iters=0, **kw)
+    segs1, nf1, ids1, errs1 = cw.constrained_walk_full(
+        skel, jax.random.PRNGKey(2), stacked, path,
+        jnp.asarray(start, jnp.int32), lm_iters=4, **kw)
+    assert not bool(jnp.isnan(segs1).any())
+    assert (np.asarray(errs1) <= np.asarray(errs0) + 1e-3).all()
+    # LM must actually improve something on this workload
+    assert float(jnp.sum(errs1)) < float(jnp.sum(errs0))
+
+
+def test_full_walk_user_constraint_slots():
+    """User keyframe constraints passed via step_scs (slots 2+) must
+    participate in scoring: an impossible far-away target with a large weight
+    raises the reported step error."""
+    skel, graph, stacked, path = _setup("toy")
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    kw = dict(n_steps=2, max_step_frames=64, n_samples=8, window=10,
+              lm_iters=0)
+
+    base = cw.default_step_scs(skel, 2)
+    _, _, _, errs_plain = cw.constrained_walk_full(
+        skel, jax.random.PRNGKey(5), stacked, path,
+        jnp.asarray(start, jnp.int32), step_scs=base, **kw)
+
+    sc0 = compiled.empty_step_constraints(skel, 0)
+    sc0 = compiled.set_keyframe_constraint(
+        sc0, 2, skel, skel.node_names[1], 10.0,
+        position=[1e4, np.nan, -1e4], weight=10.0)
+    scs = jax.tree.map(
+        lambda a, b: np.stack([np.asarray(a), np.asarray(b)]),
+        sc0, compiled.empty_step_constraints(skel, 0))
+    _, _, _, errs_user = cw.constrained_walk_full(
+        skel, jax.random.PRNGKey(5), stacked, path,
+        jnp.asarray(start, jnp.int32), step_scs=scs, **kw)
+    # step 0 carries the impossible constraint -> error far larger
+    assert float(errs_user[0]) > float(errs_plain[0]) + 1e3
+    # step 1 has no user constraint; selection state differs only via the
+    # carried pose, so the error stays the same order of magnitude
+    assert np.isfinite(float(errs_user[1]))
