@@ -90,6 +90,125 @@ def align_frames_temporally(skeleton: Skeleton,
     return warped, warps
 
 
+def define_sections_from_keyframes(motions: Dict[str, np.ndarray],
+                                   keyframes: Dict[str, int]):
+    """{motion name: split frame} -> per-motion two-section lists
+    (reference run_construction.py:77-97 define_sections_from_keyframes:
+    [0, keyframe) + [keyframe, end)).  Motions without a keyframe entry are
+    excluded (the reference filters them out of training, :169-174).
+
+    Returns ({name: [{"start_idx", "end_idx"}, ...]} or None if no motion
+    has a keyframe)."""
+    sections = {}
+    for key, m in motions.items():
+        if key not in keyframes:
+            continue
+        kf = int(keyframes[key])
+        sections[key] = [{"start_idx": 0, "end_idx": kf},
+                         {"start_idx": kf, "end_idx": len(m)}]
+    return sections or None
+
+
+def define_sections_from_annotations(motion_folder: str,
+                                     motions: Dict[str, np.ndarray]):
+    """Per-motion `<name>_sections.json` files with
+    {"semantic_annotation": {label: [frame indices...]}} -> ordered section
+    lists (reference run_construction.py:106-130): each label contributes a
+    section [min(frames), max(frames)], sections ordered by start index.
+    Motions without a sections file are filtered out when at least one
+    motion has one.
+
+    Returns (filtered motions, sections dict or None)."""
+    import json
+    import os
+
+    sections = {}
+    filtered = {}
+    for key, m in motions.items():
+        path = os.path.join(motion_folder, f"{key}_sections.json")
+        if not os.path.isfile(path):
+            continue
+        with open(path) as f:
+            annotations = json.load(f)["semantic_annotation"]
+        secs = []
+        for label, frames in annotations.items():
+            frames = sorted(frames)
+            secs.append({"start_idx": int(frames[0]),
+                         "end_idx": int(frames[-1])})
+        secs.sort(key=lambda s: s["start_idx"])
+        sections[key] = secs
+        filtered[key] = m
+    if sections:
+        return filtered, sections
+    return motions, None
+
+
+def align_frames_temporally_split(skeleton: Skeleton,
+                                  motions: Dict[str, np.ndarray],
+                                  sections=None, mean_key=None):
+    """Per-section DTW (reference motion_model_constructor.py:304-355
+    `_align_frames_temporally_split`): split every motion at its section
+    boundaries, DTW each section independently against the reference
+    motion's matching section, then concatenate warped frames and warping
+    functions.
+
+    Unlike the reference (which concatenates the raw per-section warps, each
+    indexing section-LOCAL frames), the combined warping function here is
+    offset by each section's start index so it stays a monotone map into the
+    ORIGINAL clip — the property the temporal fPCA z-transform requires.
+
+    Returns (warped {key: frames}, warping functions {key: [int]},
+    canonical keyframes {"contact<i>": frame}) — contact keyframes mark the
+    canonical section boundaries (reference :306-312 records the reference
+    motion's section ends)."""
+    if mean_key is None:
+        lengths = {k: len(m) for k, m in motions.items()}
+        mean = np.mean(list(lengths.values()))
+        mean_key = min(lengths, key=lambda k: abs(lengths[k] - mean))
+    if sections is None:
+        warped, warps = align_frames_temporally(skeleton, motions, mean_key)
+        return warped, warps, {}
+
+    n_sections = {len(s) for s in sections.values()}
+    assert len(n_sections) == 1, f"inconsistent section counts: {n_sections}"
+    n_sections = n_sections.pop()
+
+    def bounds(key, si):
+        s = sections[key][si]
+        end = s["end_idx"]
+        if end is None or end < 0:
+            end = len(motions[key])
+        return int(s["start_idx"]), int(end)
+
+    results = []
+    for si in range(n_sections):
+        sub = {}
+        for key in motions:
+            lo, hi = bounds(key, si)
+            sub[key] = motions[key][lo:hi]
+        results.append(align_frames_temporally(skeleton, sub, mean_key))
+
+    warped, warps = {}, {}
+    for key in motions:
+        w_frames, w_fns = [], []
+        for si, (sec_warped, sec_warps) in enumerate(results):
+            lo, _ = bounds(key, si)
+            w_frames.append(np.asarray(sec_warped[key]))
+            w_fns.append(np.asarray(sec_warps[key]) + lo)
+        warped[key] = np.concatenate(w_frames, axis=0)
+        warps[key] = np.concatenate(w_fns, axis=0)
+
+    # canonical boundary keyframes: cumulative canonical section lengths
+    # (for the reference motion the warp is identity, so this matches the
+    # reference's section end_idx record)
+    keyframes = {}
+    acc = 0
+    for si, (sec_warped, _) in enumerate(results):
+        acc += len(sec_warped[mean_key])
+        keyframes[f"contact{si}"] = acc
+    return warped, warps, keyframes
+
+
 class MotionModelConstructor:
     """reference MotionModelConstructor facade (:163-215)."""
 
@@ -105,12 +224,18 @@ class MotionModelConstructor:
         self._temporal = None
         self._gmm = None
         self._keyframes: dict = {}
+        self._sections = None
 
     def set_motions(self, motions):
         if isinstance(motions, dict):
             self._input_motions = {k: np.asarray(v) for k, v in motions.items()}
         else:
             self._input_motions = {i: np.asarray(m) for i, m in enumerate(motions)}
+
+    def set_dtw_sections(self, sections):
+        """Per-motion section lists for split temporal alignment (reference
+        MotionModelConstructor.set_dtw_sections); None = whole-clip DTW."""
+        self._sections = sections
 
     def set_timewarping(self, temporal_data: dict):
         self._temporal_data = dict(temporal_data)
@@ -120,8 +245,10 @@ class MotionModelConstructor:
         if align_frames or self._aligned_frames is None:
             aligned = align_frames_spatially(self._input_motions)
             if self._temporal_data is None:
-                self._aligned_frames, self._temporal_data = align_frames_temporally(
-                    self.skeleton, aligned, mean_key)
+                (self._aligned_frames, self._temporal_data,
+                 contact_kf) = align_frames_temporally_split(
+                    self.skeleton, aligned, self._sections, mean_key)
+                self._keyframes.update(contact_kf)
             else:
                 self._aligned_frames = aligned
         self._run_dimension_reduction()

@@ -260,6 +260,100 @@ def load_reference_feature_tree_json(tree_data: dict) -> ClusterTree:
     return tree
 
 
+def load_reference_pickle_tree(payload: bytes) -> ClusterTree:
+    """Load a legacy pickled ClusterTree (`*_cluster_tree.pck` inside graph
+    zips with formatVersion < 4 or usePickle, reference zip_io.py:210-223 +
+    cluster_tree.py:81-94) WITHOUT importing the reference package.
+
+    The pickle stream references classes by module path
+    (morphablegraphs.space_partitioning.*); a restricted Unpickler maps any
+    such class to an attribute-bag stub (the reference classes are plain
+    objects with no custom __setstate__), allows numpy's reconstructors,
+    and refuses everything else.  The stub tree is then converted to the
+    native index-based ClusterTree:
+
+      * ClusterTreeNode stubs -> TreeNode (mean / indices / children);
+      * KDTreeWrapper leaves (which store raw point LISTS, not indices,
+        kdtree.py:87-89) -> indices recovered by exact row matching against
+        the tree's data array (the reference builds them via
+        data[indices].tolist(), so rows match bit-for-bit in f64).
+    """
+    import io
+    import pickle
+
+    class _Stub:
+        pass
+
+    _stub_cache: dict = {}
+
+    def _stub_class(module: str, name: str):
+        key = (module, name)
+        if key not in _stub_cache:
+            _stub_cache[key] = type(name, (_Stub,), {"__module__": module})
+        return _stub_cache[key]
+
+    # _codecs.encode reconstructs the raw byte payload of numpy arrays in
+    # protocol-2 pickles (the protocol the reference saves with)
+    _ALLOWED_MODULE_PREFIXES = ("numpy", "collections", "builtins", "_codecs")
+
+    class _RestrictedUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if ("morphablegraphs" in module or "space_partitioning" in module
+                    or "kdtree" in module or "cluster_tree" in module):
+                return _stub_class(module, name)
+            if module.split(".")[0] in _ALLOWED_MODULE_PREFIXES:
+                return super().find_class(module, name)
+            raise pickle.UnpicklingError(
+                f"refusing to unpickle {module}.{name} from cluster tree")
+
+    obj = _RestrictedUnpickler(io.BytesIO(payload)).load()
+    data = np.asarray(obj.data, np.float64)
+    tree = ClusterTree(n_subdivisions=int(getattr(obj, "n_subdivisions", 4)),
+                       max_level=int(getattr(obj, "max_level", 4)))
+    tree.data = data.astype(np.float32)
+
+    # exact-match index of data rows for KDTreeWrapper point recovery
+    row_index = {np.asarray(row, np.float64).tobytes(): i
+                 for i, row in enumerate(data)}
+
+    def match_points(points) -> np.ndarray:
+        idx = []
+        for p in points:
+            k = np.asarray(p, np.float64).tobytes()
+            if k in row_index:
+                idx.append(row_index[k])
+        return np.asarray(idx, np.int64)
+
+    def convert(node) -> TreeNode:
+        if hasattr(node, "kdtree"):  # KDTreeWrapper leaf
+            pts = getattr(node.kdtree, "data", None) or []
+            indices = match_points(pts)
+            mean = (data[indices].mean(axis=0) if len(indices)
+                    else np.zeros(data.shape[1]))
+            return TreeNode(mean=np.asarray(mean, np.float32),
+                            indices=indices, children=[])
+        children = [convert(c) for c in (getattr(node, "clusters", None) or [])]
+        indices = getattr(node, "indices", None)
+        if indices is None:
+            if children:
+                indices = np.concatenate([c.indices for c in children]) \
+                    if any(len(c.indices) for c in children) else np.asarray([], np.int64)
+            else:
+                indices = np.asarray([], np.int64)
+        indices = np.asarray(indices, np.int64)
+        mean = getattr(node, "mean", None)
+        if mean is None:
+            mean = data[indices].mean(axis=0) if len(indices) else np.zeros(data.shape[1])
+        # KD wrappers stay as plain leaf children: beam search evaluates
+        # their member samples exactly like the reference's directed
+        # kd-tree descent (SURVEY §7.8)
+        return TreeNode(mean=np.asarray(mean, np.float32),
+                        indices=indices, children=children)
+
+    tree.root = convert(obj.root)
+    return tree
+
+
 # ---------------------------------------------------------------------------
 # Builder (reference construction/cluster_tree_builder.py:114-266)
 # ---------------------------------------------------------------------------

@@ -299,6 +299,12 @@ def build_graph_from_dict(graph_dict: dict, skeleton: Optional[Skeleton] = None,
                 from ..construct.space_partitioning import load_reference_feature_tree_json
                 graph.nodes[key].cluster_tree = load_reference_feature_tree_json(
                     desc["space_partition_json"])
+            elif "space_partition_pickle" in desc:
+                # legacy pickled trees (formatVersion < 4 / usePickle
+                # packages, reference zip_io.py:210-223)
+                from ..construct.space_partitioning import load_reference_pickle_tree
+                graph.nodes[key].cluster_tree = load_reference_pickle_tree(
+                    desc["space_partition_pickle"])
             # keyframes from model files feed the label maps
             # (reference motion_state_graph_loader.py:292-305)
             kf = desc["mm"].get("keyframes", {})
@@ -394,8 +400,14 @@ def read_zip(zip_path: str) -> dict:
         if stats_path in names:
             node["stats"] = json.loads(zf.read(stats_path).decode("utf-8"))
         tree_path = f"{prefix}/{mp_full}_cluster_tree.json"
+        pck_path = f"{prefix}/{mp_full}_cluster_tree.pck"
         if tree_path in names:
             node["space_partition_json"] = json.loads(zf.read(tree_path).decode("utf-8"))
+        elif pck_path in names:
+            # legacy pickled tree (formatVersion < 4 / usePickle packages,
+            # reference zip_io.py:210-223); decoded lazily by the graph
+            # builder's restricted unpickler
+            node["space_partition_pickle"] = zf.read(pck_path)
         entry["nodes"][mp_key] = node
         meta_path = f"{prefix}/meta_information.json"
         if meta_path in names and "info" not in entry:

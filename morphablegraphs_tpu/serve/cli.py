@@ -44,12 +44,33 @@ def train_model(motion_folder: str, name: str, output_filename: Optional[str] = 
                 export_sample: bool = True) -> str:
     """Train a motion primitive from a BVH directory (reference
     run_construction.py:156-222 train_model incl. the round-trip sample
-    export sanity check)."""
+    export sanity check).
+
+    Section-split DTW (reference :164-176): a `keyframes.json` file in the
+    motion folder ({motion name: split frame}) splits each clip into two
+    DTW sections at its keyframe (motions without an entry are excluded);
+    otherwise per-motion `<name>_sections.json` files
+    ({"semantic_annotation": {label: [frames...]}}) define the sections."""
+    from ..construct.constructor import (define_sections_from_annotations,
+                                         define_sections_from_keyframes)
+
     skeleton, motions = load_motion_data(motion_folder)
     if skeleton is None or not motions:
         raise ValueError(f"no BVH files found in {motion_folder}")
+    keyframes_path = os.path.join(motion_folder, "keyframes.json")
+    sections = None
+    if os.path.isfile(keyframes_path):
+        with open(keyframes_path) as f:
+            keyframes = json.load(f)
+        sections = define_sections_from_keyframes(motions, keyframes)
+        if sections:
+            motions = {k: motions[k] for k in sections}
+    else:
+        motions, sections = define_sections_from_annotations(motion_folder,
+                                                             motions)
     c = MotionModelConstructor(skeleton, config)
     c.set_motions(motions)
+    c.set_dtw_sections(sections)
     model = c.construct_model(name, version=version)
     output_filename = output_filename or f"{name}_mm.json"
     with open(output_filename, "w") as f:

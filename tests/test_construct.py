@@ -189,6 +189,86 @@ def test_constructor_roundtrip(version):
 
 
 # ---------------------------------------------------------------------------
+# section-split DTW (reference _align_frames_temporally_split,
+# motion_model_constructor.py:304-355 + run_construction.py:77-130)
+# ---------------------------------------------------------------------------
+
+def _sectioned_motions(n=4, seed=11):
+    """Synthetic sectioned clips from a known model: each clip is two
+    back-projected samples concatenated, with per-clip speed differences;
+    the section boundary is recorded per clip."""
+    skel, _ = sk.load_bvh(TEST_BVH)
+    src = prim_mod.load_primitive_json(make_legacy_model_json(seed=seed,
+                                                             n_joints=4))
+    key = jax.random.PRNGKey(seed)
+    motions, sections = {}, {}
+    for i in range(n):
+        parts = []
+        bounds = [0]
+        for j in range(2):
+            key, sub = jax.random.split(key)
+            s = prim_mod.sample_latent(sub, src, 1)[0]
+            frames, nf, _ = prim_mod.back_project(src, s, 96, use_time=True)
+            f = np.asarray(frames)[: int(nf)]
+            # vary section length per clip so DTW has real work
+            f = f[:: (1 + (i + j) % 2)]
+            parts.append(f)
+            bounds.append(bounds[-1] + len(f))
+        motions[f"clip{i}"] = np.concatenate(parts, axis=0)
+        sections[f"clip{i}"] = [
+            {"start_idx": bounds[0], "end_idx": bounds[1]},
+            {"start_idx": bounds[1], "end_idx": bounds[2]}]
+    return skel, motions, sections
+
+
+def test_split_dtw_monotone_and_boundary_aligned():
+    """Per-section warps concatenate into a monotone warping function into
+    the ORIGINAL clip, and every clip's canonical section boundary lands on
+    the reference motion's boundary (the point of splitting: keyframe-
+    annotated production data must stay aligned at contacts)."""
+    skel, motions, sections = _sectioned_motions()
+    warped, warps, contact_kf = constructor.align_frames_temporally_split(
+        skel, motions, sections)
+    assert "contact0" in contact_kf and "contact1" in contact_kf
+    lengths = {len(w) for w in warped.values()}
+    assert len(lengths) == 1  # all clips share the canonical timeline
+    n_canonical = lengths.pop()
+    assert contact_kf["contact1"] == n_canonical
+    boundary = contact_kf["contact0"]
+    assert 0 < boundary < n_canonical
+    for key, wf in warps.items():
+        wf = np.asarray(wf)
+        assert len(wf) == n_canonical
+        assert (np.diff(wf) >= 0).all(), f"warp not monotone for {key}"
+        assert wf[-1] <= len(motions[key]) - 1
+        # the canonical boundary maps into the clip's own section boundary
+        sec_end = sections[key][0]["end_idx"]
+        assert abs(int(wf[boundary]) - sec_end) <= 1, key
+
+
+def test_split_dtw_constructor_and_sections_from_keyframes():
+    """End-to-end: sections from keyframes.json-style dicts -> constructor
+    with set_dtw_sections -> loadable model carrying contact keyframes."""
+    skel, motions, sections = _sectioned_motions(n=3, seed=13)
+    keyframes = {k: s[0]["end_idx"] for k, s in sections.items()}
+    built = constructor.define_sections_from_keyframes(motions, keyframes)
+    assert built.keys() == motions.keys()
+    for k in built:
+        assert built[k][0]["end_idx"] == sections[k][0]["end_idx"]
+
+    c = constructor.MotionModelConstructor(skel, {"max_gmm_components": 2,
+                                                  "npc_temporal": 2})
+    c.set_motions(motions)
+    c.set_dtw_sections(built)
+    model_json = c.construct_model("sectioned_walk", version=3)
+    assert "contact0" in model_json["keyframes"]
+    prim = prim_mod.load_primitive_json(model_json)
+    frames, n, _ = prim_mod.sample_frames(jax.random.PRNGKey(3), prim, 256,
+                                          use_time=True)
+    assert not np.any(np.isnan(np.asarray(frames)[: int(n)]))
+
+
+# ---------------------------------------------------------------------------
 # scaled fPCA (per-joint weight optimization)
 # ---------------------------------------------------------------------------
 

@@ -152,6 +152,135 @@ def test_zip_roundtrip(tmp_path):
     assert g.start_node == ("walk", "beginLeftStance")
 
 
+def _make_reference_pickle_tree(rng, n=64, dim=5):
+    """Pickle a stub of the reference's ClusterTree object graph under the
+    reference's module paths (morphablegraphs.space_partitioning.*) without
+    the reference package: fake modules are registered only long enough to
+    pickle, then removed — loading must NOT need them."""
+    import pickle
+    import sys
+    import types
+
+    data = rng.standard_normal((n, dim))
+    mods = {}
+    for mod_name in ["morphablegraphs",
+                     "morphablegraphs.space_partitioning",
+                     "morphablegraphs.space_partitioning.cluster_tree",
+                     "morphablegraphs.space_partitioning.cluster_tree_node",
+                     "morphablegraphs.space_partitioning.kdtree_wrapper_node",
+                     "morphablegraphs.space_partitioning.kdtree"]:
+        mods[mod_name] = types.ModuleType(mod_name)
+
+    def make_cls(mod_name, cls_name):
+        cls = type(cls_name, (object,), {"__module__": mod_name})
+        setattr(mods[mod_name], cls_name, cls)
+        return cls
+
+    CT = make_cls("morphablegraphs.space_partitioning.cluster_tree", "ClusterTree")
+    CTN = make_cls("morphablegraphs.space_partitioning.cluster_tree_node", "ClusterTreeNode")
+    KDW = make_cls("morphablegraphs.space_partitioning.kdtree_wrapper_node", "KDTreeWrapper")
+    KDT = make_cls("morphablegraphs.space_partitioning.kdtree", "KDTree")
+
+    def kd_wrapper(indices):
+        w = KDW.__new__(KDW)
+        t = KDT.__new__(KDT)
+        # reference kdtree.construct stores raw point LISTS (kdtree.py:87-89)
+        t.data = data[indices].tolist()
+        t.root = None
+        w.kdtree = t
+        w.dim = dim
+        w.type = "kd_tree_wrapper"
+        return w
+
+    def ctn(indices, clusters, leaf, depth):
+        node = CTN.__new__(CTN)
+        node.id = "x"
+        node.clusters = clusters
+        node.mean = data[indices].mean(axis=0)
+        node.leaf = leaf
+        node.type = "leaf" if leaf else "inner"
+        node.depth = depth
+        node.indices = None  # store_indices=False path: recover from leaves
+        return node
+
+    half = n // 2
+    left = ctn(np.arange(half), [kd_wrapper(np.arange(half))], True, 1)
+    right = ctn(np.arange(half, n), [kd_wrapper(np.arange(half, n))], True, 1)
+    root = ctn(np.arange(n), [left, right], False, 0)
+    tree = CT.__new__(CT)
+    tree.data = data
+    tree.root = root
+    tree.n_subdivisions = 2
+    tree.max_level = 2
+    sys.modules.update(mods)
+    try:
+        payload = pickle.dumps(tree, protocol=2)
+    finally:
+        for k in mods:
+            sys.modules.pop(k, None)
+    return payload, data
+
+
+def test_pickle_cluster_tree_ingestion(tmp_path):
+    """Legacy pickled cluster trees hydrate node.cluster_tree from a zip and
+    cluster_tree_search finds the true argmin (reference zip_io.py:210-223;
+    VERDICT r1 item 5)."""
+    from morphablegraphs_tpu.construct.space_partitioning import (
+        load_reference_pickle_tree)
+
+    rng = np.random.default_rng(4)
+    payload, data = _make_reference_pickle_tree(rng)
+    tree = load_reference_pickle_tree(payload)
+    assert tree.data.shape == data.shape
+    np.testing.assert_allclose(tree.data, data, atol=1e-6)
+    # all indices recovered through the point-matching path
+    got = np.sort(np.concatenate([c.indices for c in tree.root.children]))
+    np.testing.assert_array_equal(got, np.arange(len(data)))
+    # beam search with a simple objective matches brute force
+    target = data[17]
+    obj = lambda x: np.linalg.norm(np.asarray(x) - target, axis=-1)
+    err, best = tree.find_best_example(obj, n_candidates=2)
+    assert err <= 1e-6  # the exact row is reachable
+
+    # --- through a legacy zip (pck entry, no json tree) -------------------
+    gd = make_graph_dict()
+    zip_path = str(tmp_path / "legacy.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("graph_definition.json", json.dumps({
+            "formatVersion": 2.0, "transitions": gd["transitions"],
+            "startNode": gd["startNode"]}))
+        from fixtures import TEST_BVH
+        zf.writestr("skeleton.bvh", TEST_BVH)
+        for mp_name, node in gd["subgraphs"]["walk"]["nodes"].items():
+            base = f"elementary_action_models/elementary_action_walk/walk_{mp_name}"
+            zf.writestr(base + "_mm.json", json.dumps(node["mm"]))
+            zf.writestr(base + "_cluster_tree.pck", payload)
+        zf.writestr(
+            "elementary_action_models/elementary_action_walk/meta_information.json",
+            json.dumps(gd["subgraphs"]["walk"]["info"]))
+    g = graph_mod.load_graph(zip_path)
+    node = g.nodes[("walk", "leftStance")]
+    assert node.cluster_tree is not None
+    assert node.cluster_tree.data.shape == data.shape
+
+
+def test_pickle_cluster_tree_rejects_foreign_classes():
+    """The restricted unpickler must refuse non-numpy, non-reference class
+    references (pickle gadget hygiene)."""
+    import pickle
+
+    from morphablegraphs_tpu.construct.space_partitioning import (
+        load_reference_pickle_tree)
+
+    payload = pickle.dumps({"exploit": __import__("os").system})
+    try:
+        load_reference_pickle_tree(payload)
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+
+
 def test_zip_roundtrip_v1_v3_and_underscore_names(tmp_path):
     """Review fixes: v1 layout parses; v3 packages keep their skeleton;
     underscore action names survive the zip round trip with transitions."""
