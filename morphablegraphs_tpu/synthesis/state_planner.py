@@ -48,6 +48,17 @@ class MGStatePlanningSettings:
     max_steps_per_target: int = 50
     activate_upper_body_overlay: bool = False
     collision_check_step: float = 10.0  # sampling step along the checked ray
+    # direction extraction / target switching (reference :191-235 defaults)
+    min_target_distance: float = 20.0
+    min_dir_distance: float = 50.0
+    max_step_length: float = 60.0
+    max_begin_step_length: float = 30.0
+    look_back_range: int = 100
+    walk_noise_eps: float = 0.1
+    # per-step look-at / IK edits
+    look_at_window: int = 40
+    orient_spine: bool = False
+    n_max_ik_iter: int = 10
     # PFNN locomotion (reference mg_state_planner.py:219-224)
     min_pfnn_target_distance: float = 8.0
     min_pfnn_primitive_steps: int = 100
@@ -77,7 +88,8 @@ class MGStatePlanner:
     def __init__(self, graph: MotionStateGraph,
                  settings: Optional[MGStatePlanningSettings] = None,
                  config: Optional[dict] = None, seed: int = 0,
-                 collision_boundary=None, pfnn_wrapper=None):
+                 collision_boundary=None, pfnn_wrapper=None,
+                 hand_collision_boundary=None):
         self.graph = graph
         # optional PFNN controller with reset(pos, phase, dir) and
         # get_next_frame(target_dir) -> quaternion frame; the reference takes
@@ -88,6 +100,11 @@ class MGStatePlanner:
         # external collision-avoidance service / scene boundary,
         # mg_state_planner.py:672-704 collision_boundary.check_trajectory)
         self.collision_boundary = collision_boundary
+        # optional per-joint collision boundary for CCD avoidance edits
+        # (reference handle_collision :1135-1157): object with attributes
+        # joint_name and check_trajectory(points, dt) ->
+        # (frame_idx, position, normal); frame_idx <= 0 means no collision
+        self.hand_collision_boundary = hand_collision_boundary
         self.settings = settings or MGStatePlanningSettings()
         # copy before overriding: mutating a shared config dict would
         # clobber other components' sample counts
@@ -134,9 +151,12 @@ class MGStatePlanner:
 
     # -- step generation (reference generate_locomotion_step :772) ------
     def generate_step(self, node_key, pose_buffer, target_pos=None,
-                      target_dir=None):
-        """One constrained step toward a position and/or heading; returns
-        the aligned MotionState appended to the queue."""
+                      target_dir=None, upper_body_state=None,
+                      body_orientation_targets=None, action=None):
+        """One constrained step toward a position and/or heading, with the
+        in-loop edits of reference generate_locomotion_step (:772-816):
+        upper-body gesture splice, look-at/spine orientation edit, CCD
+        collision avoidance.  Returns the aligned state-queue entry."""
         skel = self.graph.skeleton
         prim = self.graph.nodes[node_key].primitive
         sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
@@ -169,8 +189,224 @@ class MGStatePlanner:
         frames, n, _ = prim_mod.back_project(
             prim, s, max_frames=_pad(prim.n_canonical_frames), use_time=False)
         frames = np.asarray(frames)[: int(n)]
+        if upper_body_state is not None:
+            frames = self.combine_frames_with_upper_body(frames,
+                                                         upper_body_state)
+        if body_orientation_targets is not None:
+            frames = self.apply_body_orientation_targets(
+                frames, pose_buffer, body_orientation_targets)
+        if self.hand_collision_boundary is not None:
+            frames = self.handle_collision(frames, action or node_key[0])
         node_type = self.graph.nodes[node_key].node_type
         return self.state_queue.add_state(node_key, node_type, frames, pose_buffer)
+
+    # -- upper-body gesture overlay (reference :568-604 + :817-828) ------
+    def generate_upper_body_state(self, gesture_desc):
+        """Sample the gesture primitive once and wrap it in a cycling
+        overlay state (reference generate_upper_body_state :680-704):
+        {"frames": [T, D], "frame_idx": int}.
+
+        gesture_desc: {"action": name, "primitive": optional name}."""
+        action = gesture_desc["action"]
+        group = self.graph.node_groups.get(action)
+        if group is None:
+            return None
+        mp = gesture_desc.get("primitive")
+        if mp is None:
+            keys = group.node_keys
+            mp = keys[0][1]
+        prim = self.graph.nodes[(action, mp)].primitive
+        s = prim_mod.sample_latent(self._next_key(), prim, 1)[0]
+        frames, n, _ = prim_mod.back_project(
+            prim, s, max_frames=_pad(prim.n_canonical_frames), use_time=False)
+        return {"frames": np.asarray(frames)[: int(n)], "frame_idx": 0}
+
+    def combine_frames_with_upper_body(self, frames, upper_body_state):
+        """Splice upper-body joint quats from the cycling gesture state
+        (reference combine_frames_with_other_motion_primitive :817-828:
+        per output frame take the NEXT gesture frame, wrapping around)."""
+        skel = self.graph.skeleton
+        gesture = np.asarray(upper_body_state["frames"], np.float32)
+        idx = upper_body_state["frame_idx"]
+        out = np.asarray(frames, np.float32).copy()
+        slots = [skel.quat_slice(j) for j in UPPER_BODY_JOINTS
+                 if j in skel.animated_joints]
+        for i in range(len(out)):
+            for sl in slots:
+                out[i, sl] = gesture[idx, sl]
+            idx = (idx + 1) % len(gesture)
+        upper_body_state["frame_idx"] = idx
+        return out
+
+    # -- look-at / spine edits (reference :795-815 + apply_ik_constraints
+    #    :1023-1060) ----------------------------------------------------
+    def apply_body_orientation_targets(self, frames, pose_buffer, targets):
+        """Orient the head (and optionally a spine joint) toward world-space
+        targets: (look_at_target, spine_target).  Targets are transformed by
+        the INVERSE of the step's aligning transform, because the frames are
+        still primitive-local at this point (the reference does the same,
+        :802-810), then the per-frame look-at kernel (ops/ik.look_at) runs
+        over the configured window."""
+        from ..ops import align, ik
+
+        look_target, spine_target = targets
+        if look_target is None and spine_target is None:
+            return frames
+        skel = self.graph.skeleton
+        frames = np.asarray(frames, np.float32).copy()
+        if pose_buffer:
+            q_y, delta = align.node_aligning_2d_transform(
+                jnp.asarray(pose_buffer[-1], jnp.float32),
+                jnp.asarray(frames[0]))
+            q_inv = np.asarray(quat_conj(np.asarray(q_y)))
+        else:
+            q_inv = np.array([1.0, 0, 0, 0], np.float32)
+            delta = jnp.zeros(3)
+
+        def to_local(p):
+            from ..ops import quat as quat_ops
+            p = jnp.asarray(np.asarray(p, np.float32)) - jnp.asarray(delta)
+            return quat_ops.rotate_vec(jnp.asarray(q_inv), p)
+
+        n = len(frames)
+        window = min(self.settings.look_at_window, n)
+        lo = max(0, n - window) if window < n else 0
+        if look_target is not None and "Head" in skel.animated_joints:
+            head_idx = skel.animated_index_of("Head")
+            local = to_local(look_target)
+            edited = jax.vmap(lambda f: ik.look_at(skel, head_idx, f, local))(
+                jnp.asarray(frames[lo:]))
+            frames[lo:] = np.asarray(edited)
+        if (spine_target is not None and self.settings.orient_spine):
+            for jname in ("Spine1", "Spine"):
+                if jname in skel.animated_joints:
+                    s_idx = skel.animated_index_of(jname)
+                    local = to_local(spine_target)
+                    edited = jax.vmap(lambda f: ik.look_at(skel, s_idx, f, local))(
+                        jnp.asarray(frames[lo:]))
+                    frames[lo:] = np.asarray(edited)
+                    break
+        return frames
+
+    # -- CCD collision avoidance (reference handle_collision :1135) ------
+    def handle_collision(self, frames, action_name, dt: float = 1e-4,
+                         push_distance: float = 20.0):
+        """Check the collision-boundary joint's trajectory; on a hit, push
+        the joint out along the contact normal with a CCD edit at the
+        colliding frame (reference :1135-1157: target = contact position -
+        normal * 20, edit_motion_using_ccd with n_max_ik_iter)."""
+        from ..models.skeleton import fk_positions
+        from ..ops import ik
+
+        boundary = self.hand_collision_boundary
+        if boundary is None:
+            return frames
+        skel = self.graph.skeleton
+        joint = boundary.joint_name
+        if joint not in skel.node_names:
+            return frames
+        frames = np.asarray(frames, np.float32)
+        node_idx = skel.index_of(joint)
+        points = np.asarray(fk_positions(skel, jnp.asarray(frames)))[:, node_idx]
+        frame_idx, pos, normal = boundary.check_trajectory(points, dt)
+        if frame_idx is None or frame_idx <= 0:
+            return frames
+        target = np.asarray(pos, np.float64) - np.asarray(normal, np.float64) * push_distance
+        chain = _ccd_chain(skel, joint)
+        if not chain:
+            return frames
+        frames = frames.copy()
+        edited = ik.run_ccd(skel, chain, node_idx,
+                            jnp.asarray(frames[frame_idx]),
+                            jnp.asarray(target, jnp.float32),
+                            n_iters=self.settings.n_max_ik_iter)
+        frames[frame_idx] = np.asarray(edited)
+        return frames
+
+    # -- direction extraction (reference get_direction_from_control_points
+    #    :706-770) -------------------------------------------------------
+    def get_direction_from_control_points(self, control_points, node_type,
+                                          path_state, pose_buffer,
+                                          end_direction=None,
+                                          add_noise=False):
+        """Pop reached/overstepped targets and return the steering vector +
+        step distance.  Mirrors the reference's semantics:
+
+          * overstepping abort: when already inside overstepping_range of
+            the FINAL target and the distance starts GROWING, drop the last
+            generated state and keep the previous direction;
+          * look-back check: a target counts as reached if any recent
+            buffered pose (look_back_range) came within min_target_distance;
+          * end_direction override near the final target (min_dir_distance);
+          * step distance capped by max_begin_step_length from idle,
+            max_step_length otherwise.
+
+        Mutates `control_points` (a list) and path_state; returns
+        (direction_vector [3] or None, step_distance, pose_buffer)."""
+        s = self.settings
+        direction = None
+        path_state["current_position"] = np.array(pose_buffer[-1][:3]) \
+            if pose_buffer else np.zeros(3)
+        found = False
+        in_target_range = False
+        distance = 0.0
+        while not found and control_points and not self.stop_thread:
+            direction = np.asarray(control_points[0], np.float64) \
+                - path_state["current_position"]
+            direction[1] = 0.0
+            distance = float(np.linalg.norm(direction))
+            if len(control_points) == 1 and distance < s.overstepping_range:
+                in_target_range = True
+            if (distance > path_state["prev_distance"]
+                    and len(control_points) == 1 and in_target_range):
+                # overstepping: drop the offending state, restore buffer
+                self.state_queue.pop_last_state()
+                last = self.state_queue.get_last_state()
+                if last is not None:
+                    pose_buffer = last.pose_buffer
+                direction = path_state["prev_direction_vector"]
+                distance = 0.0
+                path_state["prev_target"] = control_points.pop(0)
+            elif distance > s.min_target_distance:
+                # look-back: did a recent pose already pass the target?
+                if pose_buffer:
+                    pts = [np.asarray(f[:3]) for f in
+                           pose_buffer[-s.look_back_range:]]
+                    min_d = min(float(np.linalg.norm(
+                        (p - np.asarray(control_points[0]))
+                        * np.array([1.0, 0.0, 1.0]))) for p in pts)
+                else:
+                    min_d = distance
+                if min_d > s.min_target_distance:
+                    direction = direction / distance
+                    found = True
+                else:
+                    direction = None
+                    path_state["distance"] = np.inf
+                    path_state["prev_target"] = control_points.pop(0)
+            else:
+                direction = None
+                path_state["distance"] = np.inf
+                path_state["prev_target"] = control_points.pop(0)
+
+        if direction is None:
+            distance = 0.0
+            direction = path_state["prev_direction_vector"]
+        if (end_direction is not None and len(control_points) <= 1
+                and distance < s.min_dir_distance):
+            d = np.asarray(end_direction, np.float64)
+            direction = d / max(np.linalg.norm(d), 1e-10)
+        if node_type == NODE_TYPE_IDLE:
+            step_distance = min(distance, s.max_begin_step_length)
+        else:
+            step_distance = min(distance, s.max_step_length)
+        step_distance = max(0.0, step_distance)
+        if direction is not None and add_noise:
+            noise = np.random.rand(3) * s.walk_noise_eps
+            noise[1] = 0.0
+            direction = np.asarray(direction, np.float64) + noise
+        path_state["distance"] = distance
+        return direction, step_distance, pose_buffer
 
     # -- locomotion loops ----------------------------------------------
     def generate_locomotion_from_pfnn(self, pose_buffer, control_points):
@@ -229,48 +465,71 @@ class MGStatePlanner:
         return pose_buffer, success
 
     def generate_locomotion(self, action: str, control_points: np.ndarray,
-                            pose_buffer=None):
+                            pose_buffer=None, end_direction=None,
+                            body_orientation_targets=None,
+                            upper_body_gesture=None, add_noise=False):
         """Walk through control points until the last is reached (reference
-        generate_locomotion_from_motion_primitives :562-770: target switching
-        by distance threshold)."""
+        generate_locomotion_from_motion_primitives :562-660): per iteration
+        the steering direction + step distance come from
+        get_direction_from_control_points (target switching, overstepping
+        abort, look-back), steps optionally carry look-at targets and an
+        upper-body gesture overlay, and the straight-line segment ahead is
+        collision-checked."""
         if self.use_pfnn and self.pfnn_wrapper is not None:
             # reference :363-365 routes locomotion through the PFNN wrapper
             pose_buffer, _ = self.generate_locomotion_from_pfnn(
                 pose_buffer, control_points)
             return pose_buffer
-        control_points = np.asarray(control_points, np.float32)
+        control_points = [np.asarray(p, np.float64) for p in control_points]
+        n_targets = max(len(control_points), 1)
+        upper_body_state = (self.generate_upper_body_state(upper_body_gesture)
+                           if upper_body_gesture is not None else None)
+        path_state = {"distance": np.inf, "prev_distance": np.inf,
+                      "prev_direction_vector": None,
+                      "prev_target": control_points[0] if control_points else None,
+                      "current_position": np.zeros(3)}
         node_key = None
         node_type = NODE_TYPE_IDLE
-        target_idx = 0
         steps = 0
-        while (target_idx < len(control_points) and not self.stop_thread
-               and steps < self.settings.max_steps_per_target * len(control_points)):
-            target = control_points[target_idx]
-            cur = (np.asarray(pose_buffer[-1][:3]) if pose_buffer
-                   else np.zeros(3))
-            to_target = target - cur
-            to_target[1] = 0.0
-            dist = float(np.linalg.norm(to_target))
-            if dist < self.settings.step_target_threshold:
-                target_idx += 1
-                continue
-            if self.collision_boundary is not None and self._path_blocked(cur, target):
-                # skip targets behind obstacles (reference skips/aborts the
-                # trajectory segment on a boundary hit)
-                target_idx += 1
-                continue
-            last = target_idx == len(control_points) - 1
-            reached_soon = last and dist < self.settings.step_target_threshold * 2
+        while (control_points and not self.stop_thread
+               and steps < self.settings.max_steps_per_target * n_targets):
+            direction, step_distance, pose_buffer = \
+                self.get_direction_from_control_points(
+                    control_points, node_type, path_state, pose_buffer,
+                    end_direction, add_noise)
+            if direction is None:
+                continue  # target list advanced; re-evaluate
+            cur = path_state["current_position"]
+            if (self.collision_boundary is not None and step_distance > 0
+                    and self._path_blocked(cur, cur + np.asarray(direction)
+                                           * step_distance)):
+                # abort the segment on a boundary hit (reference :592-604
+                # clears the remaining control points and drops the state)
+                self.state_queue.pop_last_state()
+                last = self.state_queue.get_last_state()
+                if last is not None:
+                    pose_buffer = last.pose_buffer
+                break
+            reached_soon = (len(control_points) <= 1 and
+                            path_state["distance"]
+                            < self.settings.step_target_threshold * 2)
             node_type = self.get_next_node_type(node_type, reached_soon)
             node_key = self._pick_node(node_key, node_type, action)
             if node_key is None:
                 break
-            direction = to_target / max(dist, 1e-6)
-            entry = self.generate_step(node_key, pose_buffer,
-                                       target_pos=target if last else None,
-                                       target_dir=[direction[0], direction[2]])
+            target_pos = cur + np.asarray(direction) * step_distance
+            last_target = len(control_points) <= 1
+            entry = self.generate_step(
+                node_key, pose_buffer,
+                target_pos=target_pos if last_target else None,
+                target_dir=[direction[0], direction[2]],
+                upper_body_state=upper_body_state,
+                body_orientation_targets=body_orientation_targets,
+                action=action)
             pose_buffer = entry.pose_buffer
             node_type = self.graph.nodes[node_key].node_type
+            path_state["prev_direction_vector"] = direction
+            path_state["prev_distance"] = path_state["distance"]
             steps += 1
         return pose_buffer
 
@@ -281,9 +540,14 @@ class MGStatePlanner:
             if self.stop_thread:
                 break
             if "controlPoints" in a:
+                body_targets = None
+                if "lookAtTarget" in a or "spineTarget" in a:
+                    body_targets = (a.get("lookAtTarget"), a.get("spineTarget"))
                 pose_buffer = self.generate_locomotion(
                     a["action"], np.asarray(a["controlPoints"], np.float32),
-                    pose_buffer)
+                    pose_buffer, end_direction=a.get("endDirection"),
+                    body_orientation_targets=body_targets,
+                    upper_body_gesture=a.get("upperBodyGesture"))
             else:
                 n_steps = int(a.get("nSteps", 1))
                 direction = a.get("direction")
@@ -347,3 +611,21 @@ class MGStatePlanner:
 
 def _pad(n: int, multiple: int = 32) -> int:
     return ((n + multiple - 1) // multiple) * multiple
+
+
+def quat_conj(q):
+    q = np.asarray(q, np.float32)
+    return np.array([q[0], -q[1], -q[2], -q[3]], np.float32)
+
+
+def _ccd_chain(skel, joint_name: str, max_len: int = 3) -> tuple:
+    """Animated-joint chain child -> root for CCD, ending before the root
+    (reference edit_motion_using_ccd walks the parent chain)."""
+    chain = []
+    idx = skel.index_of(joint_name)
+    while idx >= 0 and len(chain) < max_len:
+        name = skel.node_names[idx]
+        if name in skel.animated_joints and name != skel.animated_joints[0]:
+            chain.append(skel.animated_index_of(name))
+        idx = skel.parents[idx]
+    return tuple(chain)

@@ -85,6 +85,18 @@ class MGStateQueue:
         with self._mutex:
             self._queue.clear()
 
+    def pop_last_state(self) -> Optional[StateQueueEntry]:
+        """Remove and return the NEWEST entry (reference pop_last_state —
+        used by the planner's overstepping abort)."""
+        with self._mutex:
+            if self._queue:
+                return self._queue.pop()
+        return None
+
+    def get_last_state(self) -> Optional[StateQueueEntry]:
+        with self._mutex:
+            return self._queue[-1] if self._queue else None
+
     # -- state construction (reference build_state :108-130) -----------
     def build_state(self, frames: np.ndarray,
                     pose_buffer: Optional[List[np.ndarray]],

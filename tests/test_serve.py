@@ -127,6 +127,158 @@ def test_state_planner_locomotion(graph):
         prev_end = e.state.frames[-1][:3]
 
 
+def test_direction_extraction_target_switching(graph):
+    """reference get_direction_from_control_points :706-770: reached targets
+    pop, the steering vector points at the current target, and the step
+    distance is capped by the node-type-dependent maximum."""
+    settings = MGStatePlanningSettings(min_target_distance=10.0,
+                                       max_step_length=25.0,
+                                       max_begin_step_length=12.0)
+    p = MGStatePlanner(graph, settings)
+    buf = [np.zeros(19, np.float32)]
+    buf[0][3::4] = 1.0
+    # first target already within min_target_distance -> popped; second used
+    cps = [np.array([0.0, 0, 5.0]), np.array([0.0, 0, 100.0])]
+    state = {"distance": np.inf, "prev_distance": np.inf,
+             "prev_direction_vector": None, "prev_target": cps[0],
+             "current_position": np.zeros(3)}
+    d, step, buf = p.get_direction_from_control_points(cps, "standard", state,
+                                                       buf)
+    assert len(cps) == 1
+    np.testing.assert_allclose(d, [0, 0, 1], atol=1e-6)
+    assert step == 25.0  # capped by max_step_length
+    # from idle the begin cap applies
+    state2 = dict(state, prev_distance=np.inf)
+    d2, step2, _ = p.get_direction_from_control_points(list(cps), "idle",
+                                                       state2, buf)
+    assert step2 == 12.0
+    # end_direction override near the last target
+    near = [np.zeros(19, np.float32)]
+    near[0][3::4] = 1.0
+    near[0][2] = 70.0  # 30 from target < min_dir_distance (50)
+    d3, _, _ = p.get_direction_from_control_points(
+        list(cps), "standard", dict(state), near, end_direction=[1.0, 0, 0])
+    np.testing.assert_allclose(d3, [1, 0, 0], atol=1e-6)
+
+
+def test_direction_extraction_overstepping_abort(graph):
+    """Overstepping the final target (distance growing inside the
+    overstepping range) pops the last queued state and reuses the previous
+    direction (reference :718-727)."""
+    settings = MGStatePlanningSettings(overstepping_range=50.0,
+                                       min_target_distance=1.0)
+    p = MGStatePlanner(graph, settings)
+    e1 = p.state_queue.add_state(("walk", "a"), "start", _frames(10), None)
+    e2 = p.state_queue.add_state(("walk", "b"), "standard", _frames(10),
+                                 e1.pose_buffer)
+    assert len(p.state_queue) == 2
+    buf = [np.zeros(19, np.float32)]
+    buf[0][3::4] = 1.0
+    buf[0][2] = 30.0  # 10 past the target at z=20, inside overstepping range
+    prev_dir = np.array([0.0, 0.0, 1.0])
+    state = {"distance": 10.0, "prev_distance": 5.0,
+             "prev_direction_vector": prev_dir,
+             "prev_target": np.array([0.0, 0, 20.0]),
+             "current_position": np.zeros(3)}
+    cps = [np.array([0.0, 0, 20.0])]
+    d, step, buf2 = p.get_direction_from_control_points(cps, "standard",
+                                                        state, buf)
+    assert len(p.state_queue) == 1  # overstepping popped the newest state
+    assert len(cps) == 0
+    np.testing.assert_allclose(d, prev_dir, atol=1e-6)
+    assert step == 0.0
+
+
+def test_upper_body_state_cycles_through_gesture(graph):
+    """reference combine_frames_with_other_motion_primitive :817-828: the
+    gesture frames splice cyclically into consecutive steps."""
+    p = MGStatePlanner(graph)
+    state = p.generate_upper_body_state({"action": "walk",
+                                         "primitive": "leftStance"})
+    assert state is not None and len(state["frames"]) > 0
+    n_gesture = len(state["frames"])
+    base = _frames(n_gesture + 5)
+    out = p.combine_frames_with_upper_body(base, state)
+    skel = graph.skeleton
+    sl = skel.quat_slice("Spine")
+    np.testing.assert_allclose(out[0, sl], state["frames"][0, sl], atol=1e-6)
+    # wrap-around: frame n_gesture uses gesture frame 0 again
+    np.testing.assert_allclose(out[n_gesture, sl], state["frames"][0, sl],
+                               atol=1e-6)
+    assert state["frame_idx"] == (n_gesture + 5) % n_gesture
+    # root motion untouched
+    np.testing.assert_allclose(out[:, :3], base[:, :3], atol=1e-6)
+
+
+def test_apply_body_orientation_targets(graph):
+    """Look-at edit rotates the head toward the world target over the
+    look-at window (reference apply_ik_constraints :1023 + :795-815)."""
+    from morphablegraphs_tpu.models.skeleton import fk_global
+    import jax.numpy as jnp
+    from morphablegraphs_tpu.ops import quat as quat_ops
+    import jax
+
+    p = MGStatePlanner(graph, MGStatePlanningSettings(look_at_window=50))
+    frames = _frames(10)
+    target = np.array([100.0, 105.0, 50.0])
+    out = p.apply_body_orientation_targets(frames, None, (target, None))
+    skel = graph.skeleton
+    head = skel.index_of("Head")
+    pos, ori = fk_global(skel, jnp.asarray(out[-1]))
+    gaze = np.asarray(quat_ops.rotate_vec(quat_ops.normalize(ori[head]),
+                                          jnp.asarray([0.0, 0, 1.0])))
+    want = target - np.asarray(pos[head])
+    want /= np.linalg.norm(want)
+    assert float(np.dot(gaze, want)) > 0.95
+    # frames untouched when no targets given
+    same = p.apply_body_orientation_targets(frames, None, (None, None))
+    np.testing.assert_allclose(same, frames)
+
+
+def test_handle_collision_ccd(graph):
+    """A collision report moves the boundary joint away along the normal via
+    the CCD edit (reference handle_collision :1135-1157)."""
+    from morphablegraphs_tpu.models.skeleton import fk_positions
+    import jax.numpy as jnp
+
+    class Boundary:
+        joint_name = "Head"
+
+        def check_trajectory(self, points, dt):
+            # pretend frame 5 collides; push along -z
+            return 5, np.asarray(points[5]), np.array([0.0, 0.0, 1.0])
+
+    p = MGStatePlanner(graph, hand_collision_boundary=Boundary())
+    frames = _frames(10)
+    before = np.asarray(fk_positions(graph.skeleton, jnp.asarray(frames)))
+    out = p.handle_collision(frames, "walk")
+    after = np.asarray(fk_positions(graph.skeleton, jnp.asarray(out)))
+    head = graph.skeleton.index_of("Head")
+    # the edited frame's head moved toward (collision point - 20*normal)
+    assert after[5, head, 2] < before[5, head, 2] - 1.0
+    # other frames untouched
+    np.testing.assert_allclose(out[0], frames[0], atol=1e-6)
+    np.testing.assert_allclose(out[9], frames[9], atol=1e-6)
+
+
+def test_locomotion_with_overlay_and_lookat(graph):
+    """End-to-end: locomotion with an upper-body gesture + look-at target
+    produces contiguous, NaN-free states."""
+    settings = MGStatePlanningSettings(n_samples=6, max_steps_per_target=6,
+                                       min_target_distance=15.0)
+    p = MGStatePlanner(graph, settings)
+    p.generate_motion_states_from_action_sequence([
+        {"action": "walk", "controlPoints": [[0, 0, 60]],
+         "lookAtTarget": [50.0, 120.0, 50.0],
+         "upperBodyGesture": {"action": "walk", "primitive": "rightStance"}}])
+    assert len(p.state_queue) > 0
+    while True:
+        e = p.state_queue.pop()
+        if e is None:
+            break
+        assert not np.any(np.isnan(e.state.frames))
+
+
 def test_upper_body_overlay(graph):
     p = MGStatePlanner(graph)
     base = _frames(20)
