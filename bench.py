@@ -97,18 +97,21 @@ def main():
                 lm_iters=3, lm_threshold=5.0))(keys, paths, sids)
 
     keys = jax.random.split(jax.random.PRNGKey(0), n_chars)
-    segs, nf, _, _ = crowd(stacked, keys, start_ids)  # warmup/compile
-    jax.block_until_ready(segs)
-
-    # roofline accounting from XLA's own cost analysis of the lowered crowd
-    # program (flops are f32-equivalent; bytes = HBM traffic estimate)
+    # AOT: ONE compile serves both the cost analysis and the timed runs
+    # (calling the jit wrapper and separately lower().compile() would
+    # compile the 2-minute program twice)
+    t0 = time.perf_counter()
+    compiled = crowd.lower(stacked, keys, start_ids).compile()
+    print(f"# compile: {time.perf_counter() - t0:.0f}s", file=sys.stderr)
     try:
-        cost = (jax.jit(crowd.__wrapped__)
-                .lower(stacked, keys, start_ids).compile().cost_analysis())
+        cost = compiled.cost_analysis() or {}
         flops = float(cost.get("flops", 0.0))
         bytes_accessed = float(cost.get("bytes accessed", 0.0))
     except Exception:  # cost analysis is backend-dependent
         flops = bytes_accessed = 0.0
+    crowd = compiled
+    segs, nf, _, _ = crowd(stacked, keys, start_ids)  # warmup
+    jax.block_until_ready(segs)
 
     n_iters = 5
     # pre-stage per-iteration keys on device: key splitting is host-side

@@ -41,6 +41,14 @@ from ..ops import align, bspline, quat, spline_path
 
 MAX_KF = 8  # padded keyframe-constraint slots per step
 TRAJ_SAMPLES = 16  # canonical-frame samples for trajectory residuals
+MAX_CA = 4  # collision-avoidance constraint slots per step
+MAX_TS_JOINTS = 4  # joints in a trajectory-set constraint
+
+# residual-vector layout offsets
+_OFF_CA = MAX_KF + 5  # kf | dir | la | rt | jr | pose
+_OFF_TRAJ = _OFF_CA + MAX_CA
+_OFF_TS = _OFF_TRAJ + TRAJ_SAMPLES
+N_RESIDUALS = _OFF_TS + TRAJ_SAMPLES
 
 
 @struct.dataclass
@@ -84,14 +92,26 @@ class StepConstraints:
     # trajectory_constraint.py:56-60 set_active_range); inf = unbounded
     traj_range_start: jax.Array  # f32
     traj_range_end: jax.Array  # f32
-    # collision-avoidance constraint: MIN distance over the step's frames to
-    # a target position must stay small (reference
-    # global_transform_ca_constraint.py:28 semantics)
-    ca_active: jax.Array  # f32 0/1
-    ca_node: jax.Array  # i32
-    ca_pos: jax.Array  # [3]
-    ca_pos_mask: jax.Array  # [3]
-    ca_weight: jax.Array  # f32
+    # collision-avoidance constraints: MIN distance over the step's frames
+    # to a target position must stay small (reference
+    # global_transform_ca_constraint.py:28 semantics); MAX_CA slots so a
+    # step can carry several simultaneous CA targets
+    ca_active: jax.Array  # [C] f32 0/1
+    ca_node: jax.Array  # [C] i32
+    ca_pos: jax.Array  # [C, 3]
+    ca_pos_mask: jax.Array  # [C, 3]
+    ca_weight: jax.Array  # [C]
+    # trajectory-set constraint: a SET of joints each following its own
+    # spline; per sampled frame the residual is the distance between the
+    # joint-set centroid and the target centroid, with per-joint arcs
+    # advancing by the joint's own travelled distance (reference
+    # trajectory_set_constraint.py:41-108)
+    ts_active: jax.Array  # f32 0/1
+    ts_joints: jax.Array  # [J] i32 skeleton node indices
+    ts_joint_mask: jax.Array  # [J] f32 1 for real joints
+    ts_trajs: spline_path.PathSpline  # stacked leading axis [J]
+    ts_arc0: jax.Array  # [J] f32 starting arc lengths
+    ts_weight: jax.Array  # f32
     # relative-transform constraint: joint offset in a parent joint's space
     # (reference relative_transform_constraint.py:35)
     rt_active: jax.Array  # f32 0/1
@@ -120,7 +140,7 @@ class StepConstraints:
 
     @property
     def n_residuals(self) -> int:
-        return MAX_KF + 6 + TRAJ_SAMPLES
+        return N_RESIDUALS
 
 
 @functools.lru_cache(maxsize=1)
@@ -159,9 +179,17 @@ def empty_step_constraints(skeleton: Skeleton,
         traj_node=np.int32(0), traj_min_arc=f32(0.0),
         traj_weight=f32(1.0),
         traj_range_start=f32(-np.inf), traj_range_end=f32(np.inf),
-        ca_active=f32(0.0), ca_node=np.int32(0),
-        ca_pos=np.zeros(3, f32), ca_pos_mask=np.ones(3, f32),
-        ca_weight=f32(1.0),
+        ca_active=np.zeros(MAX_CA, f32), ca_node=np.zeros(MAX_CA, np.int32),
+        ca_pos=np.zeros((MAX_CA, 3), f32),
+        ca_pos_mask=np.ones((MAX_CA, 3), f32),
+        ca_weight=np.ones(MAX_CA, f32),
+        ts_active=f32(0.0),
+        ts_joints=np.zeros(MAX_TS_JOINTS, np.int32),
+        ts_joint_mask=np.zeros(MAX_TS_JOINTS, f32),
+        ts_trajs=jax.tree.map(lambda *xs: np.stack(xs),
+                              *([dummy_spline] * MAX_TS_JOINTS)),
+        ts_arc0=np.zeros(MAX_TS_JOINTS, f32),
+        ts_weight=f32(1.0),
         rt_active=f32(0.0), rt_node=np.int32(0),
         rt_parent=np.int32(0), rt_offset=np.zeros(3, f32),
         rt_frame=f32(0.0), rt_weight=f32(1.0),
@@ -199,23 +227,26 @@ def aligned_coeffs(prim: MotionPrimitive, s: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("use_traj", "use_ca"))
+                   static_argnames=("use_traj", "use_ca", "use_ts"))
 def evaluate_residuals(skeleton: Skeleton, prim: MotionPrimitive,
                        sc: StepConstraints, s: jax.Array,
-                       use_traj: bool = True, use_ca: bool = True) -> jax.Array:
-    """Residual vector [MAX_KF + 3 + TRAJ_SAMPLES] of weighted errors;
-    inactive slots are 0 (reference pads likewise,
-    objective_functions.py:233-236).  use_traj=False compiles out the
-    trajectory branch entirely (its residual slots stay 0) — the expensive
-    part when a step carries no path constraint."""
+                       use_traj: bool = True, use_ca: bool = True,
+                       use_ts: bool = False) -> jax.Array:
+    """Residual vector [N_RESIDUALS] of weighted errors; inactive slots are
+    0 (reference pads likewise, objective_functions.py:233-236).
+    use_traj/use_ca/use_ts=False compile out the respective sampled-frame
+    branches entirely (their residual slots stay 0) — the expensive parts
+    when a step carries no such constraint."""
     coeffs = aligned_coeffs(prim, s, sc)
     return residuals_from_coeffs(skeleton, prim.knots_s, sc, coeffs,
-                                 use_traj=use_traj, use_ca=use_ca)
+                                 use_traj=use_traj, use_ca=use_ca,
+                                 use_ts=use_ts)
 
 
 def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
                           sc: StepConstraints, coeffs: jax.Array,
-                          use_traj: bool = True, use_ca: bool = True) -> jax.Array:
+                          use_traj: bool = True, use_ca: bool = True,
+                          use_ts: bool = False) -> jax.Array:
     """Residuals given already-aligned coefficients + the node's spatial
     knot vector (used by the global multi-step optimizer where alignment
     chains across steps, and by the stacked-graph flagship where the knots
@@ -227,22 +258,20 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
     this whole function under vmap + jacfwd in the LM loop)."""
 
     # ---- fused frame evaluation: stack every family's query times --------
-    # layout: [kf(8) | dir(1) | la(1) | rt(1) | jr(1) | traj(16)? | ca(16)?]
+    # layout: [kf(8) | dir(1) | la(1) | rt(1) | jr(1) | t_lin(16)?]
     # + one extra row for the frame-0 pose constraint (coeffs[0] directly:
-    # clamped spline first coeff == first frame).
+    # clamped spline first coeff == first frame).  The trajectory, CA and
+    # trajectory-set families all sample the SAME canonical time grid, so
+    # they share one block of evaluated frames.
     parts = [sc.kf_frame, sc.dir_frame[None], sc.la_frame[None],
              sc.rt_frame[None], sc.jr_frame[None]]
-    o_traj = MAX_KF + 4
+    o_lin = MAX_KF + 4
     t_lin = jnp.linspace(0.0, 1.0, TRAJ_SAMPLES) * jnp.maximum(
         sc.n_canonical - 1.0, 1.0)
-    if use_traj:
+    need_lin = use_traj or use_ca or use_ts
+    if need_lin:
         parts.append(t_lin)
-        o_ca = o_traj + TRAJ_SAMPLES
-    else:
-        o_ca = o_traj
-    if use_ca:
-        parts.append(t_lin)
-    o_pose = o_ca + (TRAJ_SAMPLES if use_ca else 0)
+    o_pose = o_lin + (TRAJ_SAMPLES if need_lin else 0)
     t_all = jnp.concatenate(parts)
     b_all = bspline.basis_matrix(knots_s, t_all)  # [T, n_basis]
     frames_all = jnp.matmul(b_all, coeffs, precision=jax.lax.Precision.HIGHEST)
@@ -307,7 +336,7 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
 
     # ---- trajectory constraint: sampled canonical frames, advancing arc
     if use_traj:
-        root_tr = pos_all[o_traj: o_traj + TRAJ_SAMPLES, sc.traj_node]  # [S, 3]
+        root_tr = pos_all[o_lin: o_lin + TRAJ_SAMPLES, sc.traj_node]  # [S, 3]
 
         def traj_step(min_arc, p):
             _, arc, d = spline_path.closest_point(sc.traj, p, min_arc)
@@ -321,28 +350,62 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
     else:
         traj_res = jnp.zeros(TRAJ_SAMPLES)
 
-    # ---- collision-avoidance constraint: min distance over sampled frames
+    # ---- collision-avoidance constraints: min distance over sampled frames
     if use_ca:
-        jca = pos_all[o_ca: o_ca + TRAJ_SAMPLES, sc.ca_node]  # [S, 3]
+        jca = pos_all[o_lin: o_lin + TRAJ_SAMPLES][:, sc.ca_node]  # [S, C, 3]
         d_ca = jnp.sqrt(jnp.maximum(jnp.sum(
             ((jca - sc.ca_pos) * sc.ca_pos_mask) ** 2, axis=-1), 1e-12))
-        ca_res = sc.ca_active * sc.ca_weight * jnp.min(d_ca)
+        ca_res = sc.ca_active * sc.ca_weight * jnp.min(d_ca, axis=0)  # [C]
     else:
-        ca_res = jnp.asarray(0.0)
+        ca_res = jnp.zeros(MAX_CA)
+
+    # ---- trajectory-set constraint: joint-set centroid vs target centroid
+    # (reference trajectory_set_constraint.py:84-108: per-joint arcs advance
+    # by the joint's own travelled distance between frames; the reference's
+    # np.average over position LISTS collapses to a scalar — here the
+    # centroid is the mean position VECTOR, the evident intent)
+    if use_ts:
+        pos_ts = pos_all[o_lin: o_lin + TRAJ_SAMPLES][:, sc.ts_joints]  # [S, J, 3]
+        steps_d = jnp.sqrt(jnp.sum(
+            (pos_ts[1:] - pos_ts[:-1]) ** 2, axis=-1) + 1e-12)  # [S-1, J]
+        travelled = jnp.concatenate([jnp.zeros((1, MAX_TS_JOINTS)),
+                                     jnp.cumsum(steps_d, axis=0)])  # [S, J]
+        arcs_ts = sc.ts_arc0 + travelled  # [S, J]
+
+        def target_at(j, arc):
+            traj_j = jax.tree.map(lambda x: x[j], sc.ts_trajs)
+            p, _ = spline_path.point_and_dir_at_arc_length(traj_j, arc)
+            return p, traj_j.full_arc_length
+
+        targets, full_arcs = jax.vmap(
+            lambda j, arc_col: jax.vmap(lambda a: target_at(j, a))(arc_col),
+            in_axes=(0, 1), out_axes=(1, 1))(
+                jnp.arange(MAX_TS_JOINTS), arcs_ts)  # [S, J, 3], [S, J]
+        active = (arcs_ts <= full_arcs).astype(pos_ts.dtype) * sc.ts_joint_mask
+        w = sc.ts_joint_mask / jnp.maximum(jnp.sum(sc.ts_joint_mask), 1e-6)
+        actual_c = jnp.sum(pos_ts * w[None, :, None], axis=1)  # [S, 3]
+        target_c = jnp.sum(targets * w[None, :, None], axis=1)
+        diff_ts = actual_c - target_c
+        d_ts = jnp.sqrt(jnp.sum(diff_ts * diff_ts, axis=-1) + 1e-12)
+        any_active = (jnp.sum(active, axis=1) > 0).astype(d_ts.dtype)
+        ts_res = sc.ts_active * sc.ts_weight * any_active * d_ts  # [S]
+    else:
+        ts_res = jnp.zeros(TRAJ_SAMPLES)
 
     return jnp.concatenate([kf_res, dir_res[None], la_res[None],
                             rt_res[None], jr_res[None],
-                            pose_res[None], ca_res[None], traj_res])
+                            pose_res[None], ca_res, traj_res, ts_res])
 
 
 def active_mask(sc: StepConstraints) -> jax.Array:
     """0/1 mask over the residual vector marking active constraint slots
     (reference pads residuals likewise, objective_functions.py:233-236)."""
     traj_mask = jnp.broadcast_to(sc.traj_active, (TRAJ_SAMPLES,))
+    ts_mask = jnp.broadcast_to(sc.ts_active, (TRAJ_SAMPLES,))
     return jnp.concatenate([sc.kf_active, sc.dir_active[None],
                             sc.la_active[None], sc.rt_active[None],
                             sc.jr_active[None], sc.pose_active[None],
-                            sc.ca_active[None], traj_mask])
+                            sc.ca_active, traj_mask, ts_mask])
 
 
 def error_from_residuals(res: jax.Array) -> jax.Array:
@@ -350,18 +413,22 @@ def error_from_residuals(res: jax.Array) -> jax.Array:
     except trajectory residuals enter as their average (reference
     trajectory_constraint.py:84 `evaluate_motion_sample` averages; other
     constraints sum)."""
-    base = jnp.sum(res[..., : MAX_KF + 6], axis=-1)
-    traj = res[..., MAX_KF + 6:]
-    n_active = jnp.where(jnp.any(traj > 0, axis=-1), 1.0, 0.0)
-    return base + n_active * jnp.mean(traj, axis=-1)
+    base = jnp.sum(res[..., : _OFF_TRAJ], axis=-1)
+    traj = res[..., _OFF_TRAJ: _OFF_TS]
+    ts = res[..., _OFF_TS:]
+    traj_active = jnp.where(jnp.any(traj > 0, axis=-1), 1.0, 0.0)
+    ts_active = jnp.where(jnp.any(ts > 0, axis=-1), 1.0, 0.0)
+    return (base + traj_active * jnp.mean(traj, axis=-1)
+            + ts_active * jnp.mean(ts, axis=-1))
 
 
 def evaluate_error(skeleton: Skeleton, prim: MotionPrimitive,
                    sc: StepConstraints, s: jax.Array,
-                   use_traj: bool = True, use_ca: bool = True) -> jax.Array:
+                   use_traj: bool = True, use_ca: bool = True,
+                   use_ts: bool = False) -> jax.Array:
     """Scalar constraint error (see error_from_residuals)."""
     res = evaluate_residuals(skeleton, prim, sc, s, use_traj=use_traj,
-                             use_ca=use_ca)
+                             use_ca=use_ca, use_ts=use_ts)
     return error_from_residuals(res)
 
 
@@ -533,14 +600,43 @@ def set_joint_rotation_constraint(sc: StepConstraints, skeleton: Skeleton,
 
 
 def set_ca_constraint(sc: StepConstraints, skeleton: Skeleton, joint: str,
-                      position, weight: float = 1.0) -> StepConstraints:
+                      position, weight: float = 1.0,
+                      slot: int = 0) -> StepConstraints:
     p = np.asarray(position, np.float32)
     mask = (~np.isnan(p)).astype(np.float32)
-    return sc.replace(ca_active=np.float32(1.0),
-                      ca_node=np.int32(skeleton.index_of(joint)),
-                      ca_pos=np.where(np.isnan(p), 0.0, p),
-                      ca_pos_mask=mask,
-                      ca_weight=np.float32(weight))
+    return sc.replace(ca_active=_np_set(sc.ca_active, slot, 1.0),
+                      ca_node=_np_set(sc.ca_node, slot,
+                                      skeleton.index_of(joint)),
+                      ca_pos=_np_set(sc.ca_pos, slot,
+                                     np.where(np.isnan(p), 0.0, p)),
+                      ca_pos_mask=_np_set(sc.ca_pos_mask, slot, mask),
+                      ca_weight=_np_set(sc.ca_weight, slot, weight))
+
+
+def set_trajectory_set_constraint(sc: StepConstraints, skeleton: Skeleton,
+                                  joints, trajs, arc0=None,
+                                  weight: float = 1.0) -> StepConstraints:
+    """Joint-set trajectory constraint (reference
+    trajectory_set_constraint.py:30-108): up to MAX_TS_JOINTS joints each
+    with its own PathSpline (all built with the same max_points/granularity
+    so the pytrees stack)."""
+    n = len(joints)
+    assert 0 < n <= MAX_TS_JOINTS, f"1..{MAX_TS_JOINTS} joints, got {n}"
+    assert len(trajs) == n
+    idx = np.zeros(MAX_TS_JOINTS, np.int32)
+    mask = np.zeros(MAX_TS_JOINTS, np.float32)
+    for i, j in enumerate(joints):
+        idx[i] = skeleton.index_of(j)
+        mask[i] = 1.0
+    padded = list(trajs) + [trajs[-1]] * (MAX_TS_JOINTS - n)
+    stacked = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                           *padded)
+    arcs = np.zeros(MAX_TS_JOINTS, np.float32)
+    if arc0 is not None:
+        arcs[:n] = np.asarray(arc0, np.float32)[:n]
+    return sc.replace(ts_active=np.float32(1.0), ts_joints=idx,
+                      ts_joint_mask=mask, ts_trajs=stacked, ts_arc0=arcs,
+                      ts_weight=np.float32(weight))
 
 
 def set_trajectory_active_range(sc: StepConstraints, start: float,

@@ -271,13 +271,15 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
     # ---- collision-avoidance constraints from non-root trajectories
     # (reference _add_trajectory_constraints + GlobalTransformCAConstraint:
     # keep the joint's minimum distance to the CA target small)
+    ca_slot = 0
     for traj in acs.ca_trajectories:
-        if traj.joint in skeleton.node_names:
+        if traj.joint in skeleton.node_names and ca_slot < compiled.MAX_CA:
             target = traj.control_points[-1].astype(np.float64).copy()
             for d_ in traj.unconstrained_dims:
                 target[d_] = np.nan
-            sc = compiled.set_ca_constraint(sc, skeleton, traj.joint, target)
-            break  # one CA slot per step
+            sc = compiled.set_ca_constraint(sc, skeleton, traj.joint, target,
+                                            slot=ca_slot)
+            ca_slot += 1
 
     # ---- feet constraint for pickBoth/placeBoth reach (reference
     # motion_primitive_constraints_builder.py:178-190 _add_feet_constraint:

@@ -217,22 +217,23 @@ def stacked_aligned_coeffs(g: StackedGraph, node_id: jax.Array, sc,
 
 def stacked_residuals(skeleton, g: StackedGraph, node_id: jax.Array, sc,
                       s: jax.Array, use_traj: bool = True,
-                      use_ca: bool = True) -> jax.Array:
+                      use_ca: bool = True, use_ts: bool = False) -> jax.Array:
     """Full compiled-constraint residual vector for a latent candidate at a
     (traced) stacked-graph node."""
     from ..constraints import compiled
     coeffs = stacked_aligned_coeffs(g, node_id, sc, s)
     return compiled.residuals_from_coeffs(skeleton, g.knots_s[node_id], sc,
                                           coeffs, use_traj=use_traj,
-                                          use_ca=use_ca)
+                                          use_ca=use_ca, use_ts=use_ts)
 
 
 def stacked_error(skeleton, g: StackedGraph, node_id: jax.Array, sc,
                   s: jax.Array, use_traj: bool = True,
-                  use_ca: bool = True) -> jax.Array:
+                  use_ca: bool = True, use_ts: bool = False) -> jax.Array:
     from ..constraints import compiled
     return compiled.error_from_residuals(
-        stacked_residuals(skeleton, g, node_id, sc, s, use_traj, use_ca))
+        stacked_residuals(skeleton, g, node_id, sc, s, use_traj, use_ca,
+                          use_ts))
 
 
 class FullWalkState(NamedTuple):

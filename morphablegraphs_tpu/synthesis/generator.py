@@ -30,10 +30,11 @@ from ..ops import lm as lm_ops
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("n_samples", "use_traj", "use_ca"))
+                   static_argnames=("n_samples", "use_traj", "use_ca", "use_ts"))
 def best_of_n(skeleton: Skeleton, key: jax.Array, prim: MotionPrimitive,
               sc: compiled.StepConstraints, n_samples: int = 100,
-              use_traj: bool = True, use_ca: bool = True):
+              use_traj: bool = True, use_ca: bool = True,
+              use_ts: bool = False):
     """Draw n samples from the GMM and keep the best under the constraint
     error (reference motion_primitive_generator.py:192-207).
 
@@ -41,18 +42,19 @@ def best_of_n(skeleton: Skeleton, key: jax.Array, prim: MotionPrimitive,
     """
     samples = sample_latent(key, prim, n_samples)
     errors = jax.vmap(lambda s: compiled.evaluate_error(
-        skeleton, prim, sc, s, use_traj=use_traj, use_ca=use_ca))(samples)
+        skeleton, prim, sc, s, use_traj=use_traj, use_ca=use_ca, use_ts=use_ts))(samples)
     i = jnp.argmin(errors)
     return samples[i], errors[i]
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("n_iters", "use_traj", "use_ca"))
+                   static_argnames=("n_iters", "use_traj", "use_ca", "use_ts"))
 def refine_lm(skeleton: Skeleton, prim: MotionPrimitive,
               sc: compiled.StepConstraints, s0: jax.Array,
               n_iters: int = 10, error_scale: float = 1.0,
               quality_scale: float = 0.1, init_lambda: float = 1.0,
-              use_traj: bool = True, use_ca: bool = True):
+              use_traj: bool = True, use_ca: bool = True,
+              use_ts: bool = False):
     """Levenberg-Marquardt on the weighted residual vector + naturalness.
 
     Residual layout matches the reference (objective_functions.py:239-267):
@@ -67,14 +69,14 @@ def refine_lm(skeleton: Skeleton, prim: MotionPrimitive,
 
     def residuals(s):
         res = compiled.evaluate_residuals(skeleton, prim, sc, s,
-                                          use_traj=use_traj, use_ca=use_ca)
+                                          use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
         nll = -gmm_ops.log_prob(prim.gmm, s)
         return active * (error_scale * res + quality_scale * nll)
 
     s_opt, _ = lm_ops.lm_minimize(residuals, s0, n_iters,
                                   init_lambda=init_lambda)
     final_err = compiled.evaluate_error(skeleton, prim, sc, s_opt,
-                                        use_traj=use_traj, use_ca=use_ca)
+                                        use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
     return s_opt, final_err
 
 
@@ -82,28 +84,30 @@ _active_mask = compiled.active_mask
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("use_traj", "use_ca"))
+                   static_argnames=("use_traj", "use_ca", "use_ts"))
 def search_candidates(skeleton: Skeleton, prim: MotionPrimitive,
                       sc: compiled.StepConstraints, candidates: jax.Array,
-                      use_traj: bool = True, use_ca: bool = True):
+                      use_traj: bool = True, use_ca: bool = True,
+                      use_ts: bool = False):
     """Score a fixed candidate set (cluster-tree data) under the constraint
     error — the TPU replacement for the reference's objective-directed tree
     traversal (cluster_tree.py:117-149): exhaustive vmapped argmin is exact
     and one batched computation (SURVEY.md §7.8)."""
     errors = jax.vmap(lambda s: compiled.evaluate_error(
-        skeleton, prim, sc, s, use_traj=use_traj, use_ca=use_ca))(candidates)
+        skeleton, prim, sc, s, use_traj=use_traj, use_ca=use_ca, use_ts=use_ts))(candidates)
     i = jnp.argmin(errors)
     return candidates[i], errors[i]
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("n_iters", "use_traj", "use_ca"))
+                   static_argnames=("n_iters", "use_traj", "use_ca", "use_ts"))
 def _refine_if_above_threshold(skeleton: Skeleton, prim: MotionPrimitive,
                                sc: compiled.StepConstraints, s: jax.Array,
                                err: jax.Array, threshold: float,
                                n_iters: int, error_scale: float,
                                quality_scale: float,
-                               use_traj: bool = True, use_ca: bool = True):
+                               use_traj: bool = True, use_ca: bool = True,
+                      use_ts: bool = False):
     """LM refinement gated on-device by the activation threshold
     (reference motion_primitive_generator.py:149-155 `min_error >=
     start_error_threshold`) — lax.cond instead of a host sync on `err`."""
@@ -113,7 +117,7 @@ def _refine_if_above_threshold(skeleton: Skeleton, prim: MotionPrimitive,
         s_ref, err_ref = refine_lm(skeleton, prim, sc, s0, n_iters=n_iters,
                                    error_scale=error_scale,
                                    quality_scale=quality_scale,
-                                   use_traj=use_traj, use_ca=use_ca)
+                                   use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
         # keep the better of the two (reference keeps the optimizer output;
         # LM with adaptive damping never worsens the residual objective, but
         # the *constraint* error may differ from the damped objective)
@@ -125,52 +129,53 @@ def _refine_if_above_threshold(skeleton: Skeleton, prim: MotionPrimitive,
 
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("n_samples", "n_iters", "do_refine",
-                                    "use_traj", "use_ca"))
+                                    "use_traj", "use_ca", "use_ts"))
 def _sample_and_refine(skeleton: Skeleton, key: jax.Array,
                        prim: MotionPrimitive, sc: compiled.StepConstraints,
                        threshold, error_scale, quality_scale,
                        n_samples: int, n_iters: int, do_refine: bool,
-                       use_traj: bool, use_ca: bool):
+                       use_traj: bool, use_ca: bool, use_ts: bool):
     """best_of_n + threshold-gated LM as ONE dispatch (two separate jit
     calls each pay a tunnel round-trip on remote-attached TPUs)."""
     s, err = best_of_n(skeleton, key, prim, sc, n_samples=n_samples,
-                       use_traj=use_traj, use_ca=use_ca)
+                       use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
     if do_refine:
         s, err = _refine_if_above_threshold(
             skeleton, prim, sc, s, err, threshold, n_iters=n_iters,
             error_scale=error_scale, quality_scale=quality_scale,
-            use_traj=use_traj, use_ca=use_ca)
+            use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
     return s, err
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("n_iters", "do_refine",
-                                    "use_traj", "use_ca"))
+                                    "use_traj", "use_ca", "use_ts"))
 def _search_and_refine(skeleton: Skeleton, prim: MotionPrimitive,
                        sc: compiled.StepConstraints, candidates: jax.Array,
                        threshold, error_scale, quality_scale,
                        n_iters: int, do_refine: bool,
-                       use_traj: bool, use_ca: bool):
+                       use_traj: bool, use_ca: bool, use_ts: bool):
     """search_candidates + threshold-gated LM as one dispatch."""
     s, err = search_candidates(skeleton, prim, sc, candidates,
-                               use_traj=use_traj, use_ca=use_ca)
+                               use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
     if do_refine:
         s, err = _refine_if_above_threshold(
             skeleton, prim, sc, s, err, threshold, n_iters=n_iters,
             error_scale=error_scale, quality_scale=quality_scale,
-            use_traj=use_traj, use_ca=use_ca)
+            use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
     return s, err
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("n_samples", "n_iters", "do_refine",
-                                    "use_traj", "use_ca", "loco_flags"))
+                                    "use_traj", "use_ca", "use_ts", "loco_flags"))
 def _loco_sample_and_refine(skeleton: Skeleton, key: jax.Array,
                             prim: MotionPrimitive,
                             sc: compiled.StepConstraints, path, loco,
                             threshold, error_scale, quality_scale,
                             n_samples: int, n_iters: int, do_refine: bool,
-                            use_traj: bool, use_ca: bool, loco_flags: tuple):
+                            use_traj: bool, use_ca: bool, use_ts: bool,
+                            loco_flags: tuple):
     """Locomotion-slot fill + best_of_n + gated LM as ONE dispatch: the goal
     position/direction path queries run on device instead of a host
     round-trip per step (reference locomotion_constraints_builder.py:54-120).
@@ -179,24 +184,25 @@ def _loco_sample_and_refine(skeleton: Skeleton, key: jax.Array,
     s, err = _sample_and_refine(
         skeleton, key, prim, sc, threshold, error_scale, quality_scale,
         n_samples=n_samples, n_iters=n_iters, do_refine=do_refine,
-        use_traj=use_traj, use_ca=use_ca)
+        use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
     return s, err, sc
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("n_iters", "do_refine",
-                                    "use_traj", "use_ca", "loco_flags"))
+                                    "use_traj", "use_ca", "use_ts", "loco_flags"))
 def _loco_search_and_refine(skeleton: Skeleton, prim: MotionPrimitive,
                             sc: compiled.StepConstraints, candidates,
                             path, loco, threshold, error_scale,
                             quality_scale, n_iters: int, do_refine: bool,
-                            use_traj: bool, use_ca: bool, loco_flags: tuple):
+                            use_traj: bool, use_ca: bool, use_ts: bool,
+                            loco_flags: tuple):
     """Cluster-candidate variant of _loco_sample_and_refine."""
     sc = compiled.fill_locomotion_slots(sc, path, loco, *loco_flags)
     s, err = _search_and_refine(
         skeleton, prim, sc, candidates, threshold, error_scale,
         quality_scale, n_iters=n_iters, do_refine=do_refine,
-        use_traj=use_traj, use_ca=use_ca)
+        use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
     return s, err, sc
 
 
@@ -206,7 +212,8 @@ def _selection_params(sc: compiled.StepConstraints, config: dict) -> dict:
     opt = config.get("local_optimization_settings", {})
     return dict(
         use_traj=bool(float(np.asarray(sc.traj_active)) > 0),
-        use_ca=bool(float(np.asarray(sc.ca_active)) > 0),
+        use_ca=bool(np.asarray(sc.ca_active).sum() > 0),
+        use_ts=bool(float(np.asarray(sc.ts_active)) > 0),
         do_refine=config.get("local_optimization_mode", "all") != "none",
         threshold=float(opt.get("start_error_threshold", 0.0)),
         n_iters=int(config.get("lm_iterations", 10)),

@@ -54,12 +54,7 @@ def _chain_residuals(skeleton: Skeleton, prims: List[MotionPrimitive],
         res = compiled.residuals_from_coeffs(skeleton, prim.knots_s, sc, aligned)
         s_full = jnp.concatenate([alpha, gammas[i]])
         nll = -gmm_ops.log_prob(prim.gmm, s_full)
-        active = jnp.concatenate([sc.kf_active, sc.dir_active[None],
-                                  sc.la_active[None], sc.rt_active[None],
-                                  sc.jr_active[None], sc.pose_active[None],
-                                  sc.ca_active[None],
-                                  jnp.broadcast_to(sc.traj_active,
-                                                   (compiled.TRAJ_SAMPLES,))])
+        active = compiled.active_mask(sc)
         all_res.append(active * (res + quality_scale * nll))
         prev_last = aligned[-1]
     return jnp.concatenate(all_res)

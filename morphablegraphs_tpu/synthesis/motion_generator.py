@@ -298,7 +298,8 @@ class MotionGenerator:
             has_constraints = (float(np.asarray(sc.kf_active).sum())
                                + float(np.asarray(sc.dir_active))
                                + float(np.asarray(sc.traj_active))
-                               + float(np.asarray(sc.ca_active))
+                               + float(np.asarray(sc.ca_active).sum())
+                               + float(np.asarray(sc.ts_active))
                                + float(np.asarray(sc.pose_active))) > 0
             if has_constraints:
                 s, err = generator.generate_constrained_sample(
