@@ -28,6 +28,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import bspline
+
 _LOG_2PI = float(np.log(2.0 * np.pi))
 
 
@@ -183,3 +185,278 @@ def gmm_scores_xla(x, weights, means, prec_chol):
     from . import gmm as gmm_ops
     g = gmm_ops.GMM(weights, means, prec_chol, prec_chol)  # cov_chol unused
     return gmm_ops.log_prob(g, x)
+
+
+# ---------------------------------------------------------------------------
+# Fused locomotion candidate scoring (the flagship selection kernel)
+# ---------------------------------------------------------------------------
+#
+# Scores N latent candidates under the locomotion constraint family — end
+# keyframe ROOT position goal, 2D direction, root trajectory residuals with
+# advancing closest-point arcs — in ONE VMEM-resident pass:
+#
+#   frames   = M' @ [alphas; 1]        (one MXU matmul: the B-spline basis is
+#                                       pre-collapsed into the fPCA rows)
+#   align    per candidate: heading + XZ delta from its own first frame
+#   kf/dir   errors from the aligned end frame
+#   traj     16 sequential masked-argmin searches against the path's arc
+#            table, distances via one [G, 3] x [3, N] MXU matmul each
+#
+# The XLA path materializes every candidate's evaluated frames and the full
+# FK position/orientation tensors to HBM between kernels; here candidates
+# live along the 128-lane axis and nothing round-trips.  Selection needs no
+# gradients (the LM refinement of the single winner stays on the XLA path),
+# so no custom VJP is required.
+#
+# Parity: identical residual semantics to constraints/compiled
+# residuals_from_coeffs for the locomotion slots, except the closest-point
+# search resolves at table-cell granularity (no ternary refinement) — the
+# caller re-scores the argmin winner through the exact XLA evaluator, so
+# only near-tie rankings can differ.
+
+N_EVAL = 19  # goal kf + dir + 16 traj samples + frame0 (alignment)
+CH = 8  # root channels per eval frame, sublane-padded (x y z qw qx qy qz _)
+N_BLK = 128  # candidate block (lane width)
+
+
+def selection_operator(eigen_s: jax.Array, mean_s: jax.Array,
+                       knots_s: jax.Array, n_basis_max: int, n_dim: int,
+                       goal_frame: jax.Array, dir_frame: jax.Array,
+                       n_canonical: jax.Array, traj_samples: int = 16):
+    """Collapse the B-spline basis into the ROOT rows of the fPCA operator.
+
+    eigen_s: [n_basis_max * n_dim, K]; mean_s: [n_basis_max * n_dim].
+    Returns M' [N_EVAL*CH, K+1] with the mean folded into the last column;
+    eval frame order: [goal kf | dir | traj 0..S-1 | frame 0].
+    """
+    k = eigen_s.shape[-1]
+    eigen = eigen_s.reshape(n_basis_max, n_dim, k)[:, :7, :]  # [B, 7, K]
+    mean = mean_s.reshape(n_basis_max, n_dim)[:, :7]  # [B, 7]
+    t_lin = jnp.linspace(0.0, 1.0, traj_samples) * jnp.maximum(
+        n_canonical - 1.0, 1.0)
+    t_eval = jnp.concatenate([goal_frame[None], dir_frame[None], t_lin,
+                              jnp.zeros(1)])
+    b = bspline.basis_matrix(knots_s, t_eval)  # [N_EVAL, B]
+    m = jnp.einsum("fb,bck->fck", b, eigen,
+                   precision=jax.lax.Precision.HIGHEST)  # [F, 7, K]
+    mu = jnp.matmul(b, mean, precision=jax.lax.Precision.HIGHEST)  # [F, 7]
+    m = jnp.concatenate([m, mu[..., None]], axis=-1)  # [F, 7, K+1]
+    m = jnp.pad(m, ((0, 0), (0, CH - 7), (0, 0)))  # channel pad to 8
+    return m.reshape(N_EVAL * CH, k + 1)
+
+
+def _heading_vec(qw, qx, qy, qz):
+    """Unnormalized XZ heading (hx, hz) of rotate(normalize(q), [0,0,1]).
+
+    Both components carry the same |q|^2 scale (hz uses n2 - 2(x^2+y^2),
+    the norm-correct form of 1 - 2(x̂^2+ŷ^2)), so downstream normalization /
+    atan2 cancels it."""
+    n2 = qw * qw + qx * qx + qy * qy + qz * qz
+    hx = 2.0 * (qw * qy + qx * qz)
+    hz = n2 - 2.0 * (qx * qx + qy * qy)
+    return hx, hz
+
+
+_PI = float(np.pi)
+
+
+def _atan2(y, x):
+    """Polynomial atan2 (Mosaic has no atan2/atan primitive): range-reduced
+    3-term minimax atan on [0, 1] (~1e-4 rad abs error; selection-ranking
+    grade — the winner is re-scored by the exact XLA evaluator)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    a = lo / jnp.maximum(hi, 1e-30)
+    s = a * a
+    r = ((-0.0464964749 * s + 0.15931422) * s - 0.327622764) * s * a + a
+    r = jnp.where(ay > ax, 0.5 * _PI - r, r)
+    r = jnp.where(x < 0, _PI - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _score_loco_kernel(mop_ref, alphas_ref, table_ref, cfg_ref, out_ref):
+    """One block of N_BLK candidates.
+
+    mop: [N_EVAL*CH, K+1]; alphas: [K+1, N] (last row = 1);
+    table: [G8, 128] cols 0..2 = masked path points, col 3 = arc length,
+    col 4 = validity (1 real row / 0 padding); cfg: [1, 32] scalars in SMEM.
+    out: [8, N] row 0 = errors.
+    """
+    frames = jnp.dot(mop_ref[:], alphas_ref[:],
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # [F*CH, N]
+    n = frames.shape[1]
+
+    cos_a_prev, sin_a_prev = cfg_ref[0, 0], cfg_ref[0, 29]
+    prev_x, prev_z = cfg_ref[0, 1], cfg_ref[0, 3]
+    cos_start, sin_start = cfg_ref[0, 4], cfg_ref[0, 30]
+    sdx, sdz = cfg_ref[0, 5], cfg_ref[0, 7]
+    has_prev = cfg_ref[0, 8]
+    goal_x, goal_z = cfg_ref[0, 9], cfg_ref[0, 11]
+    kf_active, kf_w = cfg_ref[0, 12], cfg_ref[0, 13]
+    dir_active, dir_w = cfg_ref[0, 14], cfg_ref[0, 15]
+    traj_active, traj_w = cfg_ref[0, 16], cfg_ref[0, 17]
+    min_arc0 = cfg_ref[0, 18]
+    a_dir = cfg_ref[0, 19]  # atan2 angle of the 2D direction target
+    rng_lo, rng_hi = cfg_ref[0, 20], cfg_ref[0, 21]
+    mx, my, mz = cfg_ref[0, 22], cfg_ref[0, 23], cfg_ref[0, 24]
+    ex, ey, ez = cfg_ref[0, 25], cfg_ref[0, 26], cfg_ref[0, 27]
+    full_arc = cfg_ref[0, 28]
+
+    def row(i):
+        return frames[i: i + 1, :]  # [1, N]
+
+    # ---- per-candidate aligning transform from frame 0 (block 18):
+    # theta = a_prev - a_new built from heading VECTORS (no trig needed —
+    # cos/sin of the difference are dot/cross of the unit headings)
+    f0 = (N_EVAL - 1) * CH
+    hx0, hz0 = _heading_vec(row(f0 + 3), row(f0 + 4), row(f0 + 5),
+                            row(f0 + 6))
+    inv_n = jax.lax.rsqrt(hx0 * hx0 + hz0 * hz0 + 1e-30)
+    c_new, s_new = hz0 * inv_n, hx0 * inv_n
+    ct_prev = cos_a_prev * c_new + sin_a_prev * s_new
+    st_prev = sin_a_prev * c_new - cos_a_prev * s_new
+    ct = jnp.where(has_prev > 0, ct_prev, jnp.full_like(ct_prev, cos_start))
+    st = jnp.where(has_prev > 0, st_prev, jnp.full_like(st_prev, sin_start))
+    r0x = ct * row(f0) + st * row(f0 + 2)
+    r0z = -st * row(f0) + ct * row(f0 + 2)
+    dx = jnp.where(has_prev > 0, prev_x - r0x, jnp.full_like(r0x, sdx))
+    dz = jnp.where(has_prev > 0, prev_z - r0z, jnp.full_like(r0z, sdz))
+
+    def world_xz(i):
+        x = ct * row(i) + st * row(i + 2) + dx
+        z = -st * row(i) + ct * row(i + 2) + dz
+        return x, z
+
+    # ---- keyframe goal error (XZ mask, reference locomotion builder)
+    gx, gz = world_xz(0)
+    kf_err = jnp.sqrt((gx - goal_x) ** 2 + (gz - goal_z) ** 2 + 1e-12)
+
+    # ---- 2D direction error in degrees at the dir frame (block 1):
+    # rotate the frame's heading vector by theta, then compare angles
+    hxf, hzf = _heading_vec(row(CH + 3), row(CH + 4), row(CH + 5),
+                            row(CH + 6))
+    hxw = ct * hxf + st * hzf
+    hzw = -st * hxf + ct * hzf
+    a_f = _atan2(hxw, hzw)
+    diff = a_dir - a_f
+    wrapped = diff - 2.0 * _PI * jnp.floor(diff / (2.0 * _PI) + 0.5)
+    dir_err = jnp.abs(wrapped) * (180.0 / _PI)
+
+    # ---- trajectory residuals: advancing masked closest point on the table
+    table = table_ref[:]  # [G8, 128]
+    t_pts = table[:, 0:3]  # masked points (unconstrained dims zeroed)
+    t_arc = table[:, 3:4]  # [G8, 1]
+    t_valid = table[:, 4:5]  # [G8, 1]
+    t_norm2 = jnp.sum(t_pts * t_pts, axis=1, keepdims=True)  # [G8, 1]
+    min_arc = jnp.full((1, n), min_arc0)
+    traj_sum = jnp.zeros((1, n))
+    for f in range(2, 2 + 16):  # static unroll over traj samples
+        px, pz = world_xz(f * CH)
+        py = row(f * CH + 1)
+        pxm, pym, pzm = px * mx, py * my, pz * mz
+        p3 = jnp.concatenate([pxm, pym, pzm], axis=0)  # [3, N]
+        cross = jnp.dot(t_pts, p3, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # [G8, N]
+        p_norm2 = pxm * pxm + pym * pym + pzm * pzm  # [1, N]
+        d2 = t_norm2 - 2.0 * cross + p_norm2  # [G8, N]
+        valid = (t_arc >= min_arc - 1e-6) * t_valid  # [G8, N]
+        d2m = jnp.where(valid > 0, d2, jnp.inf)
+        dmin2 = jnp.min(d2m, axis=0, keepdims=True)  # [1, N]
+        arc_sel = jnp.min(jnp.where(d2m <= dmin2 + 1e-6, t_arc, jnp.inf),
+                          axis=0, keepdims=True)
+        # past-the-end snap (mirror spline_path.closest_point :208-210):
+        # no valid row -> distance to the LAST real point, arc = full arc
+        end_d2 = ((ex - pxm) ** 2 + (ey - pym) ** 2 + (ez - pzm) ** 2)
+        any_valid = jnp.max(valid, axis=0, keepdims=True) > 0
+        dmin2 = jnp.where(any_valid, dmin2, end_d2)
+        arc_sel = jnp.where(any_valid, arc_sel, full_arc)
+        d = jnp.sqrt(jnp.maximum(dmin2, 1e-12))
+        in_range = ((arc_sel >= rng_lo) & (arc_sel <= rng_hi)).astype(d.dtype)
+        traj_sum = traj_sum + d * in_range
+        min_arc = arc_sel
+
+    err = (kf_active * kf_w * kf_err
+           + dir_active * dir_w * dir_err
+           + traj_active * traj_w * traj_sum / 16.0)
+    out_ref[0:1, :] = err
+    out_ref[1:8, :] = jnp.zeros((7, n))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def score_locomotion_candidates(mop: jax.Array, alphas: jax.Array,
+                                table: jax.Array, cfg: jax.Array,
+                                interpret: bool = False) -> jax.Array:
+    """Score candidates under the locomotion constraint family.
+
+    mop: [N_EVAL*CH, K+1] from `selection_operator`;
+    alphas: [N, K] candidate spatial latents (N multiple of 128);
+    table: [G8, 128] packed path table from `pack_path_table`;
+    cfg: [1, 32] scalars from `pack_selection_cfg`.
+    Returns errors [N].
+    """
+    n, k = alphas.shape
+    assert n % N_BLK == 0, f"pad candidates to a multiple of {N_BLK}"
+    a1 = jnp.concatenate([alphas, jnp.ones((n, 1), alphas.dtype)],
+                         axis=1).T  # [K+1, N]
+    g8 = table.shape[0]
+    out = pl.pallas_call(
+        _score_loco_kernel,
+        grid=(n // N_BLK,),
+        in_specs=[
+            pl.BlockSpec((mop.shape[0], k + 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k + 1, N_BLK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((8, N_BLK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        interpret=interpret,
+    )(mop, a1, table, cfg)
+    return out[0]
+
+
+def pack_path_table(sp) -> jax.Array:
+    """Pack a PathSpline's arc table for the selection kernel:
+    [G8, 128] with cols 0..2 = dim-masked points, 3 = arc, 4 = validity,
+    5..7 = the dim mask itself (so the kernel can mask candidate points)."""
+    pts = sp.table_points  # [G+1, 3]
+    arc = sp.table_arc  # [G+1]
+    mask = jnp.where(sp.unconstrained, 0.0, 1.0)  # [3]
+    g1 = pts.shape[0]
+    g8 = _round_up(g1, SUBLANE)
+    table = jnp.zeros((g8, 128), jnp.float32)
+    table = table.at[:g1, 0:3].set(pts * mask)
+    table = table.at[:g1, 3].set(arc)
+    table = table.at[:g1, 4].set(1.0)
+    return table
+
+
+def pack_selection_cfg(sp, a_prev, prev_pos, start_theta, start_delta,
+                       has_prev, goal_pos, dir_target, min_arc,
+                       kf_active=1.0, kf_weight=1.0, dir_active=1.0,
+                       dir_weight=0.8, traj_active=1.0, traj_weight=1.0,
+                       range_lo=-1e30, range_hi=1e30) -> jax.Array:
+    """Pack the per-step scalars for the selection kernel (see
+    _score_loco_kernel's cfg layout); sp is the PathSpline the table was
+    packed from (dim mask + end snap constants)."""
+    a_dir = jnp.arctan2(dir_target[0], dir_target[1])
+    mask = jnp.where(sp.unconstrained, 0.0, 1.0)
+    end_pt = sp.table_points[-1] * mask
+    vals = [jnp.cos(a_prev), prev_pos[0], prev_pos[1], prev_pos[2],
+            jnp.cos(start_theta),
+            start_delta[0], start_delta[1], start_delta[2], has_prev,
+            goal_pos[0], goal_pos[1], goal_pos[2], kf_active, kf_weight,
+            dir_active, dir_weight, traj_active, traj_weight, min_arc,
+            a_dir, range_lo, range_hi,
+            mask[0], mask[1], mask[2], end_pt[0], end_pt[1], end_pt[2],
+            sp.table_arc[-1], jnp.sin(a_prev), jnp.sin(start_theta)]
+    cfg = jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
+    return jnp.pad(cfg, (0, 32 - cfg.shape[0]))[None, :]

@@ -257,7 +257,8 @@ def default_step_scs(skeleton, n_steps: int):
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("n_steps", "max_step_frames", "n_samples",
                                     "window", "lm_iters", "use_traj",
-                                    "use_ca", "use_half", "root_node"))
+                                    "use_ca", "use_half", "root_node",
+                                    "pallas_selection"))
 def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                           path: spline_path.PathSpline, start_id: jax.Array,
                           n_steps: int, step_scs=None,
@@ -271,7 +272,8 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                           pos_weight: float = 1.0, dir_weight: float = 0.8,
                           traj_weight: float = 1.0, use_traj: bool = True,
                           use_ca: bool = False, use_half: bool = False,
-                          root_node: int = 0):
+                          root_node: int = 0,
+                          pallas_selection: bool = False):
     """Trajectory-following walk with FULL constraint semantics per step.
 
     Per scan step (reference motion_generator.py:157-268 +
@@ -306,6 +308,15 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
 
     if step_scs is None:
         step_scs = default_step_scs(skeleton, n_steps)
+
+    if pallas_selection:
+        # the fused selection kernel covers exactly the locomotion family
+        # (root goal keyframe + direction + root trajectory); extra user
+        # slots in step_scs would be silently ignored by it
+        from ..ops import pallas_kernels as pk
+        assert n_samples % pk.N_BLK == 0, (
+            f"pallas_selection needs n_samples % {pk.N_BLK} == 0")
+        path_table = pk.pack_path_table(path)  # constant across scan steps
 
     init = FullWalkState(
         node_id=jnp.asarray(start_id, jnp.int32),
@@ -347,11 +358,40 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
         samples = jax.vmap(
             lambda kk: walk_mod.sample_node_latent(kk, g, state.node_id))(
                 jax.random.split(k_s, n_samples))
-        errors = jax.vmap(lambda sv: stacked_error(
-            skeleton, g, state.node_id, sc, sv, use_traj, use_ca))(samples)
-        best = jnp.argmin(errors)
-        s = samples[best]
-        err = errors[best]
+        if pallas_selection:
+            # fused VMEM-resident scoring (ops/pallas_kernels.py): ranks the
+            # candidates; the winner is re-scored through the exact XLA
+            # evaluator below so the reported error and LM gate semantics
+            # match the XLA selection path bit-for-bit in aggregation
+            from ..ops import pallas_kernels as pk
+            goal_pos, goal_dir = spline_path.point_and_dir_at_arc_length(
+                path, goal_arc)
+            mop = pk.selection_operator(
+                g.eigen_s[state.node_id], g.mean_s[state.node_id],
+                g.knots_s[state.node_id], g.n_basis_max, g.n_dim,
+                goal_frame=n_can_f - 1.0, dir_frame=n_can_f - 1.0,
+                n_canonical=n_can_f)
+            a_prev = align.heading_angle(state.prev_last[3:7])
+            cfg = pk.pack_selection_cfg(
+                path, a_prev, state.prev_last[:3],
+                start_theta=jnp.asarray(0.0), start_delta=jnp.zeros(3),
+                has_prev=has_prev, goal_pos=goal_pos, dir_target=goal_dir,
+                min_arc=state.travelled, kf_weight=pos_weight,
+                dir_weight=dir_weight,
+                traj_active=1.0 if use_traj else 0.0,
+                traj_weight=traj_weight)
+            errors = pk.score_locomotion_candidates(
+                mop, samples[:, : g.k_s_max], path_table, cfg)
+            best = jnp.argmin(errors)
+            s = samples[best]
+            err = stacked_error(skeleton, g, state.node_id, sc, s,
+                                use_traj, use_ca)
+        else:
+            errors = jax.vmap(lambda sv: stacked_error(
+                skeleton, g, state.node_id, sc, sv, use_traj, use_ca))(samples)
+            best = jnp.argmin(errors)
+            s = samples[best]
+            err = errors[best]
 
         # ---- gated LM refinement (reference leastsq semantics)
         if lm_iters > 0:
