@@ -263,6 +263,35 @@ def test_pickle_cluster_tree_ingestion(tmp_path):
     assert node.cluster_tree is not None
     assert node.cluster_tree.data.shape == data.shape
 
+    # cluster_tree_search mode consumes the hydrated tree: candidates come
+    # from the pickled tree's data, not GMM samples.  (The pickled fixture's
+    # dim (5) < the primitive's latent dim, so pad — real packages store
+    # full-latent samples; this only checks the search path wiring.)
+    from morphablegraphs_tpu.models import skeleton as sk_mod
+    from morphablegraphs_tpu.synthesis import generator
+    from morphablegraphs_tpu.constraints import compiled
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    skel = g.skeleton
+    prim = node.primitive
+    cands = np.zeros((len(data), prim.n_latent), np.float32)
+    cands[:, : data.shape[1]] = data
+    node.cluster_tree.data = cands
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    sc = compiled.set_keyframe_constraint(sc, 0, skel, "Hips",
+                                          prim.n_canonical_frames - 1,
+                                          position=[5.0, np.nan, 20.0])
+    cfg = {"constrained_sampling_mode": "cluster_tree_search",
+           "local_optimization_mode": "none"}
+    s, err = generator.generate_constrained_sample(
+        _jax.random.PRNGKey(0), skel, prim, sc, cfg,
+        cluster_tree=node.cluster_tree)
+    # the selected latent is one of the tree's stored samples
+    d = np.abs(cands - np.asarray(s)).sum(axis=1)
+    assert d.min() < 1e-5
+    assert np.isfinite(float(err))
+
 
 def test_pickle_cluster_tree_rejects_foreign_classes():
     """The restricted unpickler must refuse non-numpy, non-reference class
