@@ -323,6 +323,52 @@ class MGStatePlanner:
         frames[frame_idx] = np.asarray(edited)
         return frames
 
+    def handle_collision2(self, frames, action_name, joint_names,
+                          dt: float = 1e-4):
+        """Multi-joint variant (reference handle_collision2 :1158-1189):
+        the boundary reports per-frame displacement deltas for each checked
+        joint (`get_delta_trajectory(points, dt) -> (has_collision,
+        {frame_idx: delta})`); every colliding frame gets a one-iteration
+        CCD reach toward position + delta per joint."""
+        from ..models.skeleton import fk_positions
+        from ..ops import ik
+
+        boundary = self.hand_collision_boundary
+        if boundary is None:
+            return frames
+        skel = self.graph.skeleton
+        frames = np.asarray(frames, np.float32)
+        all_pos = np.asarray(fk_positions(skel, jnp.asarray(frames)))
+        per_frame: dict = {}
+        for joint in joint_names:
+            if joint not in skel.node_names:
+                continue
+            node_idx = skel.index_of(joint)
+            has, deltas = boundary.get_delta_trajectory(
+                all_pos[:, node_idx], dt)
+            if not has:
+                continue
+            for fi, delta in deltas.items():
+                fi = int(fi)
+                if 0 <= fi < len(frames):
+                    target = all_pos[fi, node_idx] + np.asarray(delta,
+                                                                np.float64)
+                    per_frame.setdefault(fi, {})[joint] = target
+        if not per_frame:
+            return frames
+        frames = frames.copy()
+        for fi, jmap in per_frame.items():
+            frame = jnp.asarray(frames[fi])
+            for joint, target in jmap.items():
+                chain = _ccd_chain(skel, joint)
+                if not chain:
+                    continue
+                frame = ik.run_ccd(skel, chain, skel.index_of(joint), frame,
+                                   jnp.asarray(target, jnp.float32),
+                                   n_iters=1)
+            frames[fi] = np.asarray(frame)
+        return frames
+
     # -- direction extraction (reference get_direction_from_control_points
     #    :706-770) -------------------------------------------------------
     def get_direction_from_control_points(self, control_points, node_type,

@@ -261,6 +261,30 @@ def test_handle_collision_ccd(graph):
     np.testing.assert_allclose(out[9], frames[9], atol=1e-6)
 
 
+def test_handle_collision2_multi_joint(graph):
+    """Multi-joint delta-trajectory collision edits (reference
+    handle_collision2 :1158-1189): only the reported frames change, each
+    joint pushed toward position + delta."""
+    from morphablegraphs_tpu.models.skeleton import fk_positions
+    import jax.numpy as jnp
+
+    class Boundary:
+        joint_name = "Head"
+
+        def get_delta_trajectory(self, points, dt):
+            return True, {4: np.array([0.0, 0.0, -15.0])}
+
+    p = MGStatePlanner(graph, hand_collision_boundary=Boundary())
+    frames = _frames(10)
+    before = np.asarray(fk_positions(graph.skeleton, jnp.asarray(frames)))
+    out = p.handle_collision2(frames, "walk", ["Head", "Spine"])
+    after = np.asarray(fk_positions(graph.skeleton, jnp.asarray(out)))
+    head = graph.skeleton.index_of("Head")
+    assert after[4, head, 2] < before[4, head, 2] - 1.0
+    np.testing.assert_allclose(out[0], frames[0], atol=1e-6)
+    np.testing.assert_allclose(out[9], frames[9], atol=1e-6)
+
+
 def test_locomotion_with_overlay_and_lookat(graph):
     """End-to-end: locomotion with an upper-body gesture + look-at target
     produces contiguous, NaN-free states."""
