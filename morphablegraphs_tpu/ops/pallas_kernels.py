@@ -396,7 +396,13 @@ def score_locomotion_candidates(mop: jax.Array, alphas: jax.Array,
     table: [G8, 128] packed path table from `pack_path_table`;
     cfg: [1, 32] scalars from `pack_selection_cfg`.
     Returns errors [N].
+
+    Off-TPU the kernel runs in Pallas interpret mode automatically (exact
+    same math; lets the CPU test suite and virtual-mesh dryruns execute the
+    pallas_selection code path).
     """
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
     n, k = alphas.shape
     assert n % N_BLK == 0, f"pad candidates to a multiple of {N_BLK}"
     a1 = jnp.concatenate([alphas, jnp.ones((n, 1), alphas.dtype)],

@@ -135,6 +135,27 @@ def test_full_walk_runs_and_lm_does_not_worsen():
     assert float(jnp.sum(errs1)) < float(jnp.sum(errs0))
 
 
+def test_full_walk_pallas_selection_matches_xla():
+    """pallas_selection=True (interpret mode off-TPU) ranks candidates with
+    the fused kernel; same PRNG key -> the walk picks the same nodes and the
+    reported per-step errors (re-scored by the exact evaluator) match the
+    XLA selection path to table resolution."""
+    skel, graph, stacked, path = _setup("toy")
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    kw = dict(n_steps=3, max_step_frames=64, n_samples=128, window=10,
+              lm_iters=0)
+    segs_x, nf_x, ids_x, errs_x = cw.constrained_walk_full(
+        skel, jax.random.PRNGKey(7), stacked, path,
+        jnp.asarray(start, jnp.int32), pallas_selection=False, **kw)
+    segs_p, nf_p, ids_p, errs_p = cw.constrained_walk_full(
+        skel, jax.random.PRNGKey(7), stacked, path,
+        jnp.asarray(start, jnp.int32), pallas_selection=True, **kw)
+    assert not bool(jnp.isnan(segs_p).any())
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
+    np.testing.assert_allclose(np.asarray(errs_p), np.asarray(errs_x),
+                               atol=0.5, rtol=0.05)
+
+
 def test_full_walk_user_constraint_slots():
     """User keyframe constraints passed via step_scs (slots 2+) must
     participate in scoring: an impossible far-away target with a large weight
