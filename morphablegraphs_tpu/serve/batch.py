@@ -43,13 +43,20 @@ class BatchedGenerator:
 
     def __init__(self, graph: MotionStateGraph, config: Optional[dict] = None,
                  n_steps: int = 12, n_samples: int = 64,
-                 max_step_frames: int = 64):
+                 max_step_frames: int = 64, full_constraints: bool = True,
+                 lm_iters: int = 3):
         self.graph = graph
         self.stacked = stack_graph(graph)
         self.config = config or default_config()
         self.n_steps = n_steps
         self.n_samples = n_samples
         self.max_step_frames = max_step_frames
+        # full_constraints routes through constrained_walk_full (complete
+        # compiled constraint semantics + gated LM; fused Pallas selection
+        # kernel on TPU, n_samples rounded up to the lane width); False
+        # keeps the round-1 boundary-row scorer
+        self.full_constraints = full_constraints
+        self.lm_iters = lm_iters
 
     def _start_id(self, action: str) -> int:
         group = self.graph.node_groups[action]
@@ -95,11 +102,27 @@ class BatchedGenerator:
         stacked_paths = cw.stack_paths(paths)
         keys = jax.random.split(jax.random.PRNGKey(seed), len(mg_inputs))
         start_arr = jnp.asarray(start_ids, jnp.int32)
-        segs, n_frames, node_ids, errors = jax.vmap(
-            lambda k, p, s: cw.constrained_walk(
-                k, self.stacked, p, s, n_steps=self.n_steps,
-                max_step_frames=self.max_step_frames,
-                n_samples=self.n_samples))(keys, stacked_paths, start_arr)
+        if self.full_constraints:
+            skel = self.graph.skeleton
+            use_pallas = jax.default_backend() == "tpu"
+            n_samples = self.n_samples
+            if use_pallas:
+                from ..ops import pallas_kernels as pk
+                n_samples = ((n_samples + pk.N_BLK - 1) // pk.N_BLK) * pk.N_BLK
+            segs, n_frames, node_ids, errors = jax.vmap(
+                lambda k, p, s: cw.constrained_walk_full(
+                    skel, k, self.stacked, p, s, n_steps=self.n_steps,
+                    step_scs=cw.default_step_scs(skel, self.n_steps),
+                    max_step_frames=self.max_step_frames,
+                    n_samples=n_samples, lm_iters=self.lm_iters,
+                    pallas_selection=use_pallas))(
+                        keys, stacked_paths, start_arr)
+        else:
+            segs, n_frames, node_ids, errors = jax.vmap(
+                lambda k, p, s: cw.constrained_walk(
+                    k, self.stacked, p, s, n_steps=self.n_steps,
+                    max_step_frames=self.max_step_frames,
+                    n_samples=self.n_samples))(keys, stacked_paths, start_arr)
         out = []
         for c in range(len(mg_inputs)):
             out.append(walk_mod.flatten_segments(segs[c], n_frames[c]))
