@@ -96,13 +96,17 @@ def main():
                 k, g, p, s, n_steps=n_steps, max_step_frames=64,
                 n_samples=n_samples))(keys, paths, sids)
     else:
+        from morphablegraphs_tpu.constraints import compiled
+        root_only = compiled.step_scs_root_only(step_scs)
+
         @jax.jit
         def crowd(g, keys, sids):
             return jax.vmap(lambda k, p, s: cw.constrained_walk_full(
                 skel, k, g, p, s, n_steps=n_steps, step_scs=step_scs,
                 max_step_frames=160, n_samples=n_samples,
                 lm_iters=3, lm_threshold=5.0,
-                pallas_selection=use_pallas))(keys, paths, sids)
+                pallas_selection=use_pallas,
+                root_only=root_only))(keys, paths, sids)
 
     keys = jax.random.split(jax.random.PRNGKey(0), n_chars)
     # AOT: ONE compile serves both the cost analysis and the timed runs

@@ -36,7 +36,7 @@ import numpy as np
 from flax import struct
 
 from ..models.primitive import MotionPrimitive, back_project_spatial
-from ..models.skeleton import Skeleton, fk_global
+from ..models.skeleton import Skeleton, fk_global, fk_root
 from ..ops import align, bspline, quat, spline_path
 
 MAX_KF = 8  # padded keyframe-constraint slots per step
@@ -246,7 +246,8 @@ def evaluate_residuals(skeleton: Skeleton, prim: MotionPrimitive,
 def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
                           sc: StepConstraints, coeffs: jax.Array,
                           use_traj: bool = True, use_ca: bool = True,
-                          use_ts: bool = False) -> jax.Array:
+                          use_ts: bool = False,
+                          root_only: bool = False) -> jax.Array:
     """Residuals given already-aligned coefficients + the node's spatial
     knot vector (used by the global multi-step optimizer where alignment
     chains across steps, and by the stacked-graph flagship where the knots
@@ -255,7 +256,13 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
     All constraint families share ONE basis-matrix evaluation and ONE
     batched FK pass over their stacked query frames (a ~5x cut in both HLO
     size and runtime vs per-family evaluation; the per-candidate cost is
-    this whole function under vmap + jacfwd in the LM loop)."""
+    this whole function under vmap + jacfwd in the LM loop).
+
+    root_only=True (static) replaces the per-joint FK chain with the root
+    transform broadcast over nodes — valid ONLY when every active slot
+    references the root joint (locomotion family; check with
+    `step_scs_root_only`).  Non-root residual slots then read root values,
+    which is harmless because they are inactive (masked to 0) by contract."""
 
     # ---- fused frame evaluation: stack every family's query times --------
     # layout: [kf(8) | dir(1) | la(1) | rt(1) | jr(1) | t_lin(16)?]
@@ -276,7 +283,15 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
     b_all = bspline.basis_matrix(knots_s, t_all)  # [T, n_basis]
     frames_all = jnp.matmul(b_all, coeffs, precision=jax.lax.Precision.HIGHEST)
     frames_all = jnp.concatenate([frames_all, coeffs[:1]], axis=0)
-    pos_all, ori_all = fk_global(skeleton, frames_all)  # [T+1, nodes, 3/4]
+    if root_only:
+        rp, rq = fk_root(skeleton, frames_all)  # [T+1, 3/4]
+        n_nodes = skeleton.n_nodes
+        pos_all = jnp.broadcast_to(rp[..., None, :],
+                                   rp.shape[:-1] + (n_nodes, 3))
+        ori_all = jnp.broadcast_to(rq[..., None, :],
+                                   rq.shape[:-1] + (n_nodes, 4))
+    else:
+        pos_all, ori_all = fk_global(skeleton, frames_all)  # [T+1, nodes, 3/4]
 
     # ---- keyframe constraints
     idx = jnp.arange(MAX_KF)
@@ -337,12 +352,8 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
     # ---- trajectory constraint: sampled canonical frames, advancing arc
     if use_traj:
         root_tr = pos_all[o_lin: o_lin + TRAJ_SAMPLES, sc.traj_node]  # [S, 3]
-
-        def traj_step(min_arc, p):
-            _, arc, d = spline_path.closest_point(sc.traj, p, min_arc)
-            return arc, (arc, d)
-
-        _, (arcs, traj_d) = jax.lax.scan(traj_step, sc.traj_min_arc, root_tr)
+        _, arcs, traj_d = spline_path.closest_points_advancing(
+            sc.traj, root_tr, sc.traj_min_arc)
         # active-range masking (annotated/CA trajectories): residuals outside
         # [range_start, range_end] don't count
         in_range = (arcs >= sc.traj_range_start) & (arcs <= sc.traj_range_end)
@@ -395,6 +406,33 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
     return jnp.concatenate([kf_res, dir_res[None], la_res[None],
                             rt_res[None], jr_res[None],
                             pose_res[None], ca_res, traj_res, ts_res])
+
+
+def step_scs_root_only(step_scs, root_node: int = 0) -> bool:
+    """Host-side check: True when every ACTIVE slot in a (numpy-leaf)
+    StepConstraints pytree references only the root joint, so the static
+    `root_only` FK shortcut is valid.  Constraint families that read frame
+    channels directly (direction, joint-rotation) never need FK and are
+    always allowed; look-at / relative-transform / pose / trajectory-set
+    read non-root FK results and must be inactive."""
+    import numpy as np
+
+    def any_active(a):
+        return bool(np.any(np.asarray(a) > 0))
+
+    kf_act = np.asarray(step_scs.kf_active) > 0
+    if np.any(kf_act & (np.asarray(step_scs.kf_node) != root_node)):
+        return False
+    ca_act = np.asarray(step_scs.ca_active) > 0
+    if np.any(ca_act & (np.asarray(step_scs.ca_node) != root_node)):
+        return False
+    if np.any((np.asarray(step_scs.traj_active) > 0)
+              & (np.asarray(step_scs.traj_node) != root_node)):
+        return False
+    return not (any_active(step_scs.la_active)
+                or any_active(step_scs.rt_active)
+                or any_active(step_scs.pose_active)
+                or any_active(step_scs.ts_active))
 
 
 def active_mask(sc: StepConstraints) -> jax.Array:

@@ -462,6 +462,27 @@ def fk_positions(skel: Skeleton, frames: jax.Array) -> jax.Array:
     return fk_global(skel, frames)[0]
 
 
+def fk_root(skel: Skeleton, frames: jax.Array):
+    """Global transform of the ROOT node only — no kinematic chain.
+
+    Exactly the root branch of `fk_global` (pos = offset + root translation,
+    ori = the root's local channel quaternion).  Used by the locomotion-only
+    constraint path, where every active constraint references the root and
+    the full per-joint FK chain (and its jacfwd tangents in the LM loop) is
+    wasted work.
+    Returns (positions [..., 3], orientations [..., 4])."""
+    anim_idx = _fk_tables(skel)
+    pos = jnp.asarray(skel.offsets)[0] + frames[..., :3]
+    if anim_idx[0] >= 0:
+        a = anim_idx[0]
+        ori = frames[..., 3 + 4 * a: 3 + 4 * a + 4]
+    else:
+        ori = jnp.broadcast_to(
+            jnp.array([1.0, 0.0, 0.0, 0.0], frames.dtype),
+            frames.shape[:-1] + (4,))
+    return pos, ori
+
+
 def fk_point_cloud(skel: Skeleton, frames: jax.Array,
                    normalize: bool = False) -> jax.Array:
     """Point cloud per frame for DTW / pose distance (reference

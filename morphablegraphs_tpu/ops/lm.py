@@ -18,6 +18,42 @@ import jax
 import jax.numpy as jnp
 
 
+def chol_solve_unrolled(a: jax.Array, g: jax.Array) -> jax.Array:
+    """Solve the small SPD system a @ x = g via a trace-time-unrolled
+    Cholesky factorization + substitution.
+
+    Replaces `jnp.linalg.solve` in the jitted LM loop: XLA's batched LU
+    custom call on TPU imposes layout constraints that insert large
+    transposition copies around every solve (measured 7.2 ms solve +
+    ~10 ms copies per LM iteration for a [1024, 28, 28] batch inside the
+    crowd walk, vs 1.7 ms for this unrolled form, which is pure vector ops
+    and vectorizes cleanly under vmap).  a must be symmetric positive
+    definite — in LM it is JtJ + lam * damp with a strictly positive
+    damping diagonal.
+    """
+    n = a.shape[-1]
+    c = jnp.zeros_like(a)
+    for j in range(n):
+        s = a[..., j, j] - jnp.sum(c[..., j, :j] ** 2, axis=-1)
+        d = jnp.sqrt(jnp.maximum(s, 1e-12))
+        col = (a[..., j + 1:, j] - jnp.einsum(
+            "...ik,...k->...i", c[..., j + 1:, :j], c[..., j, :j])) \
+            / d[..., None]
+        c = c.at[..., j, j].set(d)
+        c = c.at[..., j + 1:, j].set(col)
+    y = jnp.zeros_like(g)
+    for i in range(n):
+        y = y.at[..., i].set(
+            (g[..., i] - jnp.sum(c[..., i, :i] * y[..., :i], -1))
+            / c[..., i, i])
+    x = jnp.zeros_like(g)
+    for i in reversed(range(n)):
+        x = x.at[..., i].set(
+            (y[..., i] - jnp.sum(c[..., i + 1:, i] * x[..., i + 1:], -1))
+            / c[..., i, i])
+    return x
+
+
 def lm_minimize(residual_fn, s0: jax.Array, n_iters: int,
                 init_lambda: float = 1.0, init_radius: float = 1.0,
                 max_radius: float = 16.0):
@@ -27,12 +63,16 @@ def lm_minimize(residual_fn, s0: jax.Array, n_iters: int,
     the trust radius; a rejected step multiplies lambda by 10 and quarters
     the radius.  Returns (s_opt, final_sq_err).
     """
+    n_lat = s0.shape[0]
+    eye = jnp.eye(n_lat, dtype=s0.dtype)
 
     def body(carry, _):
         s, lam, radius = carry
-        r = residual_fn(s)
+        # one linearization serves both the residual value and the jacobian
+        # (jacfwd would evaluate the primal a second time)
+        r, lin = jax.linearize(residual_fn, s)
         err = jnp.sum(r * r)
-        j = jax.jacfwd(residual_fn)(s)  # [R, L]
+        j = jax.vmap(lin)(eye).T  # [R, L]
         jtj = jnp.matmul(j.T, j, precision=jax.lax.Precision.HIGHEST)
         # Relative floor on the damping diagonal: with few active residuals
         # JtJ is rank-deficient and near-null latent dims carry ~0 diagonal,
@@ -42,7 +82,7 @@ def lm_minimize(residual_fn, s0: jax.Array, n_iters: int,
         floor = jnp.maximum(1e-2 * jnp.max(dg), 1e-6)
         damp = jnp.diag(jnp.maximum(dg, floor))
         g = jnp.matmul(j.T, r, precision=jax.lax.Precision.HIGHEST)
-        delta = jnp.linalg.solve(jtj + lam * damp, g)
+        delta = chol_solve_unrolled(jtj + lam * damp, g)
         nrm = jnp.linalg.norm(delta)
         delta = delta * jnp.minimum(1.0, radius / jnp.maximum(nrm, 1e-10))
         s_new = s - delta

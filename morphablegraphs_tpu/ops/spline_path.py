@@ -232,6 +232,63 @@ def closest_point(sp: PathSpline, point: jax.Array,
     return pos, arc, d
 
 
+@functools.partial(jax.jit, static_argnames=("n_refine",))
+def closest_points_advancing(sp: PathSpline, points: jax.Array,
+                             min_arc_length: jax.Array = 0.0,
+                             n_refine: int = 8):
+    """Advancing closest points for a SEQUENCE of query points [S, 3]:
+    sample i's search is constrained to arc >= sample i-1's found arc
+    (the trajectory-residual semantics of reference
+    trajectory_constraint.py:85-110 `_min_arc_length` advancing).
+
+    Semantically the scan `closest_point(p_i, min_arc=arc_{i-1})`, but
+    restructured for the TPU: the [S, G+1] distance table is ONE batched
+    pass, the advancing masked argmin is a scan over precomputed rows (two
+    vector ops per sample instead of a distance + 2*n_refine-eval
+    refinement chain — profiled at 28% of the crowd-walk iteration), and
+    the ternary refinement runs once, batched over all S chosen cells.
+    The advancing carry is the chosen cell's TABLE arc rather than the
+    refined arc; they differ by less than one table cell, which can only
+    flip near-tie cell selections on self-crossing paths.
+
+    Returns (positions [S, 3], arc_lengths [S], distances [S])."""
+    mask_dim = jnp.where(sp.unconstrained, 0.0, 1.0)
+    d2_all = jnp.sum(((sp.table_points[None, :, :] - points[:, None, :])
+                      * mask_dim) ** 2, axis=-1)  # [S, G+1]
+    gp1 = sp.table_arc.shape[0]
+
+    def advance(min_arc, d2_row):
+        valid = sp.table_arc >= min_arc - 1e-6
+        d2m = jnp.where(valid, d2_row, jnp.inf)
+        i = jnp.where(jnp.any(valid), jnp.argmin(d2m), gp1 - 1)
+        return jnp.maximum(min_arc, sp.table_arc[i]), i
+
+    _, idx = jax.lax.scan(
+        advance, jnp.asarray(min_arc_length, sp.table_arc.dtype), d2_all)
+
+    g = gp1 - 1
+    lo = jnp.maximum(idx - 1, 0).astype(points.dtype) / g  # [S]
+    hi = jnp.minimum(idx + 1, g).astype(points.dtype) / g
+
+    def dist(u):
+        p = _eval_u(sp.points, sp.n_points, u)  # [S, 3]
+        return jnp.sum(((p - points) * mask_dim) ** 2, axis=-1)
+
+    def body(_, carry):
+        lo, hi = carry
+        m1 = lo + (hi - lo) / 3.0
+        m2 = hi - (hi - lo) / 3.0
+        keep_lo = dist(m1) < dist(m2)
+        return (jnp.where(keep_lo, lo, m1), jnp.where(keep_lo, m2, hi))
+
+    lo, hi = jax.lax.fori_loop(0, n_refine, body, (lo, hi))
+    u_best = 0.5 * (lo + hi)
+    pos = point_at_u(sp, u_best)
+    arc = _arc_at_u(sp, u_best)
+    d = jnp.sqrt(dist(u_best))
+    return pos, arc, d
+
+
 def transform(sp: PathSpline, q_y: jax.Array, delta: jax.Array) -> PathSpline:
     """Rigid 2D transform of the whole spline (used when constraints are
     moved into a primitive's local frame, reference

@@ -103,19 +103,25 @@ class BatchedGenerator:
         keys = jax.random.split(jax.random.PRNGKey(seed), len(mg_inputs))
         start_arr = jnp.asarray(start_ids, jnp.int32)
         if self.full_constraints:
+            from ..constraints import compiled
             skel = self.graph.skeleton
             use_pallas = jax.default_backend() == "tpu"
             n_samples = self.n_samples
             if use_pallas:
                 from ..ops import pallas_kernels as pk
                 n_samples = ((n_samples + pk.N_BLK - 1) // pk.N_BLK) * pk.N_BLK
+            step_scs = cw.default_step_scs(skel, self.n_steps)
+            # locomotion-only constraints touch just the root joint: skip
+            # the FK chain inside the LM residuals (static shortcut)
+            root_only = compiled.step_scs_root_only(step_scs)
             segs, n_frames, node_ids, errors = jax.vmap(
                 lambda k, p, s: cw.constrained_walk_full(
                     skel, k, self.stacked, p, s, n_steps=self.n_steps,
-                    step_scs=cw.default_step_scs(skel, self.n_steps),
+                    step_scs=step_scs,
                     max_step_frames=self.max_step_frames,
                     n_samples=n_samples, lm_iters=self.lm_iters,
-                    pallas_selection=use_pallas))(
+                    pallas_selection=use_pallas,
+                    root_only=root_only))(
                         keys, stacked_paths, start_arr)
         else:
             segs, n_frames, node_ids, errors = jax.vmap(

@@ -217,23 +217,26 @@ def stacked_aligned_coeffs(g: StackedGraph, node_id: jax.Array, sc,
 
 def stacked_residuals(skeleton, g: StackedGraph, node_id: jax.Array, sc,
                       s: jax.Array, use_traj: bool = True,
-                      use_ca: bool = True, use_ts: bool = False) -> jax.Array:
+                      use_ca: bool = True, use_ts: bool = False,
+                      root_only: bool = False) -> jax.Array:
     """Full compiled-constraint residual vector for a latent candidate at a
     (traced) stacked-graph node."""
     from ..constraints import compiled
     coeffs = stacked_aligned_coeffs(g, node_id, sc, s)
     return compiled.residuals_from_coeffs(skeleton, g.knots_s[node_id], sc,
                                           coeffs, use_traj=use_traj,
-                                          use_ca=use_ca, use_ts=use_ts)
+                                          use_ca=use_ca, use_ts=use_ts,
+                                          root_only=root_only)
 
 
 def stacked_error(skeleton, g: StackedGraph, node_id: jax.Array, sc,
                   s: jax.Array, use_traj: bool = True,
-                  use_ca: bool = True, use_ts: bool = False) -> jax.Array:
+                  use_ca: bool = True, use_ts: bool = False,
+                  root_only: bool = False) -> jax.Array:
     from ..constraints import compiled
     return compiled.error_from_residuals(
         stacked_residuals(skeleton, g, node_id, sc, s, use_traj, use_ca,
-                          use_ts))
+                          use_ts, root_only))
 
 
 class FullWalkState(NamedTuple):
@@ -258,7 +261,7 @@ def default_step_scs(skeleton, n_steps: int):
                    static_argnames=("n_steps", "max_step_frames", "n_samples",
                                     "window", "lm_iters", "use_traj",
                                     "use_ca", "use_half", "root_node",
-                                    "pallas_selection"))
+                                    "pallas_selection", "root_only"))
 def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                           path: spline_path.PathSpline, start_id: jax.Array,
                           n_steps: int, step_scs=None,
@@ -273,7 +276,8 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                           traj_weight: float = 1.0, use_traj: bool = True,
                           use_ca: bool = False, use_half: bool = False,
                           root_node: int = 0,
-                          pallas_selection: bool = False):
+                          pallas_selection: bool = False,
+                          root_only: bool = False):
     """Trajectory-following walk with FULL constraint semantics per step.
 
     Per scan step (reference motion_generator.py:157-268 +
@@ -295,6 +299,12 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
       6. back-project the winner with time warping, align + seam-smooth,
          update the travelled arc, transition (end type once the path is
          nearly consumed).
+
+    root_only=True (static) skips the per-joint FK chain inside every
+    residual evaluation (and its LM tangents) — valid only when all active
+    user slots reference the root joint; check the stacked pytree host-side
+    with `compiled.step_scs_root_only` (the locomotion slots the walk fills
+    are always root-referencing).
 
     Returns (segments [S, T, D], n_frames [S], node_ids [S], errors [S]).
     """
@@ -385,10 +395,11 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
             best = jnp.argmin(errors)
             s = samples[best]
             err = stacked_error(skeleton, g, state.node_id, sc, s,
-                                use_traj, use_ca)
+                                use_traj, use_ca, root_only=root_only)
         else:
             errors = jax.vmap(lambda sv: stacked_error(
-                skeleton, g, state.node_id, sc, sv, use_traj, use_ca))(samples)
+                skeleton, g, state.node_id, sc, sv, use_traj, use_ca,
+                root_only=root_only))(samples)
             best = jnp.argmin(errors)
             s = samples[best]
             err = errors[best]
@@ -400,7 +411,7 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
 
             def residuals(sv):
                 r = stacked_residuals(skeleton, g, state.node_id, sc, sv,
-                                      use_traj, use_ca)
+                                      use_traj, use_ca, root_only=root_only)
                 nll = -gmm_ops.log_prob(gmm, sv)
                 return act * (error_scale * r + quality_scale * nll)
 
@@ -408,7 +419,7 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                 s0, e0 = args
                 s_opt, _ = lm_ops.lm_minimize(residuals, s0, lm_iters)
                 e_opt = stacked_error(skeleton, g, state.node_id, sc, s_opt,
-                                      use_traj, use_ca)
+                                      use_traj, use_ca, root_only=root_only)
                 better = e_opt < e0
                 return jnp.where(better, s_opt, s0), jnp.minimum(e0, e_opt)
 

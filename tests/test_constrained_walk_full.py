@@ -185,3 +185,73 @@ def test_full_walk_user_constraint_slots():
     # step 1 has no user constraint; selection state differs only via the
     # carried pose, so the error stays the same order of magnitude
     assert np.isfinite(float(errs_user[1]))
+
+
+@pytest.mark.parametrize("scale", ["toy", "ref"])
+def test_root_only_matches_full_fk_on_locomotion(scale):
+    """With locomotion-only constraints (every active slot on the root
+    joint) the static root_only FK shortcut must be numerically identical
+    on the active residuals AND produce an identical walk."""
+    skel, graph, stacked, path = _setup(scale)
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    kw = dict(n_steps=3, max_step_frames=64, n_samples=8, window=10,
+              lm_iters=2)
+    out_full = cw.constrained_walk_full(
+        skel, jax.random.PRNGKey(11), stacked, path,
+        jnp.asarray(start, jnp.int32), root_only=False, **kw)
+    out_root = cw.constrained_walk_full(
+        skel, jax.random.PRNGKey(11), stacked, path,
+        jnp.asarray(start, jnp.int32), root_only=True, **kw)
+    np.testing.assert_array_equal(np.asarray(out_full[2]),
+                                  np.asarray(out_root[2]))  # node ids
+    np.testing.assert_allclose(np.asarray(out_full[3]),
+                               np.asarray(out_root[3]), atol=1e-3)  # errors
+    np.testing.assert_allclose(np.asarray(out_full[0]),
+                               np.asarray(out_root[0]), atol=1e-3)  # frames
+
+
+def test_step_scs_root_only_detection():
+    skel, graph, stacked, path = _setup("toy")
+    base = cw.default_step_scs(skel, 2)
+    assert compiled.step_scs_root_only(base)
+
+    # a non-root keyframe constraint disables the shortcut
+    sc0 = compiled.empty_step_constraints(skel, 0)
+    sc0 = compiled.set_keyframe_constraint(
+        sc0, 2, skel, skel.node_names[1], 10.0, position=[1.0, np.nan, 2.0])
+    scs = jax.tree.map(
+        lambda a, b: np.stack([np.asarray(a), np.asarray(b)]),
+        sc0, compiled.empty_step_constraints(skel, 0))
+    assert not compiled.step_scs_root_only(scs)
+
+    # a ROOT keyframe constraint keeps it
+    sc1 = compiled.empty_step_constraints(skel, 0)
+    sc1 = compiled.set_keyframe_constraint(
+        sc1, 2, skel, skel.node_names[0], 10.0, position=[1.0, np.nan, 2.0])
+    scs1 = jax.tree.map(
+        lambda a, b: np.stack([np.asarray(a), np.asarray(b)]),
+        sc1, compiled.empty_step_constraints(skel, 0))
+    assert compiled.step_scs_root_only(scs1)
+
+
+def test_lm_chol_solve_matches_numpy():
+    """The unrolled Cholesky solve that replaced jnp.linalg.solve in the LM
+    loop (TPU LU custom call forces ~17ms of layout copies per iteration)."""
+    from morphablegraphs_tpu.ops import lm as lm_ops
+    rng = np.random.default_rng(0)
+    for n in (4, 28):
+        a0 = rng.standard_normal((n, n)).astype(np.float32)
+        a = a0 @ a0.T + 5 * np.eye(n, dtype=np.float32)
+        g = rng.standard_normal(n).astype(np.float32)
+        x = lm_ops.chol_solve_unrolled(jnp.asarray(a), jnp.asarray(g))
+        ref = np.linalg.solve(a, g)
+        np.testing.assert_allclose(np.asarray(x), ref, rtol=2e-4, atol=2e-4)
+    # batched under vmap (the crowd-walk shape)
+    A = jnp.asarray(np.stack([a0 @ a0.T + (5 + i) * np.eye(28, dtype=np.float32)
+                              for i in range(8)]))
+    G = jnp.asarray(rng.standard_normal((8, 28)).astype(np.float32))
+    X = jax.vmap(lm_ops.chol_solve_unrolled)(A, G)
+    for i in range(8):
+        np.testing.assert_allclose(
+            np.asarray(X[i]), np.linalg.solve(np.asarray(A[i]), np.asarray(G[i])),
+            rtol=2e-4, atol=2e-4)

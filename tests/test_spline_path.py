@@ -3,6 +3,7 @@ semantics, parameterized_spline.py:41-325)."""
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from morphablegraphs_tpu.ops import spline_path
@@ -124,3 +125,36 @@ def test_closest_point_min_arc_beyond_end_snaps_to_end():
         sp, jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray(full + 50.0))
     assert float(arc) > full - 1.0
     assert abs(float(np.asarray(pos)[0]) - 100.0) < 1.0
+
+
+def test_closest_points_advancing_matches_sequential():
+    """The batched advancing search must agree with the sequential
+    closest_point scan to table-cell resolution (its carry is the chosen
+    cell's table arc; the scan's carry is the refined arc)."""
+    sp = _build()
+    rng = np.random.default_rng(3)
+    cp = np.asarray(sp.table_points)
+    # noisy points marching along the path
+    idx = np.linspace(0, cp.shape[0] - 1, 16).astype(int)
+    q = jnp.asarray(cp[idx] + rng.normal(0, 2.0, (16, 3)).astype(np.float32))
+
+    def step(m, p):
+        _, arc, d = spline_path.closest_point(sp, p, m)
+        return arc, (arc, d)
+
+    _, (arcs_seq, d_seq) = jax.lax.scan(step, jnp.asarray(0.0, jnp.float32), q)
+    _, arcs_b, d_b = spline_path.closest_points_advancing(sp, q, 0.0)
+    cell = float(np.asarray(sp.full_arc_length)) / (sp.table_arc.shape[0] - 1)
+    assert float(jnp.max(jnp.abs(arcs_seq - arcs_b))) < 2 * cell
+    np.testing.assert_allclose(np.asarray(d_seq), np.asarray(d_b), atol=1e-3)
+
+
+def test_closest_points_advancing_monotone_arcs():
+    sp = _build()
+    cp = np.asarray(sp.table_points)
+    # points deliberately out of order: arcs must still advance
+    q = jnp.asarray(np.stack([cp[200], cp[50], cp[150], cp[100]]))
+    _, arcs, _ = spline_path.closest_points_advancing(sp, q, 0.0)
+    a = np.asarray(arcs)
+    cell = float(np.asarray(sp.full_arc_length)) / (sp.table_arc.shape[0] - 1)
+    assert (np.diff(a) >= -2 * cell).all()
