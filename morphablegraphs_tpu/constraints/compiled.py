@@ -283,20 +283,43 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
     b_all = bspline.basis_matrix(knots_s, t_all)  # [T, n_basis]
     frames_all = jnp.matmul(b_all, coeffs, precision=jax.lax.Precision.HIGHEST)
     frames_all = jnp.concatenate([frames_all, coeffs[:1]], axis=0)
+    # Node-indexed views of the FK results.  Under root_only the per-joint
+    # FK chain is skipped and every node index resolves to the root's
+    # transform via INDEX helpers — an explicit broadcast_to(n_nodes) here
+    # was materialized by XLA at [chars, tangents, frames, nodes, 3] inside
+    # the LM jacobian (150 ms/iter of pure copy); indexing keeps everything
+    # at root width.
     if root_only:
         rp, rq = fk_root(skeleton, frames_all)  # [T+1, 3/4]
-        n_nodes = skeleton.n_nodes
-        pos_all = jnp.broadcast_to(rp[..., None, :],
-                                   rp.shape[:-1] + (n_nodes, 3))
-        ori_all = jnp.broadcast_to(rq[..., None, :],
-                                   rq.shape[:-1] + (n_nodes, 4))
+
+        def pos_at(t, node):
+            shape = jnp.broadcast_shapes(jnp.shape(t), jnp.shape(node))
+            return jnp.broadcast_to(rp[t], shape + (3,))
+
+        def ori_at(t, node):
+            shape = jnp.broadcast_shapes(jnp.shape(t), jnp.shape(node))
+            return jnp.broadcast_to(rq[t], shape + (4,))
+
+        def pos_nodes(t):  # [T', n_nodes, 3] (only masked families read it)
+            sl = rp[t]
+            return jnp.broadcast_to(sl[..., None, :],
+                                    sl.shape[:-1] + (skeleton.n_nodes, 3))
     else:
         pos_all, ori_all = fk_global(skeleton, frames_all)  # [T+1, nodes, 3/4]
 
+        def pos_at(t, node):
+            return pos_all[t, node]
+
+        def ori_at(t, node):
+            return ori_all[t, node]
+
+        def pos_nodes(t):
+            return pos_all[t]
+
     # ---- keyframe constraints
     idx = jnp.arange(MAX_KF)
-    jpos = pos_all[idx, sc.kf_node]  # [K, 3]
-    jori = ori_all[idx, sc.kf_node]  # [K, 4]
+    jpos = pos_at(idx, sc.kf_node)  # [K, 3]
+    jori = ori_at(idx, sc.kf_node)  # [K, 4]
     pos_err = jnp.sqrt(jnp.maximum(
         jnp.sum(((jpos - sc.kf_pos) * sc.kf_pos_mask) ** 2, axis=-1), 1e-12))
     # orientation: absolute relative-rotation angle
@@ -314,8 +337,8 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
     dir_res = sc.dir_active * sc.dir_weight * jnp.rad2deg(jnp.arccos(cos_a))
 
     # ---- look-at constraint: gaze angle toward target (degrees)
-    head_pos = pos_all[MAX_KF + 1, sc.la_node]
-    head_ori = ori_all[MAX_KF + 1, sc.la_node]
+    head_pos = pos_at(MAX_KF + 1, sc.la_node)
+    head_ori = ori_at(MAX_KF + 1, sc.la_node)
     gaze = quat.rotate_vec(quat.normalize(head_ori), jnp.array([0.0, 0.0, 1.0]))
     want = sc.la_target - head_pos
     want = want / jnp.maximum(jnp.linalg.norm(want), 1e-10)
@@ -323,10 +346,9 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
     la_res = sc.la_active * sc.la_weight * jnp.rad2deg(jnp.arccos(cos_la))
 
     # ---- relative-transform constraint: offset in the parent joint's space
-    pos_rt, ori_rt = pos_all[MAX_KF + 2], ori_all[MAX_KF + 2]
-    target_rt = pos_rt[sc.rt_parent] + quat.rotate_vec(
-        quat.normalize(ori_rt[sc.rt_parent]), sc.rt_offset)
-    diff_rt = pos_rt[sc.rt_node] - target_rt
+    target_rt = pos_at(MAX_KF + 2, sc.rt_parent) + quat.rotate_vec(
+        quat.normalize(ori_at(MAX_KF + 2, sc.rt_parent)), sc.rt_offset)
+    diff_rt = pos_at(MAX_KF + 2, sc.rt_node) - target_rt
     # safe norm: the inactive default is exactly 0 and norm() has a NaN
     # gradient there, which would poison the LM jacobian through 0 * NaN
     rt_res = sc.rt_active * sc.rt_weight * jnp.sqrt(
@@ -342,7 +364,7 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
         jnp.clip(dot_jr, -1.0 + 1e-6, 1.0 - 1e-6))
 
     # ---- transition pose constraint at frame 0 (last FK row = coeffs[0])
-    pose_pos = pos_all[o_pose]
+    pose_pos = pos_nodes(o_pose)
     diff_pose = pose_pos - sc.pose_points
     pose_d = jnp.sqrt(jnp.sum(diff_pose * diff_pose, axis=-1) + 1e-12)
     pose_err = (jnp.sum(sc.pose_joint_weights * pose_d)
@@ -351,7 +373,8 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
 
     # ---- trajectory constraint: sampled canonical frames, advancing arc
     if use_traj:
-        root_tr = pos_all[o_lin: o_lin + TRAJ_SAMPLES, sc.traj_node]  # [S, 3]
+        root_tr = pos_at(jnp.arange(o_lin, o_lin + TRAJ_SAMPLES),
+                         sc.traj_node)  # [S, 3]
         _, arcs, traj_d = spline_path.closest_points_advancing(
             sc.traj, root_tr, sc.traj_min_arc)
         # active-range masking (annotated/CA trajectories): residuals outside
@@ -363,7 +386,8 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
 
     # ---- collision-avoidance constraints: min distance over sampled frames
     if use_ca:
-        jca = pos_all[o_lin: o_lin + TRAJ_SAMPLES][:, sc.ca_node]  # [S, C, 3]
+        jca = pos_at(jnp.arange(o_lin, o_lin + TRAJ_SAMPLES)[:, None],
+                     sc.ca_node[None, :])  # [S, C, 3]
         d_ca = jnp.sqrt(jnp.maximum(jnp.sum(
             ((jca - sc.ca_pos) * sc.ca_pos_mask) ** 2, axis=-1), 1e-12))
         ca_res = sc.ca_active * sc.ca_weight * jnp.min(d_ca, axis=0)  # [C]
@@ -376,7 +400,8 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
     # np.average over position LISTS collapses to a scalar — here the
     # centroid is the mean position VECTOR, the evident intent)
     if use_ts:
-        pos_ts = pos_all[o_lin: o_lin + TRAJ_SAMPLES][:, sc.ts_joints]  # [S, J, 3]
+        pos_ts = pos_at(jnp.arange(o_lin, o_lin + TRAJ_SAMPLES)[:, None],
+                        sc.ts_joints[None, :])  # [S, J, 3]
         steps_d = jnp.sqrt(jnp.sum(
             (pos_ts[1:] - pos_ts[:-1]) ** 2, axis=-1) + 1e-12)  # [S-1, J]
         travelled = jnp.concatenate([jnp.zeros((1, MAX_TS_JOINTS)),

@@ -243,15 +243,22 @@ def closest_points_advancing(sp: PathSpline, points: jax.Array,
 
     Semantically the scan `closest_point(p_i, min_arc=arc_{i-1})`, but
     restructured for the TPU: the [S, G+1] distance table is ONE batched
-    pass, the advancing masked argmin is a scan over precomputed rows (two
-    vector ops per sample instead of a distance + 2*n_refine-eval
-    refinement chain — profiled at 28% of the crowd-walk iteration), and
-    the ternary refinement runs once, batched over all S chosen cells.
+    pass, and the advancing masked argmin is a scan over precomputed rows
+    (two vector ops per sample instead of a distance + 2*n_refine-eval
+    refinement chain — profiled at 28% of the crowd-walk iteration).
     The advancing carry is the chosen cell's TABLE arc rather than the
     refined arc; they differ by less than one table cell, which can only
-    flip near-tie cell selections on self-crossing paths.
+    flip near-tie cell selections on self-crossing paths.  Sub-cell
+    refinement is a closed-form parabola through the three neighbouring
+    TABLE distances (no extra spline evaluations; an 8-iteration ternary
+    loop here was 12% of the crowd-walk iteration, and the parabola agrees
+    with it to ~cell^2 — exact where d^2(u) is locally quadratic).
+
+    n_refine is accepted for signature parity with `closest_point` and
+    ignored (refinement is closed-form).
 
     Returns (positions [S, 3], arc_lengths [S], distances [S])."""
+    del n_refine
     mask_dim = jnp.where(sp.unconstrained, 0.0, 1.0)
     d2_all = jnp.sum(((sp.table_points[None, :, :] - points[:, None, :])
                       * mask_dim) ** 2, axis=-1)  # [S, G+1]
@@ -267,25 +274,21 @@ def closest_points_advancing(sp: PathSpline, points: jax.Array,
         advance, jnp.asarray(min_arc_length, sp.table_arc.dtype), d2_all)
 
     g = gp1 - 1
-    lo = jnp.maximum(idx - 1, 0).astype(points.dtype) / g  # [S]
-    hi = jnp.minimum(idx + 1, g).astype(points.dtype) / g
+    d2_m1 = jnp.take_along_axis(
+        d2_all, jnp.maximum(idx - 1, 0)[:, None], axis=1)[:, 0]
+    d2_0 = jnp.take_along_axis(d2_all, idx[:, None], axis=1)[:, 0]
+    d2_p1 = jnp.take_along_axis(
+        d2_all, jnp.minimum(idx + 1, g)[:, None], axis=1)[:, 0]
+    denom = d2_m1 - 2.0 * d2_0 + d2_p1
+    offset = jnp.where(denom > 1e-12,
+                       jnp.clip(0.5 * (d2_m1 - d2_p1) / jnp.maximum(
+                           denom, 1e-12), -1.0, 1.0),
+                       0.0)
+    u_best = jnp.clip((idx.astype(points.dtype) + offset) / g, 0.0, 1.0)
 
-    def dist(u):
-        p = _eval_u(sp.points, sp.n_points, u)  # [S, 3]
-        return jnp.sum(((p - points) * mask_dim) ** 2, axis=-1)
-
-    def body(_, carry):
-        lo, hi = carry
-        m1 = lo + (hi - lo) / 3.0
-        m2 = hi - (hi - lo) / 3.0
-        keep_lo = dist(m1) < dist(m2)
-        return (jnp.where(keep_lo, lo, m1), jnp.where(keep_lo, m2, hi))
-
-    lo, hi = jax.lax.fori_loop(0, n_refine, body, (lo, hi))
-    u_best = 0.5 * (lo + hi)
     pos = point_at_u(sp, u_best)
     arc = _arc_at_u(sp, u_best)
-    d = jnp.sqrt(dist(u_best))
+    d = jnp.sqrt(jnp.sum(((pos - points) * mask_dim) ** 2, axis=-1))
     return pos, arc, d
 
 

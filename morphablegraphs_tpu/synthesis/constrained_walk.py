@@ -135,9 +135,8 @@ def constrained_walk(key: jax.Array, g: StackedGraph,
         goal_pos, goal_dir = spline_path.point_and_dir_at_arc_length(path, goal_arc)
 
         # ---- best-of-N candidate selection on boundary rows
-        samples = jax.vmap(
-            lambda kk: walk_mod.sample_node_latent(kk, g, state.node_id))(
-                jax.random.split(k_s, n_samples))
+        samples = walk_mod.sample_node_latents(k_s, g, state.node_id,
+                                               n_samples)
         errors = _score_candidates(g, state.node_id, samples, state.prev_last,
                                    goal_pos, goal_dir, has_prev)
         best = jnp.argmin(errors)
@@ -365,9 +364,8 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                                             use_dir=True, use_half=use_half)
 
         # ---- best-of-N under the COMPLETE constraint error
-        samples = jax.vmap(
-            lambda kk: walk_mod.sample_node_latent(kk, g, state.node_id))(
-                jax.random.split(k_s, n_samples))
+        samples = walk_mod.sample_node_latents(k_s, g, state.node_id,
+                                               n_samples)
         if pallas_selection:
             # fused VMEM-resident scoring (ops/pallas_kernels.py): ranks the
             # candidates; the winner is re-scored through the exact XLA

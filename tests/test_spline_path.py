@@ -146,7 +146,8 @@ def test_closest_points_advancing_matches_sequential():
     _, arcs_b, d_b = spline_path.closest_points_advancing(sp, q, 0.0)
     cell = float(np.asarray(sp.full_arc_length)) / (sp.table_arc.shape[0] - 1)
     assert float(jnp.max(jnp.abs(arcs_seq - arcs_b))) < 2 * cell
-    np.testing.assert_allclose(np.asarray(d_seq), np.asarray(d_b), atol=1e-3)
+    # parabolic sub-cell refinement vs the 8-iteration ternary loop
+    np.testing.assert_allclose(np.asarray(d_seq), np.asarray(d_b), atol=1e-2)
 
 
 def test_closest_points_advancing_monotone_arcs():
