@@ -36,7 +36,7 @@ import numpy as np
 from flax import struct
 
 from ..models.primitive import MotionPrimitive, back_project_spatial
-from ..models.skeleton import Skeleton, fk_global, fk_root
+from ..models.skeleton import Skeleton, fk_global, fk_node, fk_root
 from ..ops import align, bspline, quat, spline_path
 
 MAX_KF = 8  # padded keyframe-constraint slots per step
@@ -227,11 +227,13 @@ def aligned_coeffs(prim: MotionPrimitive, s: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("use_traj", "use_ca", "use_ts"))
+                   static_argnames=("use_traj", "use_ca", "use_ts",
+                                    "chain_fk"))
 def evaluate_residuals(skeleton: Skeleton, prim: MotionPrimitive,
                        sc: StepConstraints, s: jax.Array,
                        use_traj: bool = True, use_ca: bool = True,
-                       use_ts: bool = False) -> jax.Array:
+                       use_ts: bool = False,
+                       chain_fk: bool = False) -> jax.Array:
     """Residual vector [N_RESIDUALS] of weighted errors; inactive slots are
     0 (reference pads likewise, objective_functions.py:233-236).
     use_traj/use_ca/use_ts=False compile out the respective sampled-frame
@@ -240,14 +242,15 @@ def evaluate_residuals(skeleton: Skeleton, prim: MotionPrimitive,
     coeffs = aligned_coeffs(prim, s, sc)
     return residuals_from_coeffs(skeleton, prim.knots_s, sc, coeffs,
                                  use_traj=use_traj, use_ca=use_ca,
-                                 use_ts=use_ts)
+                                 use_ts=use_ts, chain_fk=chain_fk)
 
 
 def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
                           sc: StepConstraints, coeffs: jax.Array,
                           use_traj: bool = True, use_ca: bool = True,
                           use_ts: bool = False,
-                          root_only: bool = False) -> jax.Array:
+                          root_only: bool = False,
+                          chain_fk: bool = False) -> jax.Array:
     """Residuals given already-aligned coefficients + the node's spatial
     knot vector (used by the global multi-step optimizer where alignment
     chains across steps, and by the stacked-graph flagship where the knots
@@ -262,7 +265,22 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
     transform broadcast over nodes — valid ONLY when every active slot
     references the root joint (locomotion family; check with
     `step_scs_root_only`).  Non-root residual slots then read root values,
-    which is harmless because they are inactive (masked to 0) by contract."""
+    which is harmless because they are inactive (masked to 0) by contract.
+
+    chain_fk=True (static) resolves each query through `fk_node` — an
+    ancestor-chain FK of O(depth) gathered quaternion ops per queried joint
+    — instead of the full-skeleton `fk_global` pass over every query frame
+    (the transition-pose constraint, which genuinely reads all nodes at one
+    frame, still runs full FK on that frame).  Measured on v5e-1 at
+    reference scale (19 joints, non-root end-effector keyframe active) the
+    chain variant ties the dense pass for plain candidate scoring (22.1 vs
+    23.6 ms / 8192 candidates) but loses 3.5x inside the LM loop (299 vs
+    87 ms / 1024x3-iter refinements): under jax.linearize each tangent pass
+    repeats the per-depth gathers, and many small gathers lose to one big
+    regular FK on the VPU.  Dense therefore stays the default; the chain
+    path is kept as the measured counterfactual and for oracle
+    cross-checking (same math, same composition order — results agree to
+    fusion-level rounding)."""
 
     # ---- fused frame evaluation: stack every family's query times --------
     # layout: [kf(8) | dir(1) | la(1) | rt(1) | jr(1) | t_lin(16)?]
@@ -304,7 +322,7 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
             sl = rp[t]
             return jnp.broadcast_to(sl[..., None, :],
                                     sl.shape[:-1] + (skeleton.n_nodes, 3))
-    else:
+    elif not chain_fk:
         pos_all, ori_all = fk_global(skeleton, frames_all)  # [T+1, nodes, 3/4]
 
         def pos_at(t, node):
@@ -315,6 +333,36 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
 
         def pos_nodes(t):
             return pos_all[t]
+    else:
+        # chain FK per query: O(depth) ops for the handful of queried
+        # joints instead of a full-skeleton pass over every query frame.
+        # pos_at/ori_at pairs at the same (t, node) arguments share one
+        # chain via an identity-keyed cache (the cache holds the argument
+        # references, so `is` comparison is sound; relying on XLA CSE under
+        # jax.linearize proved unreliable).
+        _fk_cache = []
+
+        def _at(t, node):
+            for t0, n0, res in _fk_cache:
+                if t0 is t and n0 is node:
+                    return res
+            shape = jnp.broadcast_shapes(jnp.shape(t), jnp.shape(node))
+            t_b = jnp.broadcast_to(t, shape)
+            n_b = jnp.broadcast_to(node, shape)
+            res = fk_node(skeleton, frames_all[t_b], n_b)
+            _fk_cache.append((t, node, res))
+            return res
+
+        def pos_at(t, node):
+            return _at(t, node)[0]
+
+        def ori_at(t, node):
+            return _at(t, node)[1]
+
+        def pos_nodes(t):
+            # only the transition-pose constraint reads every node, at one
+            # frame — full FK on just that frame
+            return fk_global(skeleton, frames_all[t])[0]
 
     # ---- keyframe constraints
     idx = jnp.arange(MAX_KF)

@@ -462,6 +462,83 @@ def fk_positions(skel: Skeleton, frames: jax.Array) -> jax.Array:
     return fk_global(skel, frames)[0]
 
 
+@functools.lru_cache(maxsize=None)
+def _chain_tables(skel: Skeleton):
+    """Per-node ancestor chains for single-node FK.
+
+    Returns (chain [n_nodes, depth] int32 — ancestors root-first, -1-padded
+    after the node itself — and the static max depth).  Host-side; depends
+    only on the static topology."""
+    chains = []
+    for i in range(skel.n_nodes):
+        chain = []
+        j = i
+        while j >= 0:
+            chain.append(j)
+            j = skel.parents[j]
+        chains.append(chain[::-1])
+    depth = max(len(c) for c in chains)
+    tbl = np.full((skel.n_nodes, depth), -1, np.int32)
+    for i, c in enumerate(chains):
+        tbl[i, : len(c)] = c
+    return tbl, depth
+
+
+def fk_node(skel: Skeleton, frames: jax.Array, node: jax.Array):
+    """Global transform of ONE (traced) node via its ancestor chain.
+
+    frames: [..., 3 + 4J] quaternion frames; node: int array — frames'
+    batch shape and node's shape broadcast jointly (e.g. frames [T, 1, F] x
+    node [1, N] -> [T, N]).  Returns (pos [..., 3], ori [..., 4]).
+
+    Cost is O(chain depth) gathered quaternion ops instead of fk_global's
+    O(n_nodes) full-skeleton pass — the difference between ~6 and ~25
+    rotate/multiply pairs per query.  Useful for sparse one-off joint
+    queries; as the FK backend of batched constraint evaluation it MEASURES
+    WORSE than the dense pass on TPU (see
+    constraints/compiled.residuals_from_coeffs `chain_fk` — ties for plain
+    scoring, 3.5x slower under LM tangents, where many small gathers lose
+    to one big regular FK).  The chain composes local transforms in
+    fk_global's order — results agree to fusion-level rounding (XLA may
+    contract FMAs differently between the two programs).
+    """
+    anim_idx = np.asarray(_fk_tables(skel), np.int32)
+    tbl, depth = _chain_tables(skel)
+    n_anim = skel.n_animated
+    node = jnp.asarray(node, jnp.int32)
+    batch = jnp.broadcast_shapes(frames.shape[:-1], node.shape)
+    frames = jnp.broadcast_to(frames, batch + frames.shape[-1:])
+
+    quats = frames[..., 3:].reshape(batch + (n_anim, 4))
+    identity = jnp.broadcast_to(
+        jnp.array([1.0, 0.0, 0.0, 0.0], frames.dtype), batch + (1, 4))
+    quats_p = jnp.concatenate([quats, identity], axis=-2)  # [-1] = identity
+    # per-node index into quats_p (n_anim = the identity row)
+    q_of_node = jnp.asarray(np.where(anim_idx >= 0, anim_idx, n_anim))
+    offsets = jnp.asarray(skel.offsets)
+
+    node = jnp.broadcast_to(node, batch)
+    chain = jnp.asarray(tbl)[node]  # [..., depth]
+
+    def local_q(nd):  # nd [...] -> [..., 4]
+        gi = q_of_node[nd]
+        return jnp.take_along_axis(quats_p, gi[..., None, None],
+                                   axis=-2)[..., 0, :]
+
+    # chain[..., 0] is always the root
+    pos = offsets[0] + frames[..., :3]
+    ori = local_q(jnp.zeros_like(node))
+    for d in range(1, depth):
+        nd = chain[..., d]
+        valid = (nd >= 0)[..., None]
+        nd_safe = jnp.maximum(nd, 0)
+        off = offsets[nd_safe]
+        lq = local_q(nd_safe)
+        pos = jnp.where(valid, pos + quat.rotate_vec(ori, off), pos)
+        ori = jnp.where(valid, quat.multiply(ori, lq), ori)
+    return pos, ori
+
+
 def fk_root(skel: Skeleton, frames: jax.Array):
     """Global transform of the ROOT node only — no kinematic chain.
 

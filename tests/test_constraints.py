@@ -287,3 +287,41 @@ def test_deferred_locomotion_fill_matches_eager_build(setup):
         np.testing.assert_allclose(
             np.asarray(getattr(filled, field)),
             np.asarray(getattr(eager, field)), atol=2e-3, err_msg=field)
+
+
+def test_chain_fk_residuals_match_dense(setup):
+    """The opt-in chain-FK query path matches the dense full-skeleton FK
+    path (the default) for every constraint family, incl. non-root joints."""
+    from morphablegraphs_tpu.ops import spline_path
+
+    graph, skel, prim = setup
+    rng = np.random.default_rng(7)
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    last = float(prim.n_canonical_frames - 1)
+    # non-root end effector + orientation
+    sc = compiled.set_keyframe_constraint(
+        sc, 0, skel, "Head", last, position=np.array([5.0, 120.0, 10.0]),
+        quat_wxyz=np.array([0.9238795, 0.0, 0.3826834, 0.0]))
+    sc = compiled.set_keyframe_constraint(
+        sc, 1, skel, "Leg", 0.0, position=np.array([0.0, np.nan, 3.0]))
+    sc = compiled.set_direction_constraint(sc, [0.3, 1.0], last)
+    sc = compiled.set_look_at_constraint(sc, skel, "Head", [50.0, 100.0, 80.0],
+                                         last / 2)
+    sc = compiled.set_relative_transform_constraint(
+        sc, skel, "Head", "Spine", [1.0, 2.0, 3.0], last / 3)
+    sc = compiled.set_joint_rotation_constraint(
+        sc, skel, "Spine", [1.0, 0, 0, 0], last)
+    traj = spline_path.build(
+        np.array([[0.0, 0, 0], [5.0, 0, 30], [0.0, 0, 60]], np.float32))
+    sc = compiled.set_trajectory_constraint(sc, skel, traj, "Hips")
+    sc = compiled.set_ca_constraint(sc, skel, "Leg", [30.0, 0.0, 30.0],
+                                    slot=1)
+
+    for _ in range(3):
+        s = rng.normal(size=prim.n_latent).astype(np.float32)
+        r_chain = np.asarray(compiled.evaluate_residuals(
+            skel, prim, sc, jnp.asarray(s), chain_fk=True))
+        r_dense = np.asarray(compiled.evaluate_residuals(
+            skel, prim, sc, jnp.asarray(s)))
+        assert np.any(r_chain != 0.0)
+        np.testing.assert_allclose(r_chain, r_dense, atol=1e-3, rtol=1e-4)

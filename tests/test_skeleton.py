@@ -129,3 +129,39 @@ def test_depth_joint_weights():
             p = skel.parents[p]
         if p >= 0:
             assert by_name[name] <= by_name[skel.node_names[p]]
+
+
+def test_fk_node_matches_fk_global():
+    """Chain FK (fk_node) composes local transforms in fk_global's order —
+    results match the full-skeleton pass to fusion-level rounding."""
+    from morphablegraphs_tpu.utils.synthetic import REF_BVH
+    rng = np.random.default_rng(3)
+    for bvh in (TEST_BVH, REF_BVH):
+        skel, _ = sk.load_bvh(bvh)
+        frames = np.zeros((6, skel.n_frame_params), np.float32)
+        frames[:, :3] = rng.normal(scale=50.0, size=(6, 3))
+        q = rng.normal(size=(6, skel.n_animated, 4))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        frames[:, 3:] = q.reshape(6, -1).astype(np.float32)
+        pos_all, ori_all = sk.fk_global(skel, jnp.asarray(frames))
+        pos_all, ori_all = np.asarray(pos_all), np.asarray(ori_all)
+        nodes = np.arange(skel.n_nodes, dtype=np.int32)
+        # batched over frames x nodes via joint broadcasting
+        p, o = sk.fk_node(skel, jnp.asarray(frames)[:, None, :],
+                          jnp.asarray(nodes)[None, :])
+        np.testing.assert_allclose(np.asarray(p), pos_all,
+                                   atol=1e-3, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(o), ori_all,
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_fk_node_scalar_query():
+    skel, euler = sk.load_bvh(TEST_BVH)
+    qf = sk.bvh_to_quat_frames(skel, euler)
+    n = skel.index_of("Head")
+    p, q = sk.fk_node(skel, jnp.asarray(qf[0]), jnp.asarray(n))
+    pos_all, ori_all = sk.fk_global(skel, jnp.asarray(qf[0]))
+    np.testing.assert_allclose(np.asarray(p), np.asarray(pos_all)[n],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(ori_all)[n],
+                               atol=1e-5)
