@@ -18,7 +18,12 @@ Also reports an estimated-FLOPs roofline line on stderr (XLA cost analysis
 of the compiled crowd program vs the chip's nominal peak).
 
 Set MG_BENCH_CONFIG=toy for the round-1 smoke config (4-joint model,
-boundary-row-only scoring — kept for regression comparison).
+boundary-row-only scoring — kept for regression comparison), or
+MG_BENCH_CONFIG=ee for the end-effector variant: every step additionally
+carries a non-root RightHand keyframe constraint, so candidate scoring and
+the (always-triggered) LM refinement run the full per-joint FK chain — the
+heaviest constraint semantics the reference's pick/place actions exercise
+(reference motion_primitive_constraints_builder.py:218-230).
 """
 
 import json
@@ -80,12 +85,29 @@ def main():
     paths = cw.stack_paths([rand_path(rng, spline_path)
                             for _ in range(n_chars)])
     start_ids = jnp.full((n_chars,), start_id, jnp.int32)
-    step_scs = cw.default_step_scs(skel, n_steps)
+    if config == "ee":
+        # a RightHand end-effector keyframe on EVERY step (kf slots 0/1 are
+        # the locomotion goals; user slots start at 2): forces the full FK
+        # chain into candidate scoring and every LM tangent, and the large
+        # world-space error keeps the lax.cond LM gate always on
+        from morphablegraphs_tpu.constraints import compiled as cmp
+        base = cmp.empty_step_constraints(skel, 0)
+        base = cmp.set_keyframe_constraint(
+            base, 2, skel, "RightHand", 129.0,
+            position=np.array([20.0, 110.0, 80.0], np.float32))
+        step_scs = jax.tree.map(
+            lambda x: np.broadcast_to(np.asarray(x),
+                                      (n_steps,) + np.shape(x)), base)
+    else:
+        step_scs = cw.default_step_scs(skel, n_steps)
 
     # the fused Pallas selection kernel (10.1x the XLA candidate scoring at
     # 10k candidates, measured on v5e-1) is the default on TPU; CPU runs and
-    # the toy config keep the XLA path
-    use_pallas = jax.default_backend() == "tpu" and config != "toy"
+    # the toy config keep the XLA path.  The ee config also keeps XLA
+    # selection: the kernel covers the locomotion family only, and the hand
+    # keyframe must participate in selection, not just refinement.
+    use_pallas = (jax.default_backend() == "tpu"
+                  and config not in ("toy", "ee"))
     if use_pallas:
         n_samples = 128  # lane-width multiple; scoring 128 costs the same
 

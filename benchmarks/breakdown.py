@@ -7,6 +7,7 @@ kernel.  Each variant AOT-compiles once (~2 min on the tunnel TPU) — run in
 the background.
 """
 
+import os
 import sys
 import time
 
@@ -15,8 +16,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
 
 
 def main():

@@ -466,9 +466,13 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
             in_axes=(0, 1), out_axes=(1, 1))(
                 jnp.arange(MAX_TS_JOINTS), arcs_ts)  # [S, J, 3], [S, J]
         active = (arcs_ts <= full_arcs).astype(pos_ts.dtype) * sc.ts_joint_mask
-        w = sc.ts_joint_mask / jnp.maximum(jnp.sum(sc.ts_joint_mask), 1e-6)
-        actual_c = jnp.sum(pos_ts * w[None, :, None], axis=1)  # [S, 3]
-        target_c = jnp.sum(targets * w[None, :, None], axis=1)
+        # a joint whose advancing arc has run off the end of its own spline
+        # drops out of BOTH centroids (reference pops it from the joint set,
+        # trajectory_set_constraint.py:95-100) — per-sample weights from the
+        # active mask, not the static joint mask
+        w = active / jnp.maximum(jnp.sum(active, axis=1, keepdims=True), 1e-6)
+        actual_c = jnp.sum(pos_ts * w[..., None], axis=1)  # [S, 3]
+        target_c = jnp.sum(targets * w[..., None], axis=1)
         diff_ts = actual_c - target_c
         d_ts = jnp.sqrt(jnp.sum(diff_ts * diff_ts, axis=-1) + 1e-12)
         any_active = (jnp.sum(active, axis=1) > 0).astype(d_ts.dtype)
@@ -508,6 +512,33 @@ def step_scs_root_only(step_scs, root_node: int = 0) -> bool:
                 or any_active(step_scs.ts_active))
 
 
+def step_scs_locomotion_only(step_scs) -> bool:
+    """Host-side check: True when a (numpy-leaf) StepConstraints pytree
+    carries NO user constraint slots beyond the locomotion family — i.e.
+    keyframe slots 2+ (0/1 are the walk's own goal/half-step slots), and
+    every non-locomotion family, are inactive.  The fused Pallas selection
+    kernel scores exactly the locomotion family; ranking candidates while
+    silently ignoring user slots would systematically pick
+    constraint-violating winners, so callers must verify this before
+    enabling `pallas_selection`."""
+
+    def any_active(a):
+        return bool(np.any(np.asarray(a) > 0))
+
+    kf_act = np.asarray(step_scs.kf_active) > 0
+    if kf_act.ndim == 1:
+        user_kf = kf_act[2:]
+    else:  # stacked [n_steps, K]
+        user_kf = kf_act[:, 2:]
+    return not (bool(np.any(user_kf))
+                or any_active(step_scs.la_active)
+                or any_active(step_scs.rt_active)
+                or any_active(step_scs.jr_active)
+                or any_active(step_scs.pose_active)
+                or any_active(step_scs.ca_active)
+                or any_active(step_scs.ts_active))
+
+
 def active_mask(sc: StepConstraints) -> jax.Array:
     """0/1 mask over the residual vector marking active constraint slots
     (reference pads residuals likewise, objective_functions.py:233-236)."""
@@ -517,6 +548,26 @@ def active_mask(sc: StepConstraints) -> jax.Array:
                             sc.la_active[None], sc.rt_active[None],
                             sc.jr_active[None], sc.pose_active[None],
                             sc.ca_active, traj_mask, ts_mask])
+
+
+def static_family_gate(use_traj: bool = True, use_ca: bool = True,
+                       use_ts: bool = False) -> np.ndarray:
+    """Host-side 0/1 gate over the residual layout for families compiled
+    OUT of `residuals_from_coeffs` by the static use_* flags.
+
+    Multiply `active_mask(sc)` by this wherever the mask feeds an LM
+    residual vector: a family whose residuals are compiled out must not
+    keep its mask slots on, or each such slot degenerates to
+    quality_scale * nll and the naturalness term gets counted once per
+    masked-but-unevaluated slot."""
+    gate = np.ones(N_RESIDUALS, np.float32)
+    if not use_ca:
+        gate[_OFF_CA:_OFF_TRAJ] = 0.0
+    if not use_traj:
+        gate[_OFF_TRAJ:_OFF_TS] = 0.0
+    if not use_ts:
+        gate[_OFF_TS:] = 0.0
+    return gate
 
 
 def error_from_residuals(res: jax.Array) -> jax.Array:

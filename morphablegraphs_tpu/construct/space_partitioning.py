@@ -294,13 +294,24 @@ def load_reference_pickle_tree(payload: bytes) -> ClusterTree:
 
     # _codecs.encode reconstructs the raw byte payload of numpy arrays in
     # protocol-2 pickles (the protocol the reference saves with)
-    _ALLOWED_MODULE_PREFIXES = ("numpy", "collections", "builtins", "_codecs")
+    _ALLOWED_MODULE_PREFIXES = ("numpy", "collections", "_codecs")
+    # builtins must NOT be blanket-allowed (builtins.eval/exec/getattr would
+    # hand a crafted pickle arbitrary code execution); only the benign
+    # constructors that legitimately appear in the reference's tree pickles
+    _ALLOWED_BUILTINS = frozenset(
+        {"object", "list", "dict", "tuple", "set", "frozenset", "slice",
+         "complex", "bytearray", "range"})
 
     class _RestrictedUnpickler(pickle.Unpickler):
         def find_class(self, module, name):
             if ("morphablegraphs" in module or "space_partitioning" in module
                     or "kdtree" in module or "cluster_tree" in module):
                 return _stub_class(module, name)
+            if module == "builtins":
+                if name in _ALLOWED_BUILTINS:
+                    return super().find_class(module, name)
+                raise pickle.UnpicklingError(
+                    f"refusing to unpickle builtins.{name} from cluster tree")
             if module.split(".")[0] in _ALLOWED_MODULE_PREFIXES:
                 return super().find_class(module, name)
             raise pickle.UnpicklingError(
@@ -326,7 +337,11 @@ def load_reference_pickle_tree(payload: bytes) -> ClusterTree:
 
     def convert(node) -> TreeNode:
         if hasattr(node, "kdtree"):  # KDTreeWrapper leaf
-            pts = getattr(node.kdtree, "data", None) or []
+            # data may be a list OR a numpy array (truthiness of a
+            # multi-row array raises) — explicit None/size handling
+            pts = getattr(node.kdtree, "data", None)
+            if pts is None or len(pts) == 0:
+                pts = []
             indices = match_points(pts)
             mean = (data[indices].mean(axis=0) if len(indices)
                     else np.zeros(data.shape[1]))

@@ -259,8 +259,9 @@ def default_step_scs(skeleton, n_steps: int):
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("n_steps", "max_step_frames", "n_samples",
                                     "window", "lm_iters", "use_traj",
-                                    "use_ca", "use_half", "root_node",
-                                    "pallas_selection", "root_only"))
+                                    "use_ca", "use_ts", "use_half",
+                                    "root_node", "pallas_selection",
+                                    "root_only"))
 def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                           path: spline_path.PathSpline, start_id: jax.Array,
                           n_steps: int, step_scs=None,
@@ -273,7 +274,8 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                           end_threshold: float = 20.0,
                           pos_weight: float = 1.0, dir_weight: float = 0.8,
                           traj_weight: float = 1.0, use_traj: bool = True,
-                          use_ca: bool = False, use_half: bool = False,
+                          use_ca: bool = False, use_ts: bool = False,
+                          use_half: bool = False,
                           root_node: int = 0,
                           pallas_selection: bool = False,
                           root_only: bool = False):
@@ -320,11 +322,17 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
 
     if pallas_selection:
         # the fused selection kernel covers exactly the locomotion family
-        # (root goal keyframe + direction + root trajectory); extra user
-        # slots in step_scs would be silently ignored by it
+        # (root goal keyframe + direction + root trajectory); callers must
+        # verify step_scs carries no user slots BEFORE enabling it
+        # (compiled.step_scs_locomotion_only — checked host-side in
+        # constrained_walk_full_crowd; step_scs is traced here, so only the
+        # static flags are checkable at this level)
         from ..ops import pallas_kernels as pk
         assert n_samples % pk.N_BLK == 0, (
             f"pallas_selection needs n_samples % {pk.N_BLK} == 0")
+        assert not use_half, (
+            "pallas_selection scores the locomotion goal only; the "
+            "half-step keyframe slot would be ignored during ranking")
         path_table = pk.pack_path_table(path)  # constant across scan steps
 
     init = FullWalkState(
@@ -393,11 +401,12 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
             best = jnp.argmin(errors)
             s = samples[best]
             err = stacked_error(skeleton, g, state.node_id, sc, s,
-                                use_traj, use_ca, root_only=root_only)
+                                use_traj, use_ca, use_ts,
+                                root_only=root_only)
         else:
             errors = jax.vmap(lambda sv: stacked_error(
                 skeleton, g, state.node_id, sc, sv, use_traj, use_ca,
-                root_only=root_only))(samples)
+                use_ts, root_only=root_only))(samples)
             best = jnp.argmin(errors)
             s = samples[best]
             err = errors[best]
@@ -405,11 +414,19 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
         # ---- gated LM refinement (reference leastsq semantics)
         if lm_iters > 0:
             gmm = node_gmm(g, state.node_id)
-            act = compiled.active_mask(sc)
+            # gate the active mask by the STATIC use_* flags: families
+            # compiled out of the residual vector must not keep their mask
+            # slots on, or each such slot degenerates to quality_scale*nll
+            # and the naturalness term is counted up to 20x (one per
+            # masked-but-unevaluated slot)
+            act = compiled.active_mask(sc) * jnp.asarray(
+                compiled.static_family_gate(use_traj=use_traj, use_ca=use_ca,
+                                            use_ts=use_ts))
 
             def residuals(sv):
                 r = stacked_residuals(skeleton, g, state.node_id, sc, sv,
-                                      use_traj, use_ca, root_only=root_only)
+                                      use_traj, use_ca, use_ts,
+                                      root_only=root_only)
                 nll = -gmm_ops.log_prob(gmm, sv)
                 return act * (error_scale * r + quality_scale * nll)
 
@@ -417,7 +434,8 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                 s0, e0 = args
                 s_opt, _ = lm_ops.lm_minimize(residuals, s0, lm_iters)
                 e_opt = stacked_error(skeleton, g, state.node_id, sc, s_opt,
-                                      use_traj, use_ca, root_only=root_only)
+                                      use_traj, use_ca, use_ts,
+                                      root_only=root_only)
                 better = e_opt < e0
                 return jnp.where(better, s_opt, s0), jnp.minimum(e0, e_opt)
 
@@ -466,6 +484,12 @@ def constrained_walk_full_crowd(skeleton, key: jax.Array, g: StackedGraph,
     start_ids = jnp.broadcast_to(jnp.asarray(start_id, jnp.int32), (n_chars,))
     if kw.get("step_scs") is None:
         kw["step_scs"] = default_step_scs(skeleton, n_steps)
+    if kw.get("pallas_selection"):
+        from ..constraints import compiled
+        assert compiled.step_scs_locomotion_only(kw["step_scs"]), (
+            "pallas_selection ranks candidates on the locomotion family "
+            "only; step_scs carries user constraint slots that would be "
+            "ignored — use the XLA selection path for this workload")
     # n_steps as a keyword: jit static_argnames only binds keyword args
     return jax.vmap(lambda k, p, s: constrained_walk_full(
         skeleton, k, g, p, s, n_steps=n_steps, **kw))(keys, paths, start_ids)

@@ -65,7 +65,8 @@ def refine_lm(skeleton: Skeleton, prim: MotionPrimitive,
 
     Returns (s_opt, final_constraint_error).
     """
-    active = _active_mask(sc)
+    active = _active_mask(sc) * jnp.asarray(compiled.static_family_gate(
+        use_traj=use_traj, use_ca=use_ca, use_ts=use_ts))
 
     def residuals(s):
         res = compiled.evaluate_residuals(skeleton, prim, sc, s,

@@ -54,7 +54,10 @@ def _chain_residuals(skeleton: Skeleton, prims: List[MotionPrimitive],
         res = compiled.residuals_from_coeffs(skeleton, prim.knots_s, sc, aligned)
         s_full = jnp.concatenate([alpha, gammas[i]])
         nll = -gmm_ops.log_prob(prim.gmm, s_full)
-        active = compiled.active_mask(sc)
+        # gate families compiled out by the (default) use_* flags of the
+        # residuals call above, so no mask slot degenerates to pure nll
+        active = compiled.active_mask(sc) * jnp.asarray(
+            compiled.static_family_gate())
         all_res.append(active * (res + quality_scale * nll))
         prev_last = aligned[-1]
     return jnp.concatenate(all_res)

@@ -115,6 +115,9 @@ class MGStatePlanner:
                                         self.settings.blend_window,
                                         self.settings.buffer_size)
         self.key = jax.random.PRNGKey(seed)
+        # host-side rng for cheap scalar noise (walk jitter): seeded with
+        # the same seed so planner runs are reproducible end to end
+        self._np_rng = np.random.default_rng(seed)
         self.stop_thread = False
         self._thread: Optional[threading.Thread] = None
 
@@ -258,7 +261,8 @@ class MGStatePlanner:
             q_y, delta = align.node_aligning_2d_transform(
                 jnp.asarray(pose_buffer[-1], jnp.float32),
                 jnp.asarray(frames[0]))
-            q_inv = np.asarray(quat_conj(np.asarray(q_y)))
+            from ..ops import quat as quat_ops
+            q_inv = np.asarray(quat_ops.conjugate(q_y), np.float32)
         else:
             q_inv = np.array([1.0, 0, 0, 0], np.float32)
             delta = jnp.zeros(3)
@@ -448,7 +452,10 @@ class MGStatePlanner:
             step_distance = min(distance, s.max_step_length)
         step_distance = max(0.0, step_distance)
         if direction is not None and add_noise:
-            noise = np.random.rand(3) * s.walk_noise_eps
+            # seeded + zero-centered: uniform [0, eps) from the global
+            # np.random both broke determinism and biased long noisy walks
+            # toward +x/+z
+            noise = self._np_rng.uniform(-0.5, 0.5, 3) * s.walk_noise_eps
             noise[1] = 0.0
             direction = np.asarray(direction, np.float64) + noise
         path_state["distance"] = distance
@@ -550,11 +557,15 @@ class MGStatePlanner:
                     and self._path_blocked(cur, cur + np.asarray(direction)
                                            * step_distance)):
                 # abort the segment on a boundary hit (reference :592-604
-                # clears the remaining control points and drops the state)
-                self.state_queue.pop_last_state()
-                last = self.state_queue.get_last_state()
-                if last is not None:
-                    pose_buffer = last.pose_buffer
+                # clears the remaining control points and drops the state).
+                # Only pop a state THIS loop generated — on a first-step
+                # block the newest queued state belongs to the previous
+                # action (or is the idle state) and must survive.
+                if steps > 0:
+                    self.state_queue.pop_last_state()
+                    last = self.state_queue.get_last_state()
+                    if last is not None:
+                        pose_buffer = last.pose_buffer
                 break
             reached_soon = (len(control_points) <= 1 and
                             path_state["distance"]
@@ -657,11 +668,6 @@ class MGStatePlanner:
 
 def _pad(n: int, multiple: int = 32) -> int:
     return ((n + multiple - 1) // multiple) * multiple
-
-
-def quat_conj(q):
-    q = np.asarray(q, np.float32)
-    return np.array([q[0], -q[1], -q[2], -q[3]], np.float32)
 
 
 def _ccd_chain(skel, joint_name: str, max_len: int = 3) -> tuple:

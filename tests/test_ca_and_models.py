@@ -204,3 +204,65 @@ def test_shipped_config_presets_load():
     with open(os.path.join(root, "space_partitioning.json")) as f:
         sp = json.load(f)
     assert sp["n_subdivisions_per_level"] == 4
+
+
+def test_trajectory_set_exhausted_joint_drops_out(setup):
+    """A joint whose advancing arc runs off the end of its own spline drops
+    out of BOTH centroids (reference trajectory_set_constraint.py:95-100) —
+    late-sample residuals must not be pulled toward its stale endpoint."""
+    from morphablegraphs_tpu.ops import bspline, spline_path
+
+    g, skel = setup
+    prim = g.nodes[("walk", "leftStance")].primitive
+    s = jnp.zeros(prim.n_latent)
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    coeffs = np.asarray(compiled.aligned_coeffs(prim, s, sc))
+    t = np.linspace(0, prim.n_canonical_frames - 1, compiled.TRAJ_SAMPLES)
+    frames = np.asarray(bspline.evaluate(jnp.asarray(coeffs), prim.knots_s,
+                                         jnp.asarray(t)))
+    pos = np.asarray(sk.fk_positions(skel, jnp.asarray(frames)))
+    hips = pos[:, skel.index_of("Hips")]
+    head = pos[:, skel.index_of("Head")]
+    # Hips follow their own full path; Head gets a SHORT spline (first 3
+    # samples only) displaced far sideways -> its arc exhausts early
+    trajs = [spline_path.build(hips, max_points=32),
+             spline_path.build(head[:3] + np.array([200.0, 0, 0]),
+                               max_points=32)]
+    sc_ts = compiled.set_trajectory_set_constraint(
+        sc, skel, ["Hips", "Head"], trajs)
+    res = np.asarray(compiled.evaluate_residuals(skel, prim, sc_ts, s,
+                                                 use_ts=True))
+    ts = res[compiled._OFF_TS:]
+    # early samples: Head active and displaced -> centroid error ~100
+    assert ts[0] > 50.0, ts
+    # late samples: Head exhausted, dropped -> Hips-only error, small
+    assert ts[-1] < 20.0, ts
+
+
+def test_lm_family_gate_neutralizes_compiled_out_slots(setup):
+    """Residual families compiled out by use_* flags must not keep their
+    active-mask slots on in the LM objective (each such slot degenerates to
+    quality_scale * nll, over-weighting naturalness ~20x)."""
+    from morphablegraphs_tpu.synthesis import generator
+
+    g, skel = setup
+    prim = g.nodes[("walk", "leftStance")].primitive
+    rng = np.random.default_rng(1)
+    s0 = jnp.asarray(rng.normal(size=prim.n_latent).astype(np.float32))
+    last = float(prim.n_canonical_frames - 1)
+    base = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    base = compiled.set_keyframe_constraint(
+        base, 0, skel, "Hips", last, position=np.array([5.0, np.nan, 20.0]))
+    # CA slot set but evaluated with use_ca=False
+    sc_ca = compiled.set_ca_constraint(base, skel, "Head", [50.0, 0, 50.0])
+    s_a, e_a = generator.refine_lm(skel, prim, sc_ca, s0, n_iters=4,
+                                   use_ca=False)
+    s_b, e_b = generator.refine_lm(skel, prim, base, s0, n_iters=4,
+                                   use_ca=False)
+    # gated: the phantom CA slot contributes nothing -> identical optimum
+    np.testing.assert_allclose(np.asarray(s_a), np.asarray(s_b),
+                               atol=1e-5, rtol=1e-5)
+    gate = compiled.static_family_gate(use_ca=False, use_ts=False)
+    assert gate[compiled._OFF_CA:compiled._OFF_TRAJ].sum() == 0
+    assert gate[compiled._OFF_TS:].sum() == 0
+    assert gate[:compiled._OFF_CA].sum() == compiled._OFF_CA

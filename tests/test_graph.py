@@ -309,6 +309,16 @@ def test_pickle_cluster_tree_rejects_foreign_classes():
         raised = True
     assert raised
 
+    # builtins gadgets (eval/exec/getattr) must be refused too — a blanket
+    # builtins allowlist would be arbitrary code execution
+    for gadget in (eval, exec, getattr, __import__):
+        try:
+            load_reference_pickle_tree(pickle.dumps({"g": gadget}))
+            raised = False
+        except Exception:
+            raised = True
+        assert raised, f"unpickler accepted builtins gadget {gadget}"
+
 
 def test_zip_roundtrip_v1_v3_and_underscore_names(tmp_path):
     """Review fixes: v1 layout parses; v3 packages keep their skeleton;
