@@ -120,6 +120,12 @@ def main():
     else:
         from morphablegraphs_tpu.constraints import compiled
         root_only = compiled.step_scs_root_only(step_scs)
+        # frozen-correspondence LM (root-only fast path): the advancing
+        # closest-point scan runs once per LM iteration instead of once per
+        # jacobian tangent; MG_BENCH_LM_FROZEN=1 opts in (off until the
+        # TPU-measured win is recorded)
+        lm_frozen = (root_only
+                     and os.environ.get("MG_BENCH_LM_FROZEN", "0") == "1")
 
         @jax.jit
         def crowd(g, keys, sids):
@@ -128,7 +134,7 @@ def main():
                 max_step_frames=160, n_samples=n_samples,
                 lm_iters=3, lm_threshold=5.0,
                 pallas_selection=use_pallas,
-                root_only=root_only))(keys, paths, sids)
+                root_only=root_only, lm_frozen=lm_frozen))(keys, paths, sids)
 
     keys = jax.random.split(jax.random.PRNGKey(0), n_chars)
     # AOT: ONE compile serves both the cost analysis and the timed runs

@@ -614,6 +614,142 @@ class LocoSpec(struct.PyTreeNode):
     dir_weight: jax.Array  # f32
 
 
+def make_frozen_root_residuals(skeleton: Skeleton, knots_s: jax.Array,
+                               sc: StepConstraints, eigen_s: jax.Array,
+                               mean_s: jax.Array, n_basis: int, n_dim: int,
+                               k_s: int, use_traj: bool = True,
+                               use_ca: bool = False):
+    """Frozen-correspondence residual factory for the root-only LM fast path.
+
+    Returns make(s_freeze) -> residual_fn where residual_fn(s) evaluates the
+    full residual layout with the trajectory closest-point correspondences
+    FROZEN at s_freeze (ICP-style).  The advancing closest-point search is a
+    16-step sequential scan — by far the most expensive part of a residual
+    evaluation — and under the exact LM it re-runs once per jacobian tangent
+    plus the accept probe (~30x per iteration).  Freezing it leaves: an
+    affine map to the query frames (basis x eigenvectors precomputed ONCE
+    per step as [T, D, k]), the cheap differentiable 2D alignment (exact —
+    NOT frozen; freezing it measurably degraded converged error), and tiny
+    residual heads.
+
+    Exactness: at s == s_freeze the residuals equal
+    `residuals_from_coeffs(..., root_only=True)` to fusion-level rounding —
+    same formulas, same correspondences (tested).  Away from the freeze
+    point only the trajectory family is approximated (distance to the
+    frozen spline points instead of the advancing closest points).  Callers
+    re-freeze every LM iteration and re-score the final candidate exactly,
+    keeping it only when the TRUE error improves.
+
+    Contract: root_only semantics — every active slot references the root
+    (la/rt/pose/ts must be inactive, `step_scs_root_only`); jr reads frame
+    channels directly and is allowed."""
+    d = n_dim
+    parts = [sc.kf_frame, sc.dir_frame[None], sc.la_frame[None],
+             sc.rt_frame[None], sc.jr_frame[None]]
+    o_lin = MAX_KF + 4
+    t_lin = jnp.linspace(0.0, 1.0, TRAJ_SAMPLES) * jnp.maximum(
+        sc.n_canonical - 1.0, 1.0)
+    need_lin = use_traj or use_ca
+    if need_lin:
+        parts.append(t_lin)
+    t_all = jnp.concatenate(parts)
+    b_all = bspline.basis_matrix(knots_s, t_all)  # [T, nb]
+    e3 = eigen_s[:, :k_s].reshape(n_basis, d, k_s)
+    be = jnp.einsum("tb,bdc->tdc", b_all, e3,
+                    precision=jax.lax.Precision.HIGHEST)  # [T, d, k]
+    bmu = jnp.matmul(b_all, mean_s.reshape(n_basis, d),
+                     precision=jax.lax.Precision.HIGHEST)  # [T, d]
+    first_e = eigen_s[:d]  # first coefficient row block
+    first_mu = mean_s[:d]
+    mask_dim = (jnp.where(sc.traj.unconstrained, 0.0, 1.0)
+                if use_traj else jnp.ones(3))
+
+    def frames_at(s: jax.Array) -> jax.Array:
+        """Aligned query frames [T, D]: affine base + exact differentiable
+        2D alignment from the candidate's own first coefficient row
+        (stacked_aligned_coeffs semantics)."""
+        alpha = s[:k_s]
+        base = bmu + jnp.einsum("tdc,c->td", be, alpha,
+                                precision=jax.lax.Precision.HIGHEST)
+        first = jnp.matmul(first_e, alpha,
+                           precision=jax.lax.Precision.HIGHEST) + first_mu
+        q_prev, d_prev = align.node_aligning_2d_transform(sc.prev_last, first)
+        q_y = jnp.where(sc.has_prev > 0, q_prev, sc.start_q)
+        delta = jnp.where(sc.has_prev > 0, d_prev, sc.start_delta)
+        return align.transform_frames(base, q_y, delta)
+
+    def make(s_freeze: jax.Array):
+        frozen = {}
+        if use_traj:
+            f0 = frames_at(s_freeze)
+            rp0, _ = fk_root(skeleton, f0)
+            pts, arcs, _ = spline_path.closest_points_advancing(
+                sc.traj, rp0[o_lin: o_lin + TRAJ_SAMPLES], sc.traj_min_arc)
+            in_range = ((arcs >= sc.traj_range_start)
+                        & (arcs <= sc.traj_range_end))
+            frozen["pts"] = pts
+            frozen["in_range"] = in_range
+
+        def residual_fn(s: jax.Array) -> jax.Array:
+            f = frames_at(s)
+            rp, rq = fk_root(skeleton, f)  # [T, 3/4]
+
+            idx = jnp.arange(MAX_KF)
+            jpos = rp[idx]
+            jori = rq[idx]
+            pos_err = jnp.sqrt(jnp.maximum(jnp.sum(
+                ((jpos - sc.kf_pos) * sc.kf_pos_mask) ** 2, axis=-1), 1e-12))
+            dot = jnp.abs(jnp.sum(quat.normalize(jori) * sc.kf_quat, axis=-1))
+            ang = 2.0 * jnp.arccos(jnp.clip(dot, -1.0 + 1e-6, 1.0 - 1e-6))
+            kf_res = sc.kf_active * sc.kf_weight * (pos_err
+                                                    + sc.kf_has_quat * ang)
+
+            frame_dir = f[MAX_KF]
+            heading = quat.rotate_vec(quat.normalize(frame_dir[3:7]),
+                                      jnp.array([0.0, 0.0, 1.0]))
+            motion_dir = jnp.stack([heading[0], heading[2]])
+            motion_dir = motion_dir / jnp.maximum(
+                jnp.linalg.norm(motion_dir), 1e-10)
+            cos_a = jnp.clip(jnp.dot(sc.dir_target, motion_dir), -1.0, 1.0)
+            dir_res = (sc.dir_active * sc.dir_weight
+                       * jnp.rad2deg(jnp.arccos(cos_a)))
+
+            frame_jr = f[MAX_KF + 3]
+            quats_jr = frame_jr[3:].reshape(-1, 4)
+            q_local = quat.normalize(quats_jr[sc.jr_joint])
+            dot_jr = jnp.abs(jnp.sum(q_local * sc.jr_quat))
+            jr_res = sc.jr_active * sc.jr_weight * 2.0 * jnp.arccos(
+                jnp.clip(dot_jr, -1.0 + 1e-6, 1.0 - 1e-6))
+
+            if use_traj:
+                root_tr = rp[o_lin: o_lin + TRAJ_SAMPLES]
+                d_tr = jnp.sqrt(jnp.maximum(jnp.sum(
+                    ((root_tr - frozen["pts"]) * mask_dim) ** 2, axis=-1),
+                    1e-24))
+                traj_res = (sc.traj_active * sc.traj_weight
+                            * jnp.where(frozen["in_range"], d_tr, 0.0))
+            else:
+                traj_res = jnp.zeros(TRAJ_SAMPLES)
+
+            if use_ca:
+                jca = rp[o_lin: o_lin + TRAJ_SAMPLES][:, None, :]
+                d_ca = jnp.sqrt(jnp.maximum(jnp.sum(
+                    ((jca - sc.ca_pos) * sc.ca_pos_mask) ** 2, axis=-1),
+                    1e-12))
+                ca_res = sc.ca_active * sc.ca_weight * jnp.min(d_ca, axis=0)
+            else:
+                ca_res = jnp.zeros(MAX_CA)
+
+            zero = jnp.zeros(1)
+            return jnp.concatenate([kf_res, dir_res[None], zero, zero,
+                                    jr_res[None], zero, ca_res, traj_res,
+                                    jnp.zeros(TRAJ_SAMPLES)])
+
+        return residual_fn
+
+    return make
+
+
 def fill_locomotion_slots(sc: StepConstraints, path: spline_path.PathSpline,
                           loco: LocoSpec, use_pos: bool = True,
                           use_dir: bool = True,

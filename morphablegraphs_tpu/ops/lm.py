@@ -56,21 +56,31 @@ def chol_solve_unrolled(a: jax.Array, g: jax.Array) -> jax.Array:
 
 def lm_minimize(residual_fn, s0: jax.Array, n_iters: int,
                 init_lambda: float = 1.0, init_radius: float = 1.0,
-                max_radius: float = 16.0):
+                max_radius: float = 16.0, make_residual_fn=None):
     """Minimize sum(residual_fn(s)^2) from s0 with n_iters LM iterations.
 
     Accept/reject per iteration: an improving step halves lambda and doubles
     the trust radius; a rejected step multiplies lambda by 10 and quarters
     the radius.  Returns (s_opt, final_sq_err).
+
+    make_residual_fn (optional): a factory s -> residual_fn called at the
+    START of every iteration with the current iterate — the frozen-model
+    (majorize-minimize) hook: expensive state that need not be
+    differentiated (data correspondences, alignment transforms) is
+    recomputed once per iteration inside the factory and captured as
+    constants by the returned closure, so the jacobian tangents only flow
+    through the cheap residual heads.  When given, `residual_fn` is ignored
+    (pass None).
     """
     n_lat = s0.shape[0]
     eye = jnp.eye(n_lat, dtype=s0.dtype)
 
     def body(carry, _):
         s, lam, radius = carry
+        rfn = residual_fn if make_residual_fn is None else make_residual_fn(s)
         # one linearization serves both the residual value and the jacobian
         # (jacfwd would evaluate the primal a second time)
-        r, lin = jax.linearize(residual_fn, s)
+        r, lin = jax.linearize(rfn, s)
         err = jnp.sum(r * r)
         j = jax.vmap(lin)(eye).T  # [R, L]
         jtj = jnp.matmul(j.T, j, precision=jax.lax.Precision.HIGHEST)
@@ -86,7 +96,11 @@ def lm_minimize(residual_fn, s0: jax.Array, n_iters: int,
         nrm = jnp.linalg.norm(delta)
         delta = delta * jnp.minimum(1.0, radius / jnp.maximum(nrm, 1e-10))
         s_new = s - delta
-        r_new = residual_fn(s_new)
+        # accept/reject against the SAME (frozen) model the step was
+        # computed on — consistent within the iteration; callers of the
+        # frozen path re-score the final iterate exactly and keep it only
+        # when the TRUE error improves
+        r_new = rfn(s_new)
         err_new = jnp.sum(r_new * r_new)
         improved = err_new < err
         s = jnp.where(improved, s_new, s)

@@ -261,7 +261,7 @@ def default_step_scs(skeleton, n_steps: int):
                                     "window", "lm_iters", "use_traj",
                                     "use_ca", "use_ts", "use_half",
                                     "root_node", "pallas_selection",
-                                    "root_only"))
+                                    "root_only", "lm_frozen"))
 def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                           path: spline_path.PathSpline, start_id: jax.Array,
                           n_steps: int, step_scs=None,
@@ -278,7 +278,8 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                           use_half: bool = False,
                           root_node: int = 0,
                           pallas_selection: bool = False,
-                          root_only: bool = False):
+                          root_only: bool = False,
+                          lm_frozen: bool = False):
     """Trajectory-following walk with FULL constraint semantics per step.
 
     Per scan step (reference motion_generator.py:157-268 +
@@ -412,6 +413,9 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
             err = errors[best]
 
         # ---- gated LM refinement (reference leastsq semantics)
+        assert not lm_frozen or root_only, (
+            "lm_frozen is the root-only fast path; non-root slots need the "
+            "exact LM")
         if lm_iters > 0:
             gmm = node_gmm(g, state.node_id)
             # gate the active mask by the STATIC use_* flags: families
@@ -432,7 +436,30 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
 
             def refine(args):
                 s0, e0 = args
-                s_opt, _ = lm_ops.lm_minimize(residuals, s0, lm_iters)
+                if lm_frozen:
+                    # frozen-model LM (compiled.make_frozen_root_residuals):
+                    # alignment + trajectory correspondences re-frozen each
+                    # iteration, residuals affine in the latent -> jacobian
+                    # tangents cost one [T,D,k] contraction + tiny heads.
+                    # The final candidate is re-scored exactly below, so a
+                    # frozen-model step is only ever kept when the TRUE
+                    # error improves.
+                    raw_make = compiled.make_frozen_root_residuals(
+                        skeleton, g.knots_s[state.node_id], sc,
+                        g.eigen_s[state.node_id], g.mean_s[state.node_id],
+                        g.n_basis_max, g.n_dim, g.k_s_max,
+                        use_traj=use_traj, use_ca=use_ca)
+
+                    def make_fn(sv):
+                        rf = raw_make(sv)
+                        return lambda x: act * (
+                            error_scale * rf(x)
+                            + quality_scale * (-gmm_ops.log_prob(gmm, x)))
+
+                    s_opt, _ = lm_ops.lm_minimize(
+                        None, s0, lm_iters, make_residual_fn=make_fn)
+                else:
+                    s_opt, _ = lm_ops.lm_minimize(residuals, s0, lm_iters)
                 e_opt = stacked_error(skeleton, g, state.node_id, sc, s_opt,
                                       use_traj, use_ca, use_ts,
                                       root_only=root_only)

@@ -258,3 +258,76 @@ def test_lm_chol_solve_matches_numpy():
         np.testing.assert_allclose(
             np.asarray(X[i]), np.linalg.solve(np.asarray(A[i]), np.asarray(G[i])),
             rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("scale", ["toy", "ref"])
+def test_frozen_residuals_exact_at_freeze_point(scale):
+    """make_frozen_root_residuals: at the freeze point the frozen model's
+    residuals equal the exact root-only residuals (same alignment, same
+    correspondences); the frozen trajectory distance upper-bounds the true
+    one away from it."""
+    skel, graph, stacked, path = _setup(scale)
+    node_key = ("walk", "leftStance")
+    prim = graph.nodes[node_key].primitive
+    node_id = stacked.node_id(node_key)
+    end = prim.n_canonical_frames - 1
+
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    sc = compiled.set_keyframe_constraint(sc, 0, skel, "Hips", end,
+                                          position=[10.0, np.nan, 50.0])
+    sc = compiled.set_direction_constraint(sc, [0.3, 1.0], end)
+    sc = compiled.set_trajectory_constraint(sc, skel, path, "Hips", 2.0)
+    prev = np.zeros(skel.n_frame_params, np.float32)
+    prev[3::4] = 1.0
+    prev[0], prev[2] = 3.0, 8.0
+    sc = compiled.set_alignment_from_prev(sc, prev)
+
+    nid = jnp.asarray(node_id, jnp.int32)
+    make = compiled.make_frozen_root_residuals(
+        skel, stacked.knots_s[nid], sc, stacked.eigen_s[nid],
+        stacked.mean_s[nid], stacked.n_basis_max, stacked.n_dim,
+        stacked.k_s_max, use_traj=True, use_ca=False)
+
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        s = jnp.asarray(_pad_latent(
+            rng.standard_normal(prim.n_latent).astype(np.float32),
+            prim, stacked))
+        r_exact = np.asarray(cw.stacked_residuals(
+            skel, stacked, nid, sc, s, use_traj=True, use_ca=False,
+            root_only=True))
+        r_frozen = np.asarray(make(s)(s))
+        np.testing.assert_allclose(r_frozen, r_exact, atol=2e-3, rtol=1e-4)
+        # away from the freeze point the frozen model only approximates the
+        # exact one (both alignment and correspondences are held) — stays
+        # finite and in the same ballpark
+        s2 = s + 0.3
+        r_far_frozen = np.asarray(make(s)(s2))
+        r_far_exact = np.asarray(cw.stacked_residuals(
+            skel, stacked, nid, sc, s2, use_traj=True, use_ca=False,
+            root_only=True))
+        tr = slice(compiled._OFF_TRAJ, compiled._OFF_TS)
+        assert np.all(np.isfinite(r_far_frozen))
+        np.testing.assert_allclose(r_far_frozen[tr], r_far_exact[tr],
+                                   rtol=0.5, atol=1.0)
+
+
+def test_full_walk_frozen_lm_matches_exact_lm_quality():
+    """The frozen-model LM fast path must reach errors statistically equal
+    to (or better than, never meaningfully worse than) the exact LM."""
+    skel, graph, stacked, path = _setup("ref")
+    start_id = stacked.node_id(("walk", "beginLeftStance"))
+    key = jax.random.PRNGKey(5)
+    kw = dict(n_steps=4, max_step_frames=160, n_samples=16, lm_iters=3,
+              root_only=True)
+    _, nf_e, _, err_exact = cw.constrained_walk_full(
+        skel, key, stacked, path, jnp.asarray(start_id, jnp.int32),
+        lm_frozen=False, **kw)
+    _, nf_f, _, err_frozen = cw.constrained_walk_full(
+        skel, key, stacked, path, jnp.asarray(start_id, jnp.int32),
+        lm_frozen=True, **kw)
+    m_e = float(jnp.mean(jnp.where(nf_e > 0, err_exact, 0)))
+    m_f = float(jnp.mean(jnp.where(nf_f > 0, err_frozen, 0)))
+    assert np.isfinite(m_f)
+    # same selection; only the LM model differs -> quality within 20%
+    assert m_f <= m_e * 1.2 + 1.0, (m_f, m_e)
