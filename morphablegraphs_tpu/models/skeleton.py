@@ -525,9 +525,9 @@ def fk_node(skel: Skeleton, frames: jax.Array, node: jax.Array):
         return jnp.take_along_axis(quats_p, gi[..., None, None],
                                    axis=-2)[..., 0, :]
 
-    # chain[..., 0] is always the root
-    pos = offsets[0] + frames[..., :3]
-    ori = local_q(jnp.zeros_like(node))
+    # chain[..., 0] is always the root — reuse fk_root (static slice; a
+    # local_q gather here would be per-batch-element for a constant index)
+    pos, ori = fk_root(skel, frames)
     for d in range(1, depth):
         nd = chain[..., d]
         valid = (nd >= 0)[..., None]
