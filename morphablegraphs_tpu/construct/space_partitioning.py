@@ -292,27 +292,32 @@ def load_reference_pickle_tree(payload: bytes) -> ClusterTree:
             _stub_cache[key] = type(name, (_Stub,), {"__module__": module})
         return _stub_cache[key]
 
-    # _codecs.encode reconstructs the raw byte payload of numpy arrays in
-    # protocol-2 pickles (the protocol the reference saves with)
-    _ALLOWED_MODULE_PREFIXES = ("numpy", "collections", "_codecs")
-    # builtins must NOT be blanket-allowed (builtins.eval/exec/getattr would
-    # hand a crafted pickle arbitrary code execution); only the benign
-    # constructors that legitimately appear in the reference's tree pickles
-    _ALLOWED_BUILTINS = frozenset(
-        {"object", "list", "dict", "tuple", "set", "frozenset", "slice",
-         "complex", "bytearray", "range"})
+    # NAME-level allowlists: blanket module prefixes are gadget surfaces —
+    # builtins.eval/exec would be direct code execution, and e.g.
+    # numpy.ctypeslib.load_library reaches the loader during unpickling.
+    # These names are exactly what numpy protocol-2 array pickles plus the
+    # reference's plain-object trees need (_codecs.encode reconstructs the
+    # raw byte payloads).
+    _ALLOWED = {
+        "builtins": {"object", "list", "dict", "tuple", "set", "frozenset",
+                     "slice", "complex", "bytearray", "range"},
+        "collections": {"OrderedDict", "defaultdict"},
+        "_codecs": {"encode"},
+    }
+    _ALLOWED_NUMPY_NAMES = frozenset(
+        {"ndarray", "dtype", "matrix", "_reconstruct", "scalar",
+         "_frombuffer"})
 
     class _RestrictedUnpickler(pickle.Unpickler):
         def find_class(self, module, name):
             if ("morphablegraphs" in module or "space_partitioning" in module
                     or "kdtree" in module or "cluster_tree" in module):
                 return _stub_class(module, name)
-            if module == "builtins":
-                if name in _ALLOWED_BUILTINS:
-                    return super().find_class(module, name)
-                raise pickle.UnpicklingError(
-                    f"refusing to unpickle builtins.{name} from cluster tree")
-            if module.split(".")[0] in _ALLOWED_MODULE_PREFIXES:
+            allowed = _ALLOWED.get(module)
+            if allowed is not None and name in allowed:
+                return super().find_class(module, name)
+            if (module.split(".")[0] == "numpy"
+                    and name in _ALLOWED_NUMPY_NAMES):
                 return super().find_class(module, name)
             raise pickle.UnpicklingError(
                 f"refusing to unpickle {module}.{name} from cluster tree")

@@ -72,8 +72,8 @@ def lm_minimize(residual_fn, s0: jax.Array, n_iters: int,
     through the cheap residual heads.  When given, `residual_fn` is ignored
     (pass None).
     """
-    assert (residual_fn is None) != (make_residual_fn is None), (
-        "pass exactly one of residual_fn / make_residual_fn")
+    if (residual_fn is None) == (make_residual_fn is None):
+        raise ValueError("pass exactly one of residual_fn / make_residual_fn")
     n_lat = s0.shape[0]
     eye = jnp.eye(n_lat, dtype=s0.dtype)
 

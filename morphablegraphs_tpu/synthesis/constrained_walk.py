@@ -329,11 +329,15 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
         # constrained_walk_full_crowd; step_scs is traced here, so only the
         # static flags are checkable at this level)
         from ..ops import pallas_kernels as pk
-        assert n_samples % pk.N_BLK == 0, (
-            f"pallas_selection needs n_samples % {pk.N_BLK} == 0")
-        assert not use_half, (
-            "pallas_selection scores the locomotion goal only; the "
-            "half-step keyframe slot would be ignored during ranking")
+        # ValueError, not assert: these guards protect against silent
+        # mis-ranking and must survive python -O
+        if n_samples % pk.N_BLK != 0:
+            raise ValueError(
+                f"pallas_selection needs n_samples % {pk.N_BLK} == 0")
+        if use_half:
+            raise ValueError(
+                "pallas_selection scores the locomotion goal only; the "
+                "half-step keyframe slot would be ignored during ranking")
         path_table = pk.pack_path_table(path)  # constant across scan steps
 
     init = FullWalkState(
@@ -396,7 +400,10 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                 min_arc=state.travelled, kf_weight=pos_weight,
                 dir_weight=dir_weight,
                 traj_active=1.0 if use_traj else 0.0,
-                traj_weight=traj_weight)
+                traj_weight=traj_weight,
+                # user active ranges must gate the kernel's trajectory
+                # residuals exactly like the XLA scorer's sc.traj_range_*
+                range_lo=sc.traj_range_start, range_hi=sc.traj_range_end)
             errors = pk.score_locomotion_candidates(
                 mop, samples[:, : g.k_s_max], path_table, cfg)
             best = jnp.argmin(errors)
@@ -413,9 +420,9 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
             err = errors[best]
 
         # ---- gated LM refinement (reference leastsq semantics)
-        assert not lm_frozen or root_only, (
-            "lm_frozen is the root-only fast path; non-root slots need the "
-            "exact LM")
+        if lm_frozen and not root_only:
+            raise ValueError("lm_frozen is the root-only fast path; "
+                             "non-root slots need the exact LM")
         if lm_iters > 0:
             gmm = node_gmm(g, state.node_id)
             # gate the active mask by the STATIC use_* flags: families
@@ -513,10 +520,11 @@ def constrained_walk_full_crowd(skeleton, key: jax.Array, g: StackedGraph,
         kw["step_scs"] = default_step_scs(skeleton, n_steps)
     if kw.get("pallas_selection"):
         from ..constraints import compiled
-        assert compiled.step_scs_locomotion_only(kw["step_scs"]), (
-            "pallas_selection ranks candidates on the locomotion family "
-            "only; step_scs carries user constraint slots that would be "
-            "ignored — use the XLA selection path for this workload")
+        if not compiled.step_scs_locomotion_only(kw["step_scs"]):
+            raise ValueError(
+                "pallas_selection ranks candidates on the locomotion family "
+                "only; step_scs carries user constraint slots that would be "
+                "ignored — use the XLA selection path for this workload")
     # n_steps as a keyword: jit static_argnames only binds keyword args
     return jax.vmap(lambda k, p, s: constrained_walk_full(
         skeleton, k, g, p, s, n_steps=n_steps, **kw))(keys, paths, start_ids)

@@ -282,22 +282,36 @@ def test_frozen_residuals_exact_at_freeze_point(scale):
     prev[0], prev[2] = 3.0, 8.0
     sc = compiled.set_alignment_from_prev(sc, prev)
 
+    # CA slot on the root so the use_ca=True frozen head is covered too
+    sc = compiled.set_ca_constraint(sc, skel, "Hips", [30.0, 0.0, 40.0])
+
     nid = jnp.asarray(node_id, jnp.int32)
-    make = compiled.make_frozen_root_residuals(
-        skel, stacked.knots_s[nid], sc, stacked.eigen_s[nid],
-        stacked.mean_s[nid], stacked.n_basis_max, stacked.n_dim,
-        stacked.k_s_max, use_traj=True, use_ca=False)
+    makes = {
+        use_ca: compiled.make_frozen_root_residuals(
+            skel, stacked.knots_s[nid], sc, stacked.eigen_s[nid],
+            stacked.mean_s[nid], stacked.n_basis_max, stacked.n_dim,
+            stacked.k_s_max, use_traj=True, use_ca=use_ca)
+        for use_ca in (False, True)}
+    make = makes[False]
 
     rng = np.random.default_rng(11)
     for _ in range(3):
         s = jnp.asarray(_pad_latent(
             rng.standard_normal(prim.n_latent).astype(np.float32),
             prim, stacked))
+        for use_ca in (False, True):
+            r_exact = np.asarray(cw.stacked_residuals(
+                skel, stacked, nid, sc, s, use_traj=True, use_ca=use_ca,
+                root_only=True))
+            r_frozen = np.asarray(makes[use_ca](s)(s))
+            np.testing.assert_allclose(r_frozen, r_exact,
+                                       atol=2e-3, rtol=1e-4)
+            if use_ca:
+                ca = slice(compiled._OFF_CA, compiled._OFF_TRAJ)
+                assert np.any(r_exact[ca] > 0)
         r_exact = np.asarray(cw.stacked_residuals(
             skel, stacked, nid, sc, s, use_traj=True, use_ca=False,
             root_only=True))
-        r_frozen = np.asarray(make(s)(s))
-        np.testing.assert_allclose(r_frozen, r_exact, atol=2e-3, rtol=1e-4)
         # away from the freeze point the frozen model only approximates the
         # exact one (both alignment and correspondences are held) — stays
         # finite and in the same ballpark
@@ -331,3 +345,29 @@ def test_full_walk_frozen_lm_matches_exact_lm_quality():
     assert np.isfinite(m_f)
     # same selection; only the LM model differs -> quality within 20%
     assert m_f <= m_e * 1.2 + 1.0, (m_f, m_e)
+
+
+def test_pallas_selection_honors_trajectory_active_range():
+    """A user trajectory active-range (set_trajectory_active_range) passes
+    the locomotion-only gate AND must gate the fused kernel's trajectory
+    residuals exactly like the XLA scorer — same winners either way."""
+    skel, graph, stacked, path = _setup("toy")
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    n_steps = 3
+    base = compiled.empty_step_constraints(skel, 0)
+    base = compiled.set_trajectory_active_range(base, 10.0, 60.0)
+    assert compiled.step_scs_locomotion_only(base)
+    step_scs = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (n_steps,) + np.shape(x)),
+        base)
+    kw = dict(n_steps=n_steps, step_scs=step_scs, max_step_frames=64,
+              n_samples=128, window=10, lm_iters=0)
+    _, _, ids_x, errs_x = cw.constrained_walk_full(
+        skel, jax.random.PRNGKey(9), stacked, path,
+        jnp.asarray(start, jnp.int32), pallas_selection=False, **kw)
+    _, _, ids_p, errs_p = cw.constrained_walk_full(
+        skel, jax.random.PRNGKey(9), stacked, path,
+        jnp.asarray(start, jnp.int32), pallas_selection=True, **kw)
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
+    np.testing.assert_allclose(np.asarray(errs_p), np.asarray(errs_x),
+                               atol=0.5, rtol=0.05)

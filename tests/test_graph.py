@@ -394,3 +394,28 @@ def test_random_walk_step_count(graph):
                                       _random.Random(1))
     # start + 3 standard targets + end (when transitions allow)
     assert len(walk) == 5
+
+
+def test_pickle_cluster_tree_rejects_numpy_gadgets():
+    """The numpy allowlist is name-level: numpy.ctypeslib.load_library (a
+    during-unpickling code-execution gadget) must be refused while real
+    array pickles still load."""
+    import pickle
+
+    import numpy as _np
+
+    from morphablegraphs_tpu.construct.space_partitioning import (
+        load_reference_pickle_tree)
+
+    class Evil:
+        def __reduce__(self):
+            return (_np.ctypeslib.load_library, ("libevil", "/tmp"))
+
+    try:
+        load_reference_pickle_tree(pickle.dumps(Evil()))
+        raised = False
+    except pickle.UnpicklingError:
+        raised = True
+    except Exception as e:  # anything else means the gadget RAN
+        raise AssertionError(f"gadget executed: {e}")
+    assert raised
