@@ -213,6 +213,7 @@ class ClusterTree:
     def save(self, prefix: str):
         meta = {"n_subdivisions": self.n_subdivisions,
                 "max_level": self.max_level,
+                "n_dims": int(self.data.shape[1]),
                 "root": self._node_to_json(self.root)}
         with open(prefix + "_cluster_tree.json", "w") as f:
             json.dump(meta, f)
@@ -224,12 +225,21 @@ class ClusterTree:
                 "children": [self._node_to_json(c) for c in node.children]}
 
     @classmethod
-    def load(cls, prefix: str, n_dims: int) -> "ClusterTree":
+    def load(cls, prefix: str, n_dims: Optional[int] = None) -> "ClusterTree":
         with open(prefix + "_cluster_tree.json") as f:
             meta = json.load(f)
+        with open(prefix + "_cluster_tree.data", "rb") as f:
+            raw = f.read()
+        return cls.from_native_json(meta, raw, n_dims)
+
+    @classmethod
+    def from_native_json(cls, meta: dict, data_bytes: bytes,
+                         n_dims: Optional[int] = None) -> "ClusterTree":
+        """Hydrate from this class's own save() layout: JSON meta (with
+        n_dims recorded) + the raw f32 .data payload."""
+        n_dims = n_dims or int(meta["n_dims"])
         tree = cls(meta["n_subdivisions"], meta["max_level"])
-        tree.data = np.fromfile(prefix + "_cluster_tree.data",
-                                np.float32).reshape(-1, n_dims)
+        tree.data = np.frombuffer(data_bytes, np.float32).reshape(-1, n_dims)
         tree.root = cls._node_from_json(meta["root"])
         return tree
 

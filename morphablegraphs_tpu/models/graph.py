@@ -296,9 +296,15 @@ def build_graph_from_dict(graph_dict: dict, skeleton: Optional[Skeleton] = None,
                 graph.nodes[key].n_standard_transitions = int(
                     st.get("n_standard_transitions", 0))
             if "space_partition_json" in desc:
-                from ..construct.space_partitioning import load_reference_feature_tree_json
-                graph.nodes[key].cluster_tree = load_reference_feature_tree_json(
-                    desc["space_partition_json"])
+                from ..construct.space_partitioning import (
+                    ClusterTree, load_reference_feature_tree_json)
+                tj = desc["space_partition_json"]
+                if "data" in tj:  # reference FeatureClusterTree layout
+                    graph.nodes[key].cluster_tree = \
+                        load_reference_feature_tree_json(tj)
+                else:  # native ClusterTree.save meta + .data sidecar
+                    graph.nodes[key].cluster_tree = ClusterTree.from_native_json(
+                        tj, desc["space_partition_data"])
             elif "space_partition_pickle" in desc:
                 # legacy pickled trees (formatVersion < 4 / usePickle
                 # packages, reference zip_io.py:210-223)
@@ -364,7 +370,11 @@ def _resolve_node_key(s: str, split_key: str, nodes: dict):
 def read_zip(zip_path: str) -> dict:
     """Read a packaged graph zip into the dict form (reference
     utilities/zip_io.py:51-246, format versions 1-4, sans pickle trees)."""
-    zf = zipfile.ZipFile(zip_path, "r", zipfile.ZIP_DEFLATED)
+    with zipfile.ZipFile(zip_path, "r") as zf:
+        return _read_zip_open(zf)
+
+
+def _read_zip_open(zf: zipfile.ZipFile) -> dict:
     data = json.loads(zf.read("graph_definition.json").decode("utf-8"))
     version = float(data.get("formatVersion", 1.0))
     names = set(zf.namelist())
@@ -400,9 +410,14 @@ def read_zip(zip_path: str) -> dict:
         if stats_path in names:
             node["stats"] = json.loads(zf.read(stats_path).decode("utf-8"))
         tree_path = f"{prefix}/{mp_full}_cluster_tree.json"
+        data_path = f"{prefix}/{mp_full}_cluster_tree.data"
         pck_path = f"{prefix}/{mp_full}_cluster_tree.pck"
         if tree_path in names:
             node["space_partition_json"] = json.loads(zf.read(tree_path).decode("utf-8"))
+            if data_path in names:
+                # native ClusterTree.save layout: JSON meta + raw f32
+                # sidecar (the mg-tpu cluster-trees CLI output)
+                node["space_partition_data"] = zf.read(data_path)
         elif pck_path in names:
             # legacy pickled tree (formatVersion < 4 / usePickle packages,
             # reference zip_io.py:210-223); decoded lazily by the graph

@@ -62,8 +62,21 @@ def write_graph_zip(path: str, skeleton: Skeleton,
                 zf.writestr(f"{prefix}/meta_information.json",
                             json.dumps(desc["info"]))
             for mp_name, tree in desc.get("cluster_trees", {}).items():
-                zf.writestr(f"{prefix}/{action}_{mp_name}_cluster_tree.json",
-                            json.dumps(tree))
+                base = f"{prefix}/{action}_{mp_name}_cluster_tree"
+                if hasattr(tree, "data") and hasattr(tree, "root"):
+                    # native ClusterTree instance -> its own save() layout
+                    # (JSON meta + raw f32 .data sidecar), which read_zip
+                    # hydrates via ClusterTree.from_native_json
+                    import numpy as _np
+                    meta = {"n_subdivisions": tree.n_subdivisions,
+                            "max_level": tree.max_level,
+                            "n_dims": int(tree.data.shape[1]),
+                            "root": tree._node_to_json(tree.root)}
+                    zf.writestr(base + ".json", json.dumps(meta))
+                    zf.writestr(base + ".data",
+                                tree.data.astype(_np.float32).tobytes())
+                else:  # reference FeatureClusterTree JSON dict
+                    zf.writestr(base + ".json", json.dumps(tree))
 
         if hand_pose_info is not None:
             info = {k: v for k, v in hand_pose_info.items()

@@ -27,14 +27,37 @@ from ..synthesis import constrained_walk as cw
 from ..synthesis import walk as walk_mod
 from ..utils.config import default_config
 
+# spline_path.build's padded control-point capacity (its max_points default)
+_MAX_PATH_POINTS = 32
 
-def _is_batchable(parsed) -> bool:
-    """Single locomotion action with a root trajectory and no keyframe
-    constraints — the shape the crowd path handles."""
+
+def _root_trajectory(parsed, root_joint: str):
+    """The action's ROOT trajectory, or None (a hand/CA trajectory must NOT
+    be used as the character's walking path — the sequential path treats
+    only the aligning-root joint's trajectory as the locomotion spline,
+    synthesis/action_builder.py)."""
+    a = parsed.actions[0]
+    for traj in a.trajectories:
+        if traj.joint in (root_joint, "Hips") and not traj.annotated:
+            return traj
+    return None
+
+
+def _is_batchable(parsed, root_joint: str) -> bool:
+    """Single locomotion action with a ROOT trajectory that fits the padded
+    spline (<= max control points), no keyframe constraints and no extra
+    joint/CA trajectories — the shape the crowd path handles."""
     if len(parsed.actions) != 1:
         return False
     a = parsed.actions[0]
-    return bool(a.trajectories) and not a.keyframe_constraints
+    traj = _root_trajectory(parsed, root_joint)
+    if traj is None or a.keyframe_constraints:
+        return False
+    if len(a.trajectories) > 1:
+        return False  # extra joint / CA trajectories need the full path
+    # must fit the padded PathSpline (spline_path.build max_points default);
+    # a longer path would assert inside the batch and 500 every request
+    return len(traj.control_points) <= _MAX_PATH_POINTS
 
 
 class BatchedGenerator:
@@ -63,36 +86,59 @@ class BatchedGenerator:
         names = group.start_states or [k[1] for k in group.node_keys]
         return self.stacked.node_id((action, names[0]))
 
+    def _root_joint(self) -> str:
+        skel = self.graph.skeleton
+        if skel is not None and "Hips" in skel.node_names:
+            return "Hips"
+        return skel.animated_joints[0] if skel else "Hips"
+
     def split_batchable(self, mg_inputs: List[dict],
                         activate_coordinate_transform: bool = False):
-        """Partition requests into (batchable, fallback) index lists."""
+        """Partition requests into (batchable, fallback) index lists.
+
+        Returns (batchable, fallback, parsed) where parsed[i] is the parsed
+        input for batchable indices (None elsewhere) — pass it to
+        generate_batch to avoid re-parsing."""
         batchable, fallback = [], []
+        parsed_list = [None] * len(mg_inputs)
+        root_joint = self._root_joint()
         for i, mg_input in enumerate(mg_inputs):
             try:
                 parsed = read_input(
                     mg_input,
                     activate_coordinate_transform=activate_coordinate_transform)
-                (batchable if _is_batchable(parsed) else fallback).append(i)
+                if _is_batchable(parsed, root_joint):
+                    parsed_list[i] = parsed
+                    batchable.append(i)
+                else:
+                    fallback.append(i)
             except (KeyError, ValueError):
                 fallback.append(i)
-        return batchable, fallback
+        return batchable, fallback, parsed_list
 
     def generate_batch(self, mg_inputs: List[dict],
                        activate_coordinate_transform: bool = False,
-                       seed: int = 0) -> List[np.ndarray]:
+                       seed: int = 0,
+                       parsed_list: Optional[list] = None) -> List[np.ndarray]:
         """Synthesize N locomotion requests in one launch.
 
         Returns one [T_i, D] frame array per request (segment-flattened).
-        All requests must be batchable (use split_batchable first).
+        All requests must be batchable (use split_batchable first;
+        parsed_list re-uses its parse results).
         """
         paths = []
         start_ids = []
-        for mg_input in mg_inputs:
-            parsed = read_input(
-                mg_input,
-                activate_coordinate_transform=activate_coordinate_transform)
+        root_joint = self._root_joint()
+        for i, mg_input in enumerate(mg_inputs):
+            parsed = (parsed_list[i] if parsed_list is not None
+                      and parsed_list[i] is not None else read_input(
+                          mg_input,
+                          activate_coordinate_transform=activate_coordinate_transform))
             a = parsed.actions[0]
-            traj = a.trajectories[0]
+            traj = _root_trajectory(parsed, root_joint)
+            if traj is None:
+                raise ValueError(
+                    f"request {i} has no root trajectory — not batchable")
             # paths are relative to the request's start pose
             pts = traj.control_points - traj.control_points[:1] \
                 + parsed.start_pose_position

@@ -76,12 +76,20 @@ def train_model(motion_folder: str, name: str, output_filename: Optional[str] = 
     with open(output_filename, "w") as f:
         json.dump(model, f)
     if export_sample:
-        # round-trip check: load + sample + export BVH
+        # round-trip check: load + sample + export BVH.  The sample path is
+        # derived by REPLACING the extension — a naive
+        # replace("_mm.json", ...) on an output like "walk.json" is a no-op
+        # and would overwrite the just-written model with BVH text.
+        base = output_filename
+        for suffix in ("_mm.json", ".json"):
+            if base.endswith(suffix):
+                base = base[: -len(suffix)]
+                break
         prim = prim_mod.load_primitive(output_filename)
         frames, n, _ = prim_mod.sample_frames(
             jax.random.PRNGKey(0), prim, max_frames=prim.n_canonical_frames * 2)
         write_bvh(skeleton, np.asarray(frames)[: int(n)],
-                  output_filename.replace("_mm.json", "_sample.bvh"))
+                  base + "_sample.bvh")
     return output_filename
 
 

@@ -44,6 +44,15 @@ class MGContext:
         self.target_skeleton = target_skeleton
         self.joint_name_map = joint_name_map
         self.retarget_scale = retarget_scale
+        self._batched_generator = None
+
+    def batched_generator(self):
+        """Lazily-built, cached BatchedGenerator (stacking the graph and
+        uploading it to device once, not per request)."""
+        if self._batched_generator is None:
+            from .batch import BatchedGenerator
+            self._batched_generator = BatchedGenerator(self.graph, self.config)
+        return self._batched_generator
 
     def run(self, mg_input: dict, output_mode: str = "bvh") -> dict:
         result = self.generator.generate_motion(
@@ -91,11 +100,18 @@ class GenerateMotionHandler(_Handler):
             self.set_status(400)
             self.write({"error": "invalid JSON"})
             return
+        if not isinstance(mg_input, dict):
+            # valid JSON but not an object would AttributeError into a 500
+            self.set_status(400)
+            self.write({"error": "expected a JSON object"})
+            return
         try:
             output_mode = mg_input.get("outputMode", "bvh")
             result = self.ctx.run(mg_input, output_mode)
             self.write(json.dumps(result))
-        except (KeyError, ValueError) as e:
+        except (KeyError, ValueError, RuntimeError) as e:
+            # RuntimeError covers SynthesisError/PathSearchError from the
+            # generator (utils/exceptions.py)
             self.set_status(400)
             self.write({"error": str(e)})
 
@@ -114,23 +130,35 @@ class GenerateMotionBatchHandler(_Handler):
             self.set_status(400)
             self.write({"error": "expected {\"requests\": [...]}"})
             return
-        from .batch import BatchedGenerator
+        if not isinstance(requests_list, list):
+            self.set_status(400)
+            self.write({"error": "expected {\"requests\": [...]}"})
+            return
         from ..models.skeleton import write_bvh
-        bg = BatchedGenerator(self.ctx.graph, self.ctx.config)
-        batchable, fallback = bg.split_batchable(
+        # the BatchedGenerator (stacked pytree on device) is built once and
+        # cached on the context — rebuilding per request re-uploaded the
+        # whole model every POST
+        bg = self.ctx.batched_generator()
+        batchable, fallback, parsed = bg.split_batchable(
             requests_list, self.ctx.activate_coordinate_transform)
         results = [None] * len(requests_list)
         if batchable:
-            frames_list = bg.generate_batch(
-                [requests_list[i] for i in batchable],
-                self.ctx.activate_coordinate_transform)
-            for i, frames in zip(batchable, frames_list):
-                results[i] = {"bvh": write_bvh(self.ctx.graph.skeleton, frames),
-                              "batched": True}
+            try:
+                frames_list = bg.generate_batch(
+                    [requests_list[i] for i in batchable],
+                    self.ctx.activate_coordinate_transform,
+                    parsed_list=[parsed[i] for i in batchable])
+                for i, frames in zip(batchable, frames_list):
+                    results[i] = {"bvh": write_bvh(self.ctx.graph.skeleton,
+                                                   frames),
+                                  "batched": True}
+            except (KeyError, ValueError, RuntimeError):
+                # batch failure degrades to the sequential path
+                fallback = sorted(set(fallback) | set(batchable))
         for i in fallback:
             try:
                 results[i] = {**self.ctx.run(requests_list[i]), "batched": False}
-            except (KeyError, ValueError) as e:
+            except (KeyError, ValueError, RuntimeError) as e:
                 results[i] = {"error": str(e)}
         self.write(json.dumps({"results": results}))
 
@@ -163,6 +191,8 @@ class SetConfigurationHandler(_Handler):
         from ..utils.config import _merge
         _merge(self.ctx.config, update)
         self.ctx.generator.config = self.ctx.config
+        # the cached BatchedGenerator baked the old config — rebuild lazily
+        self.ctx._batched_generator = None
         self.write({"success": True})
 
 
@@ -170,8 +200,10 @@ def set_height_map(ctx: MGContext, data: dict) -> bool:
     """Install a terrain height map on the generator's scene interface
     (reference mg_rest_interface_parallel.py:154-191 set_height_map):
     either {"image_path", "width", "depth", "height_scale"[, "scale"]} or
-    {"image": base64, "size", "mode", ...}; additionally accepts a plain
-    {"height_map": [[...]]} pixel array."""
+    {"image": base64, "size", "mode", ...}; additionally accepts
+    {"height_map": [[...]], "width", "depth"} as a pixel array with the
+    image semantics, or {"height_map": [[...]]} alone as a plain grid of
+    TRUE world heights (origin/scale texel mapping)."""
     from ..utils.height_map import ImageHeightMap
     scale = data.get("scale", [1.0, 1.0])
     if "image_path" in data:
@@ -191,10 +223,21 @@ def set_height_map(ctx: MGContext, data: dict) -> bool:
         img = Image.frombytes(data["mode"], tuple(data["size"]), raw)
         hm = ImageHeightMap(np.asarray(img), data["width"], data["depth"],
                             scale, data["height_scale"])
-    elif "height_map" in data:
+    elif "height_map" in data and "width" in data and "depth" in data:
+        # pixel-array form with the image semantics (values/255*height_scale
+        # over a width x depth extent)
         hm = ImageHeightMap(np.asarray(data["height_map"], np.float64),
                             data["width"], data["depth"], scale,
                             data.get("height_scale", 1.0))
+    elif "height_map" in data:
+        # plain height GRID: values are world heights (origin/scale texel
+        # mapping, no /255 pixel semantics)
+        from ..utils.height_map import HeightMapInterface
+        hm = HeightMapInterface(
+            np.asarray(data["height_map"], np.float64),
+            origin=tuple(data.get("origin", (0.0, 0.0))),
+            scale=float(scale[0]) if hasattr(scale, "__len__") else float(scale),
+            height_scale=float(data.get("height_scale", 1.0)))
     else:
         return False
     ctx.generator.scene_interface.set_scene(hm)

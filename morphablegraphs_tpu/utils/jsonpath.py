@@ -10,7 +10,7 @@ from __future__ import annotations
 import re
 from typing import Any, List, Union
 
-_TOKEN = re.compile(r"([^.\[\]]+)|\[(\d+)\]")
+_TOKEN = re.compile(r"([^.\[\]]+)|\[(-?\d+)\]")
 
 
 def _tokens(path: str) -> List[Union[str, int]]:

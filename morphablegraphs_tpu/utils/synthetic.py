@@ -47,7 +47,7 @@ Frame Time: 0.033333
 1 90 2 0 5 0 0 0 5 0 0 0 15 0 0
 """
 
-N_JOINTS = 3  # animated joints: Hips, Spine, Head, Leg -> 4 actually
+N_JOINTS = 4  # TEST_BVH animated joints: Hips, Spine, Head, Leg
 
 # A legged humanoid for grounding / IK tests: 10 animated joints.
 WALK_BVH = """HIERARCHY

@@ -527,3 +527,30 @@ def test_logging_surface(tmp_path, caplog):
         graph_mod.build_graph_from_dict(make_graph_dict())
     assert "Load action walk" in caplog.text
     mglog.set_log_mode(mglog.LOG_MODE_INFO)
+
+
+def test_jsonpath_negative_index():
+    from morphablegraphs_tpu.utils import jsonpath
+    data = {"points": [{"v": 1}, {"v": 2}, {"v": 3}]}
+    assert jsonpath.get_value(data, "points[-1].v") == 3
+    jsonpath.set_value(data, "points[-2].v", 9)
+    assert data["points"][1]["v"] == 9
+
+
+def test_plain_height_grid_true_heights():
+    """set_height_map's bare {'height_map'} form takes TRUE world heights
+    (no /255 pixel semantics, no width/depth requirement)."""
+    from morphablegraphs_tpu.serve.rest import set_height_map
+
+    class Ctx:
+        class generator:
+            from morphablegraphs_tpu.synthesis.grounding import SceneInterface
+            scene_interface = SceneInterface()
+
+    grid = [[0.0, 1.0], [2.0, 3.0]]
+    assert set_height_map(Ctx, {"height_map": grid})
+    scene = Ctx.generator.scene_interface
+    assert abs(scene.get_height(0.0, 0.0) - 0.0) < 1e-9
+    # bilinear midpoint of the 2x2 grid = mean of the four TRUE heights
+    # (pixel /255 semantics would give 1.5/255 here)
+    assert abs(scene.get_height(0.5, 0.5) - 1.5) < 1e-9

@@ -46,13 +46,35 @@ def graph():
     return g
 
 
+def _hand_traj_request():
+    """A LeftHand trajectory is NOT a walking path — must not batch."""
+    r = _traj_request(10, 100)
+    r["elementaryActions"][0]["constraints"][0]["joint"] = "LeftHand"
+    return r
+
+
+def _long_traj_request(n=40):
+    """More control points than the padded PathSpline holds — must fall
+    back instead of asserting inside the batch."""
+    return {
+        "startPose": {"position": [0, 0, 0], "orientation": [0, 0, 0]},
+        "elementaryActions": [{
+            "action": "walk",
+            "constraints": [{"joint": "Hips", "trajectoryConstraints": [
+                {"position": [5.0 * i, None, 10.0 * i]} for i in range(n)]}],
+        }],
+    }
+
+
 def test_split_batchable(graph):
     bg = BatchedGenerator(graph)
     reqs = [_traj_request(10, 100), _keyframe_request(), _traj_request(-10, 80),
-            {"garbage": True}]
-    batchable, fallback = bg.split_batchable(reqs)
+            {"garbage": True}, _hand_traj_request(), _long_traj_request()]
+    batchable, fallback, parsed = bg.split_batchable(reqs)
     assert batchable == [0, 2]
-    assert fallback == [1, 3]
+    assert fallback == [1, 3, 4, 5]
+    assert parsed[0] is not None and parsed[2] is not None
+    assert parsed[1] is None
 
 
 def test_generate_batch(graph):
@@ -78,10 +100,9 @@ def test_batch_endpoint(graph):
     cfg["n_random_samples"] = 10
     cfg["lm_iterations"] = 2
     ctx = MGContext(graph, cfg)
-    # warm jit caches on the main thread (see test_serve.test_rest_api note)
-    from morphablegraphs_tpu.serve.batch import BatchedGenerator
-    bg = BatchedGenerator(graph, cfg)
-    bg.generate_batch([_traj_request(15, 90)])
+    # warm jit caches on the main thread via the SAME cached generator the
+    # handler will use (see test_serve.test_rest_api note)
+    ctx.batched_generator().generate_batch([_traj_request(15, 90)])
 
     class Case(tornado.testing.AsyncHTTPTestCase):
         def get_app(self):

@@ -419,3 +419,32 @@ def test_pickle_cluster_tree_rejects_numpy_gadgets():
     except Exception as e:  # anything else means the gadget RAN
         raise AssertionError(f"gadget executed: {e}")
     assert raised
+
+
+def test_native_cluster_tree_zip_roundtrip(tmp_path):
+    """Trees built by the mg-tpu cluster-trees CLI (native ClusterTree.save
+    layout: JSON meta + raw f32 .data sidecar) must survive the zip round
+    trip and hydrate node.cluster_tree on load."""
+    from morphablegraphs_tpu.construct.space_partitioning import (
+        ClusterTree, build_cluster_tree_for_primitive)
+    from morphablegraphs_tpu.models.zip_writer import write_graph_zip
+
+    gd = make_graph_dict()
+    graph = graph_mod.build_graph_from_dict(gd)
+    skel, _ = sk.load_bvh(TEST_BVH)
+    prim = graph.nodes[("walk", "leftStance")].primitive
+    tree = build_cluster_tree_for_primitive(
+        jax.random.PRNGKey(0), prim, n_samples=64, n_subdivisions=2,
+        max_level=2)
+    nodes = {mp: n["mm"] for mp, n in gd["subgraphs"]["walk"]["nodes"].items()}
+    info = gd["subgraphs"]["walk"]["info"]
+    path = write_graph_zip(
+        str(tmp_path / "native_tree"), skel,
+        {"walk": {"nodes": nodes, "info": info,
+                  "cluster_trees": {"leftStance": tree}}},
+        gd["transitions"], start_node=gd["startNode"])
+    g = graph_mod.load_graph(path)
+    loaded = g.nodes[("walk", "leftStance")].cluster_tree
+    assert isinstance(loaded, ClusterTree)
+    np.testing.assert_allclose(loaded.data, tree.data, atol=1e-6)
+    assert len(loaded.root.children) == len(tree.root.children)

@@ -526,3 +526,31 @@ def test_rest_context_retargets_output(graph):
                 {"position": [0, None, 0]}, {"position": [5, None, 60]}]}]}],
     })
     assert "Hips_ge" in out["bvh"]
+
+
+def test_cli_train_plain_json_output_not_overwritten(tmp_path, graph):
+    """`--output walk.json` (no _mm suffix): the sample BVH must go to
+    walk_sample.bvh, NOT overwrite the freshly-trained model file."""
+    import jax
+    from morphablegraphs_tpu.models import primitive as prim_mod
+    from morphablegraphs_tpu.serve import cli
+
+    clip_dir = tmp_path / "clips"
+    clip_dir.mkdir()
+    src = graph.nodes[("walk", "leftStance")].primitive
+    skel = graph.skeleton
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        s = prim_mod.sample_latent(sub, src, 1)[0]
+        frames, n, _ = prim_mod.back_project(src, s, 64, use_time=True)
+        sk.write_bvh(skel, np.asarray(frames)[: int(n)],
+                     str(clip_dir / f"clip{i}.bvh"))
+    out = cli.train_model(str(clip_dir), "plain",
+                          str(tmp_path / "plain.json"),
+                          config={"max_gmm_components": 2, "npc_temporal": 2})
+    model = json.load(open(out))  # still JSON, not BVH text
+    assert isinstance(model, dict)
+    prim = prim_mod.load_primitive(out)
+    assert prim.n_spatial > 0
+    assert os.path.exists(str(tmp_path / "plain_sample.bvh"))
