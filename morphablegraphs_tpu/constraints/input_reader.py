@@ -90,6 +90,12 @@ def read_input(mg_input: dict, activate_coordinate_transform: bool = True,
     """Parse the constraint input dict (reference
     mg_input_format_reader.py:56-101, :158-185)."""
     if activate_joint_mapping:
+        # Whole-JSON string replace is EXACT reference behavior
+        # (_apply_joint_mapping_on_string, mg_input_format_reader.py:114-117
+        # runs str.replace over the serialized input) — including its quirk
+        # that any string merely containing a mapped name (e.g.
+        # "RightHandIndex1") is rewritten too.  Kept for parity; the flag is
+        # off by default.
         import json as _json
         s = _json.dumps(mg_input)
         for k, v in DEFAULT_JOINT_NAME_MAP.items():

@@ -90,7 +90,12 @@ def parse_unity_constraints(skeleton: Skeleton,
             joint=d["joint"], position=pos, orientation_q=q,
             hold_start=int(d.get("holdStart", 0)),
             hold_end=int(d.get("holdEnd", 0)),
-            mirror_joint=d.get("mirrorJoint")))
+            mirror_joint=d.get("mirrorJoint"),
+            # tool coordinate systems for hold alignment (reference
+            # constraint_builder.py:264-277 reads srcToolCos/destToolCos
+            # axis dicts from the descriptor)
+            src_tool_cos=d.get("srcToolCos"),
+            dest_tool_cos=d.get("destToolCos")))
     return out
 
 

@@ -90,14 +90,26 @@ def build_action_constraints(graph: MotionStateGraph, mg_input: MGInput,
     for idx, spec in enumerate(mg_input.actions):
         acs = ActionConstraintSet(action_name=spec.name)
         acs.annotations = dict(spec.annotations)
-        acs.cycled_next = idx + 1 < len(names) and names[idx + 1] == spec.name
+        # cycles require the group to HAVE cycle states (reference
+        # _detect_action_cycles, action_constraints_builder.py:89-100) —
+        # mere name repetition (walk -> walk, each with its own trajectory)
+        # must NOT truncate the first action to one step
+        group = graph.node_groups.get(spec.name)
+        has_cycle_states = bool(group and group.cycle_states)
+        acs.cycled_next = (has_cycle_states and idx + 1 < len(names)
+                           and names[idx + 1] == spec.name)
         acs.start_pose_position = np.asarray(mg_input.start_pose_position, np.float32)
 
         # root trajectory: the entry for the aligning root joint (reference
         # action_constraints_builder.py:275-321); other joints' trajectories
         # become CA/annotated constraints
         for traj in spec.trajectories:
-            if traj.joint in (root_joint, "Hips"):
+            if (traj.joint in (root_joint, "Hips") and not traj.annotated
+                    and acs.root_trajectory is None):
+                # a CA-ANNOTATED root trajectory is an avoidance region,
+                # not the walking path (matches serve/batch._root_trajectory
+                # and the reference's CA-vs-root split); a second root
+                # trajectory never overwrites the first
                 acs.root_trajectory = spline_path.build(
                     traj.control_points,
                     max_points=compiled.spline_path_max_points(),
@@ -247,7 +259,22 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
         kf = _label_keyframe(graph, node_key, kc.keyframe_label, n_canonical)
         if kf is None:
             continue
-        joint = kc.joint if kc.joint in skeleton.node_names else _aligning_joint(skeleton)
+        if getattr(kc, "look_at", False):
+            # directionConstraints: position is the LOOK-AT target for the
+            # head joint (reference keyframe_constraint_reader.py:185-188 +
+            # LookAtConstraint joint_name='Head', look_at_constraint.py:43)
+            head = "Head" if "Head" in skeleton.node_names else kc.joint
+            if head in skeleton.node_names and not np.any(np.isnan(kc.position)):
+                sc = compiled.set_look_at_constraint(
+                    sc, skeleton, head, kc.position, kf)
+            continue
+        if kc.joint not in skeleton.node_names:
+            # unknown joint (e.g. a ToolEndSite mapping on a skeleton
+            # without tool joints): SKIP rather than silently constraining
+            # the root to an end-effector target (postprocess
+            # apply_ik_constraints skips likewise)
+            continue
+        joint = kc.joint
         quat_wxyz = None
         if not np.any(np.isnan(kc.orientation)):
             from ..models.skeleton import _np_from_euler

@@ -175,6 +175,74 @@ def _ground_window(skeleton: Skeleton, frames: np.ndarray, frame_indices,
     return frames
 
 
+def _leg_joint_mask(skeleton: Skeleton, feet: List[str]) -> np.ndarray:
+    """0/1 mask over animated joints on the root->feet chains (minus root)."""
+    j = skeleton.n_animated
+    mask = np.zeros(j, np.float32)
+    for f in feet:
+        i = skeleton.index_of(f)
+        while i >= 0:
+            name = skeleton.node_names[i]
+            if (name in skeleton.animated_joints
+                    and name != skeleton.animated_joints[0]):
+                mask[skeleton.animated_index_of(name)] = 1.0
+            i = skeleton.parents[i]
+    return mask
+
+
+def ground_stance_swing(skeleton: Skeleton, frames: np.ndarray, cfg: dict,
+                        start_frame: int, end_frame: int,
+                        ground_height: float) -> np.ndarray:
+    """Per-frame stance-foot pinning + swing-foot ground clamp over a step
+    (reference ground_initial_stance_foot,
+    motion_primitive_grounding.py:290-344: the stance foot is held at its
+    first-frame position for every frame of the step — the foot-skate
+    removal the anchors alone don't provide — and the swing foot is clamped
+    when it would penetrate the ground).
+
+    One vmapped DLS-IK launch over the step's frames instead of the
+    reference's per-frame analytical-IK Python loop."""
+    if cfg.get("stance_mode", "none") == "none":
+        return frames
+    stance = _foot_nodes(skeleton, cfg["stance_foot"])
+    swing = _foot_nodes(skeleton, cfg["swing_foot"])
+    if not stance or not swing:
+        return frames
+    end_frame = min(end_frame, len(frames) - 1)
+    if end_frame <= start_frame:
+        return frames
+    frames = frames.copy()
+    seg = jnp.asarray(frames[start_frame: end_frame + 1], jnp.float32)
+    pos = np.asarray(fk_positions(skeleton, seg))  # [T, nodes, 3]
+    t = len(pos)
+    n_c = ik_ops.MAX_IK_CONSTRAINTS
+    targets = np.zeros((t, n_c, 3), np.float32)
+    nodes = np.zeros((t, n_c), np.int32)
+    mask = np.zeros((t, n_c), np.float32)
+    si = skeleton.index_of(stance[0])
+    pin = pos[0, si].copy()
+    pin[1] = ground_height
+    targets[:, 0] = pin
+    nodes[:, 0] = si
+    mask[:, 0] = 1.0
+    wi = skeleton.index_of(swing[0])
+    cur = pos[:, wi].copy()
+    below = cur[:, 1] < ground_height
+    cur[:, 1] = np.maximum(cur[:, 1], ground_height)
+    targets[:, 1] = cur
+    nodes[:, 1] = wi
+    mask[:, 1] = below.astype(np.float32)
+    joint_mask = _leg_joint_mask(skeleton, [stance[0], swing[0]])
+    if not joint_mask.any():
+        return frames
+    edited = np.asarray(jax.vmap(
+        lambda f, nd, tg, mk: ik_ops.solve_ik(
+            skeleton, f, nd, tg, mk, jnp.asarray(joint_mask), n_iters=8))(
+        seg, jnp.asarray(nodes), jnp.asarray(targets), jnp.asarray(mask)))
+    frames[start_frame: end_frame + 1] = edited
+    return frames
+
+
 def ground_step(skeleton: Skeleton, frames: np.ndarray, mp_name: str,
                 start_frame: int, end_frame: int,
                 scene: Optional[SceneInterface] = None) -> np.ndarray:
@@ -184,13 +252,24 @@ def ground_step(skeleton: Skeleton, frames: np.ndarray, mp_name: str,
     if cfg is None:
         return frames
     scene = scene or SceneInterface()
-    h = scene.get_height(float(frames[start_frame][0]), float(frames[start_frame][2]))
+    # terrain height is sampled at EACH anchor's own root position — one
+    # start-frame sample for both anchors plants the end stance foot at the
+    # wrong height on slopes/stairs
+    end_frame = min(end_frame, len(frames) - 1)
+    h_start = scene.get_height(float(frames[start_frame][0]),
+                               float(frames[start_frame][2]))
+    h_end = scene.get_height(float(frames[end_frame][0]),
+                             float(frames[end_frame][2]))
     feet_start = _foot_nodes(skeleton, cfg["start_stance_foot"])
     feet_end = _foot_nodes(skeleton, cfg["end_stance_foot"])
-    frames = _ground_window(skeleton, frames, [start_frame], feet_start, h,
-                            cfg["start_window_size"])
-    frames = _ground_window(skeleton, frames, [min(end_frame, len(frames) - 1)],
-                            feet_end, h, cfg["end_window_size"])
+    frames = _ground_window(skeleton, frames, [start_frame], feet_start,
+                            h_start, cfg["start_window_size"])
+    frames = _ground_window(skeleton, frames, [end_frame], feet_end, h_end,
+                            cfg["end_window_size"])
+    # per-frame stance pin + swing clamp between the anchors (reference
+    # ground_initial_stance_foot — runs for stance_mode != 'none')
+    frames = ground_stance_swing(skeleton, frames, cfg, start_frame,
+                                 end_frame, h_start)
     return frames
 
 

@@ -138,7 +138,6 @@ class MotionGenerator:
                          max_steps: int = 100):
         """reference motion_generator.py:157-199 per-action loop."""
         graph = self.graph
-        group = graph.node_groups[acs.action_name]
         travelled = 0.0
         full_arc = acs.full_arc_length
         arc_of_end = self._end_step_arc_length(acs)
@@ -162,7 +161,7 @@ class MotionGenerator:
                 is_last_step=(next_type == NODE_TYPE_END))
             node_type = graph.nodes[node_key].node_type
             n += 1
-        frames = self._maybe_optimize_globally(steps, frames)
+        frames = self._maybe_optimize_globally(steps, frames, acs)
         return frames, node_key
 
     def _is_end_state(self, node_type, acs, frames, travelled, arc_of_end,
@@ -266,10 +265,22 @@ class MotionGenerator:
                                              self._next_key(), prim, sc,
                                              n_samples=k)
             errs.append(err)
+            # option scoring evaluates k samples per option (reference
+            # planner _evaluate_option; part of the evaluations stat)
+            self._objective_evaluations += k
         # NaN-scoring options (degenerate samples) must never win the argmin
         errs = np.nan_to_num(np.asarray(jax.device_get(errs), np.float64),
                              nan=np.inf)
         return options[int(np.argmin(errs))]
+
+    def _count_constrained_step_evals(self):
+        """Objective-evaluation accounting for one constrained step
+        (reference MotionPrimitiveConstraints.evaluations, SURVEY.md §5):
+        the candidate pool, plus the LM's residual+probe evaluations ONLY
+        when local optimization is actually enabled."""
+        self._objective_evaluations += int(self.config.get("n_random_samples", 100))
+        if self.config.get("local_optimization_mode", "all") != "none":
+            self._objective_evaluations += 2 * int(self.config.get("lm_iterations", 10))
 
     # -- step ----------------------------------------------------------
     def _generate_step(self, acs, node_key, frames, steps, travelled,
@@ -289,8 +300,7 @@ class MotionGenerator:
                 acs.root_trajectory, loco, loco_flags, self.config,
                 cluster_tree=graph.nodes[node_key].cluster_tree)
             err = float(err)
-            self._objective_evaluations += int(self.config.get("n_random_samples", 100))
-            self._objective_evaluations += 2 * int(self.config.get("lm_iterations", 10))
+            self._count_constrained_step_evals()
         else:
             sc = action_builder.build_step_constraints(
                 graph, acs, node_key, travelled, frames, is_last_step,
@@ -306,10 +316,7 @@ class MotionGenerator:
                     self._next_key(), graph.skeleton, prim, sc, self.config,
                     cluster_tree=graph.nodes[node_key].cluster_tree)
                 err = float(err)
-                # objective-evaluation accounting (reference
-                # MotionPrimitiveConstraints.evaluations, SURVEY.md §5)
-                self._objective_evaluations += int(self.config.get("n_random_samples", 100))
-                self._objective_evaluations += 2 * int(self.config.get("lm_iterations", 10))
+                self._count_constrained_step_evals()
             else:
                 s = prim_mod.sample_latent(self._next_key(), prim, 1)[0]
                 err = 0.0
@@ -359,12 +366,24 @@ class MotionGenerator:
         self._step_times.append(time.time() - t_step)
         return frames, travelled, err
 
-    def _maybe_optimize_globally(self, steps, frames):
+    def _maybe_optimize_globally(self, steps, frames, acs=None):
         """Windowed multi-step spatial refinement after an action
         (reference graph_walk_optimizer.py:60-118)."""
         cfg = self.config
-        if cfg.get("global_spatial_optimization_mode", "none") == "none":
+        mode = cfg.get("global_spatial_optimization_mode", "none")
+        if mode == "none":
             return frames
+        # reference _is_optimization_required (graph_walk_optimizer.py:56-58):
+        # mode 'all' optimizes only actions carrying USER constraints;
+        # 'two_hands' only two-hand pick/place actions
+        if acs is not None:
+            if mode == "all" and not acs.contains_user_constraints:
+                return frames
+            if mode == "two_hands" and not acs.contains_two_hands_constraints:
+                return frames
+            if mode == "trajectory_end" and acs.root_trajectory is None:
+                # reference END_POINT branch requires a root trajectory
+                return frames
         settings = cfg["global_spatial_optimization_settings"]
         window = [s for s in steps if s.step_constraints is not None][-int(settings["max_steps"]):]
         if len(window) < 2:

@@ -325,3 +325,101 @@ def test_chain_fk_residuals_match_dense(setup):
             skel, prim, sc, jnp.asarray(s)))
         assert np.any(r_chain != 0.0)
         np.testing.assert_allclose(r_chain, r_dense, atol=1e-3, rtol=1e-4)
+
+
+def test_look_at_constraint_compiled_from_direction_constraints(setup):
+    """directionConstraints: position is the LOOK-AT target for the Head
+    (reference keyframe_constraint_reader.py:185-188 + LookAtConstraint) —
+    must compile to the la slot, not a dead keyframe slot."""
+    from morphablegraphs_tpu.constraints.input_reader import KeyframeConstraintSpec
+    from morphablegraphs_tpu.synthesis import action_builder
+    from morphablegraphs_tpu.utils.config import default_config
+
+    graph, skel, prim = setup
+    acs = action_builder.ActionConstraintSet(action_name="walk")
+    acs.keyframe_constraints["leftStance"] = [KeyframeConstraintSpec(
+        joint="Head", position=np.array([50.0, 100.0, 80.0]),
+        orientation=np.full(3, np.nan), keyframe_label="end", look_at=True)]
+    sc = action_builder.build_step_constraints(
+        graph, acs, ("walk", "leftStance"), 0.0, None, False,
+        default_config())
+    assert float(np.asarray(sc.la_active)) == 1.0
+    assert int(np.asarray(sc.la_node)) == skel.index_of("Head")
+    np.testing.assert_allclose(np.asarray(sc.la_target), [50.0, 100.0, 80.0])
+    # no keyframe slot burned on the look-at desc
+    assert float(np.asarray(sc.kf_active).sum()) == 0.0
+
+
+def test_unknown_joint_keyframe_constraint_skipped(setup):
+    """A keyframe constraint on a joint the skeleton does not have is
+    SKIPPED, not silently rerouted to the root (which would drag the pelvis
+    to an end-effector target)."""
+    from morphablegraphs_tpu.constraints.input_reader import KeyframeConstraintSpec
+    from morphablegraphs_tpu.synthesis import action_builder
+    from morphablegraphs_tpu.utils.config import default_config
+
+    graph, skel, prim = setup
+    acs = action_builder.ActionConstraintSet(action_name="walk")
+    acs.keyframe_constraints["leftStance"] = [KeyframeConstraintSpec(
+        joint="RightToolEndSite", position=np.array([10.0, 120.0, 40.0]),
+        orientation=np.full(3, np.nan), keyframe_label="end")]
+    sc = action_builder.build_step_constraints(
+        graph, acs, ("walk", "leftStance"), 0.0, None, False,
+        default_config())
+    assert float(np.asarray(sc.kf_active).sum()) == 0.0
+
+
+def test_cycled_next_requires_cycle_states(setup):
+    """walk -> walk repetition must NOT set cycled_next when the group has
+    no cycle states (reference _detect_action_cycles gates on
+    has_cycle_states) — otherwise the first action truncates to one step."""
+    from morphablegraphs_tpu.constraints import input_reader
+    from morphablegraphs_tpu.synthesis import action_builder
+    from morphablegraphs_tpu.utils.config import default_config
+
+    graph, skel, prim = setup
+    mg_input = input_reader.read_input({
+        "startPose": {"position": [0, 0, 0], "orientation": [0, 0, 0]},
+        "elementaryActions": [
+            {"action": "walk", "constraints": [{"joint": "Hips",
+                "trajectoryConstraints": [{"position": [0, None, 0]},
+                                          {"position": [5, None, 60]}]}]},
+            {"action": "walk", "constraints": [{"joint": "Hips",
+                "trajectoryConstraints": [{"position": [5, None, 60]},
+                                          {"position": [5, None, 120]}]}]},
+        ]}, activate_coordinate_transform=False)
+    acs_list = action_builder.build_action_constraints(
+        graph, mg_input, default_config())
+    assert not acs_list[0].cycled_next
+    # with cycle states present, repetition DOES set the flag
+    graph.node_groups["walk"].cycle_states = ["leftStance"]
+    try:
+        acs_list2 = action_builder.build_action_constraints(
+            graph, mg_input, default_config())
+        assert acs_list2[0].cycled_next
+    finally:
+        graph.node_groups["walk"].cycle_states = []
+
+
+def test_ca_annotated_root_trajectory_not_walking_path(setup):
+    """A collision-avoidance-annotated trajectory on the ROOT joint is an
+    avoidance region, not the locomotion path."""
+    from morphablegraphs_tpu.constraints import input_reader
+    from morphablegraphs_tpu.synthesis import action_builder
+    from morphablegraphs_tpu.utils.config import default_config
+
+    graph, skel, prim = setup
+    mg_input = input_reader.read_input({
+        "startPose": {"position": [0, 0, 0], "orientation": [0, 0, 0]},
+        "elementaryActions": [
+            {"action": "walk", "constraints": [{"joint": "Hips",
+                "trajectoryConstraints": [
+                    {"position": [0, None, 0],
+                     "semanticAnnotation": {"collisionAvoidance": True}},
+                    {"position": [30, None, 30],
+                     "semanticAnnotation": {"collisionAvoidance": True}}]}]},
+        ]}, activate_coordinate_transform=False)
+    acs_list = action_builder.build_action_constraints(
+        graph, mg_input, default_config())
+    assert acs_list[0].root_trajectory is None
+    assert len(acs_list[0].ca_trajectories) == 1

@@ -175,3 +175,46 @@ def test_solve_ik_leaves_null_space_joints_untouched():
         q = out[slq] / np.linalg.norm(out[slq])
         angle = 2 * np.arccos(min(abs(q[0]), 1.0))
         assert np.degrees(angle) < 0.2, (joint, np.degrees(angle))
+
+
+def test_ground_stance_swing_pins_stance_foot(skel):
+    """Per-frame stance pin (reference ground_initial_stance_foot): the
+    stance foot must stay at its first-frame position through the step
+    instead of sliding with a drifting root."""
+    frames = np.tile(_rest_frame(skel), (20, 1))
+    # root drifts 10 units in x over the step -> without pinning the stance
+    # foot skates with it
+    frames[:, 0] = np.linspace(0.0, 10.0, 20)
+    pos0 = np.asarray(sk.fk_positions(skel, jnp.asarray(frames[0])))
+    ground_h = float(pos0[skel.index_of("RightFoot")][1])
+    cfg = grounding.MP_CONFIGURATIONS["leftStance"]  # stance foot = right
+    out = grounding.ground_stance_swing(skel, frames, cfg, 0, 19, ground_h)
+    pos_all = np.asarray(sk.fk_positions(skel, jnp.asarray(out)))
+    stance_x = pos_all[:, skel.index_of("RightFoot"), 0]
+    before = np.asarray(sk.fk_positions(skel, jnp.asarray(frames)))
+    skate_before = float(np.ptp(before[:, skel.index_of("RightFoot"), 0]))
+    skate_after = float(np.ptp(stance_x))
+    assert skate_before > 8.0  # sanity: foot skated with the root
+    # DLS-IK with leg-only joints can't fully cancel root translation, but
+    # the skate must be strongly reduced
+    assert skate_after < 0.5 * skate_before, (skate_before, skate_after)
+
+
+def test_ground_step_on_slope_uses_per_anchor_heights(skel):
+    """End-anchor grounding samples the terrain at the END position — on a
+    slope the end stance foot lands at the end height, not the start's."""
+    frames = np.tile(_rest_frame(skel), (30, 1))
+    frames[:, 0] = np.linspace(0.0, 50.0, 30)  # walk 50 units in x
+    # keep the body roughly tracking the slope so the anchors only
+    # fine-tune (feet hang ~85 below the hips offset of 90 -> root channel
+    # y = -8 puts feet ~ -3; add the local slope height)
+    frames[:, 1] = -8.0 + 0.2 * frames[:, 0]
+    slope = grounding.SceneInterface(height_fn=lambda x, z: 0.2 * x)
+    # endRightStance: stance_mode 'none' -> anchors only (the stance pin is
+    # exercised separately above; this synthetic 50-unit stride would make
+    # a whole-step pin unreachable for leg-only IK)
+    out = grounding.ground_step(skel, frames, "endRightStance", 0, 29, slope)
+    pos_end = np.asarray(sk.fk_positions(skel, jnp.asarray(out[29])))
+    # end anchors ground BOTH feet near the slope height at x=50 (10 units)
+    end_y = pos_end[skel.index_of("LeftFoot")][1]
+    assert abs(end_y - 0.2 * 50.0) < 3.0, end_y
