@@ -166,7 +166,10 @@ def find_optimal_dtw(point_clouds: Dict, mean_key=None) -> Dict:
         for k in keys:
             path, d = run_dtw(point_clouds[rk], point_clouds[k])
             results[k] = path
-            cost += float(sum(d[c] for c in path))
+            # total path cost IS the final accumulated-DP cell; summing the
+            # cumulative grid along the path grows ~quadratically with path
+            # length and penalizes long references superlinearly
+            cost += float(d[-1, -1])
         if cost < best_cost:
             best_key, best_cost, best_results = rk, cost, results
     return best_results

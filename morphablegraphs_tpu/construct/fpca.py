@@ -90,13 +90,19 @@ def fpca_spatial(motions: np.ndarray, n_basis: int,
     scaled = motions.copy()
     scaled[..., :3] /= scale_vec
     # hemisphere-align quaternions against the first frame of the first
-    # motion (reference align_quaternion_frames, construction/utils.py:162)
+    # motion (reference align_quaternion_frames, construction/utils.py:162).
+    # ONE flip per (sample, joint), decided at frame 0: the loader already
+    # sign-fixed each clip sequentially, so flipping only a suffix of
+    # frames (as a per-frame dot against the fixed ref would for joints
+    # that rotate past 90 degrees mid-clip, e.g. turn primitives) would
+    # reintroduce a q -> -q jump and make the spline fit ring around it.
     ref = scaled[0, 0]
     n_joints = (d - 3) // 4
     for j in range(n_joints):
         sl = slice(3 + 4 * j, 7 + 4 * j)
-        dots = np.sum(scaled[..., sl] * ref[sl], axis=-1)
-        scaled[..., sl] = np.where((dots < 0)[..., None], -scaled[..., sl], scaled[..., sl])
+        dots0 = np.sum(scaled[:, 0, sl] * ref[sl], axis=-1)  # [n_samples]
+        scaled[:, :, sl] = np.where((dots0 < 0)[:, None, None],
+                                    -scaled[:, :, sl], scaled[:, :, sl])
 
     coeffs = fit_functional_data(scaled, n_basis)  # [n, n_basis, D]
     flat = coeffs.reshape(n_samples, n_basis * d)
@@ -126,7 +132,14 @@ class TemporalFPCAData:
 
 
 def monotonic_indices(indices: np.ndarray, epsilon: float = 0.01) -> np.ndarray:
-    """Enforce strict monotonicity (reference fpca_time_semantic.py:84-130)."""
+    """Enforce strict monotonicity with fixed endpoints (reference
+    fpca_time_semantic.py:84-130).
+
+    The reference's forward+backward epsilon passes can leave interior
+    values below w[0] when a long constant run's tail gap is smaller than
+    epsilon * run_length (the backward pass pushes them under the start) —
+    a final check falls back to a linear ramp between the endpoints, which
+    is always strictly monotone."""
     w = np.asarray(indices, np.float64).copy()
     for i in range(1, len(w) - 1):
         while w[i] <= w[i - 1]:
@@ -134,6 +147,8 @@ def monotonic_indices(indices: np.ndarray, epsilon: float = 0.01) -> np.ndarray:
     for i in range(len(w) - 2, 0, -1):
         if w[i] >= w[i + 1]:
             w[i] = w[i + 1] - epsilon
+    if np.any(np.diff(w) <= 0):
+        w = np.linspace(w[0], w[-1], len(w))
     return w
 
 

@@ -26,8 +26,14 @@ def _kmeanspp_init(rng: np.random.Generator, x: np.ndarray, k: int) -> np.ndarra
     centers = [x[rng.integers(n)]]
     for _ in range(1, k):
         d2 = np.min(np.stack([np.sum((x - c) ** 2, axis=1) for c in centers]), axis=0)
-        probs = d2 / max(d2.sum(), 1e-12)
-        centers.append(x[rng.choice(n, p=probs)])
+        total = d2.sum()
+        if total <= 1e-12:
+            # all remaining points coincide with a center (duplicate rows /
+            # k > distinct rows): d2/total would not sum to 1 and
+            # rng.choice raises — fall back to uniform choice
+            centers.append(x[rng.integers(n)])
+            continue
+        centers.append(x[rng.choice(n, p=d2 / total)])
     return np.stack(centers)
 
 

@@ -85,7 +85,9 @@ def split_walk_motion(skeleton: Skeleton, frames: np.ndarray,
     prev = 0
     for k, f in marks:
         if k - prev >= 5:  # ignore degenerate segments
-            stance = "left" if "Right" in f else "right"  # released foot swings
+            # the foot RELEASING at the segment's end mark was in contact
+            # throughout [prev, k) — it is the segment's stance foot
+            stance = "right" if "Right" in f else "left"
             sections.append({"start_idx": prev, "end_idx": k,
                              "stance_foot": stance})
             prev = k
@@ -262,14 +264,20 @@ def find_duplicates(motions: Dict) -> List[list]:
 # ---------------------------------------------------------------------------
 
 def normalize_motion(frames: np.ndarray, ref_orientation=(0.0, -1.0),
-                     zero_height: bool = False) -> np.ndarray:
-    """Translate the root start to the origin and rotate the first frame's
-    heading onto the reference direction (reference MotionNormalization:
-    translate to ground/origin + orientation alignment)."""
+                     zero_height: bool = True) -> np.ndarray:
+    """Rotate the first frame's heading onto the reference direction and
+    translate the root start to the origin (reference MotionNormalization:
+    translate to ground/origin + orientation alignment).
+
+    zero_height=False keeps the clip's original root height (XZ still moves
+    to the origin) — the spatial aligner zeroes all three axes, so the
+    height is restored afterwards."""
     from .constructor import align_frames_spatially
+    frames = np.asarray(frames, np.float64)
+    y0 = float(frames[0, 1])
     out = align_frames_spatially({0: frames}, ref_orientation)[0]
-    if zero_height:
-        out[:, 1] -= out[0, 1]
+    if not zero_height:
+        out[:, 1] += y0
     return out
 
 
@@ -286,7 +294,16 @@ def detect_keyframes_by_pose_distance(skeleton: Skeleton, frames: np.ndarray,
     clouds = np.asarray(fk_positions(skeleton, jnp.asarray(frames, jnp.float32)))
     ref_cloud = np.asarray(fk_positions(skeleton, jnp.asarray(reference_pose, jnp.float32)))
     d = np.asarray(pair_distance(jnp.asarray(clouds), jnp.asarray(ref_cloud)[None]))
-    order = np.argsort(d)
+    # LOCAL minima of the distance curve (endpoints allowed), best-first:
+    # globally-smallest-with-separation would pick two points on the slopes
+    # of one deep valley instead of the true second pose match
+    n = len(d)
+    is_min = np.ones(n, bool)
+    if n > 1:
+        is_min[1:] &= d[1:] <= d[:-1]
+        is_min[:-1] &= d[:-1] <= d[1:]
+    minima = np.flatnonzero(is_min)
+    order = minima[np.argsort(d[minima])]
     picked: List[int] = []
     for i in order:
         if all(abs(int(i) - p) > 10 for p in picked):

@@ -336,3 +336,66 @@ def test_dtw_window_constraints():
     assert path[0] == (0, 0) and path[-1] == (29, 39)
     mask = dtw.window_mask(30, 40, "itakura")
     assert all(mask[i, j] for i, j in path)
+
+
+def test_kmeanspp_duplicate_rows():
+    """Duplicate parameter rows (or k > distinct rows) must not crash
+    kmeans++ init with a probabilities error."""
+    from morphablegraphs_tpu.construct.gmm_trainer import _kmeanspp_init
+    rng = np.random.default_rng(0)
+    x = np.tile(np.array([[1.0, 2.0, 3.0]]), (6, 1))
+    centers = _kmeanspp_init(rng, x, 3)
+    assert centers.shape == (3, 3)
+
+
+def test_monotonic_indices_constant_run():
+    """A long constant run with a tiny tail gap must still come out
+    strictly increasing (the naive backward pass pushes values below
+    w[0])."""
+    from morphablegraphs_tpu.construct.fpca import monotonic_indices
+    w = monotonic_indices(np.array([0.0, 0.0, 0.0, 0.005]))
+    assert np.all(np.diff(w) > 0), w
+    assert w[0] == 0.0 and abs(w[-1] - 0.005) < 1e-12
+
+
+def test_detect_keyframes_local_minima():
+    """Two separated pose matches: the picks must be the two LOCAL minima,
+    not two points on the slopes of the deeper valley."""
+    from morphablegraphs_tpu.construct import preprocessing as pp
+    from morphablegraphs_tpu.models import skeleton as sk
+    from morphablegraphs_tpu.utils.synthetic import TEST_BVH
+    skel, _ = sk.load_bvh(TEST_BVH)
+    rest = np.zeros(skel.n_frame_params, np.float32)
+    rest[3::4] = 1.0
+    frames = np.tile(rest, (80, 1))
+    # bend the Spine joint (pair_distance is rigid-transform invariant, so
+    # root translation would be invisible): deep valley at frame 20
+    # (angle 0), shallower one at frame 60
+    ang = np.full(80, 60.0)
+    ang[:41] = np.abs(np.arange(41) - 20) * 3.0
+    ang[41:] = 20.0 + np.abs(np.arange(41, 80) - 60) * 2.0
+    half = np.deg2rad(ang) / 2
+    sl = skel.quat_slice("Spine")
+    frames[:, sl] = np.stack([np.cos(half), np.zeros(80), np.zeros(80),
+                              np.sin(half)], axis=1)
+    picks = pp.detect_keyframes_by_pose_distance(skel, frames, rest,
+                                                 n_keyframes=2)
+    assert len(picks) == 2
+    assert abs(picks[0] - 20) <= 2 and abs(picks[1] - 60) <= 2, picks
+
+
+def test_split_walk_motion_stance_label(monkeypatch):
+    """The foot releasing at a segment's END mark was planted during the
+    segment — it is the stance foot."""
+    from morphablegraphs_tpu.construct import preprocessing as pp
+    from morphablegraphs_tpu.models import skeleton as sk
+    from morphablegraphs_tpu.utils.synthetic import TEST_BVH
+    skel, _ = sk.load_bvh(TEST_BVH)
+    frames = np.zeros((90, skel.n_frame_params), np.float32)
+    monkeypatch.setattr(pp, "detect_walking_keyframes",
+                        lambda *a, **k: {"RightFoot": [30],
+                                         "LeftFoot": [60]})
+    sections = pp.split_walk_motion(skel, frames)
+    assert sections[0]["stance_foot"] == "right"  # right released at 30
+    assert sections[1]["stance_foot"] == "left"   # left released at 60
+    assert sections[2]["stance_foot"] == "both"   # trailing segment
