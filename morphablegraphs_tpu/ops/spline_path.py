@@ -226,8 +226,15 @@ def closest_point(sp: PathSpline, point: jax.Array,
 
     lo, hi = jax.lax.fori_loop(0, n_refine, body, (lo, hi))
     u_best = 0.5 * (lo + hi)
-    pos = point_at_u(sp, u_best)
     arc = _arc_at_u(sp, u_best)
+    # the refinement searched [i-1, i+1] around the masked argmin, so on a
+    # self-approaching path it can land one cell BELOW min_arc_length; the
+    # advancing guarantee must hold (travelled arc never regresses)
+    min_arc = jnp.asarray(min_arc_length, arc.dtype)
+    clamped = arc < min_arc
+    arc = jnp.maximum(arc, min_arc)
+    u_best = jnp.where(clamped, u_at_arc_length(sp, arc), u_best)
+    pos = point_at_u(sp, u_best)
     d = jnp.sqrt(dist(u_best))
     return pos, arc, d
 
@@ -268,9 +275,9 @@ def closest_points_advancing(sp: PathSpline, points: jax.Array,
         valid = sp.table_arc >= min_arc - 1e-6
         d2m = jnp.where(valid, d2_row, jnp.inf)
         i = jnp.where(jnp.any(valid), jnp.argmin(d2m), gp1 - 1)
-        return jnp.maximum(min_arc, sp.table_arc[i]), i
+        return jnp.maximum(min_arc, sp.table_arc[i]), (i, min_arc)
 
-    _, idx = jax.lax.scan(
+    _, (idx, floors) = jax.lax.scan(
         advance, jnp.asarray(min_arc_length, sp.table_arc.dtype), d2_all)
 
     g = gp1 - 1
@@ -286,8 +293,13 @@ def closest_points_advancing(sp: PathSpline, points: jax.Array,
                        0.0)
     u_best = jnp.clip((idx.astype(points.dtype) + offset) / g, 0.0, 1.0)
 
-    pos = point_at_u(sp, u_best)
     arc = _arc_at_u(sp, u_best)
+    # clamp to each sample's advancing floor: the parabolic refinement can
+    # land up to one cell below it (same guarantee as closest_point)
+    clamped = arc < floors
+    arc = jnp.maximum(arc, floors)
+    u_best = jnp.where(clamped, u_at_arc_length(sp, arc), u_best)
+    pos = point_at_u(sp, u_best)
     d = jnp.sqrt(jnp.sum(((pos - points) * mask_dim) ** 2, axis=-1))
     return pos, arc, d
 

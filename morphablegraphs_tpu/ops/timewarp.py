@@ -88,7 +88,11 @@ def invert_time_function(t_canonical: jax.Array, n_canonical: int,
     >= n_frames are clamped to n_canonical - 1.
     """
     t_end = t_canonical[-2]
-    num = jnp.round(t_end) * (1.0 / speed)
+    # integer interior count, truncated like the reference's
+    # int(round(t[-2]) * (1/speed)) — a fractional num mis-spaces
+    # linspace(1, t_end, num) by up to a third of a canonical frame at
+    # speed != 1
+    num = jnp.floor(jnp.round(t_end) * (1.0 / speed))
     num = jnp.maximum(num, 1.0)
     # + leading 0 and trailing end frame; clamped to the buffer (strong time
     # stretches would otherwise report more frames than the buffer holds)
@@ -111,8 +115,9 @@ def invert_time_function(t_canonical: jax.Array, n_canonical: int,
 
 def linear_time_function(n_canonical: int, max_frames: int, speed: float = 1.0):
     """Canonical (unwarped) timeline: linspace(0, F, F/speed) as in reference
-    motion_primitive.py:233 when time parameters are unused."""
-    num = int(round(n_canonical * (1.0 / speed)))
+    motion_primitive.py:233 when time parameters are unused (int() truncates
+    there, so the count truncates here too)."""
+    num = int(n_canonical * (1.0 / speed))
     i = jnp.arange(max_frames, dtype=jnp.float32)
     vals = i * (float(n_canonical) / max(num - 1, 1))
     vals = jnp.minimum(vals, float(n_canonical - 1))
@@ -145,7 +150,8 @@ def invert_time_function_dynamic(t_canonical: jax.Array, n_canonical: jax.Array,
     """
     f_max = t_canonical.shape[-1]
     t_end = t_canonical[jnp.maximum(n_canonical - 2, 0)]
-    num = jnp.maximum(jnp.round(t_end) * (1.0 / speed), 1.0)
+    # integer interior count, truncated (see invert_time_function)
+    num = jnp.maximum(jnp.floor(jnp.round(t_end) * (1.0 / speed)), 1.0)
     n_frames = jnp.minimum((num + 2.0).astype(jnp.int32), max_frames)
 
     i = jnp.arange(max_frames, dtype=t_canonical.dtype)

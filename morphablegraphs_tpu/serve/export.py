@@ -78,19 +78,18 @@ class AnnotatedMotion:
     def to_unity_format(self, scale: float = 1.0) -> dict:
         skel = self.skeleton
         animated = [n for n in skel.node_names if not n.endswith("_EndSite")]
+        # frame-invariant joint -> quat-slot table, computed ONCE (an
+        # index()/membership scan per frame per joint is O(T*J^2) host work)
+        anim_idx = {n: i for i, n in enumerate(skel.animated_joints)}
+        slots = [anim_idx.get(name, -1) for name in animated]
         unity_frames = []
         for frame in self.frames:
             rotations = []
-            root_t = None
-            for name in skel.node_names:
-                if name.endswith("_EndSite"):
-                    continue
-                if name == skel.node_names[0]:
-                    t = frame[:3] * scale
-                    # right-handed -> Unity left-handed: negate x
-                    root_t = {"x": float(-t[0]), "y": float(t[1]), "z": float(t[2])}
-                if name in skel.animated_joints:
-                    i = skel.animated_index_of(name)
+            t = frame[:3] * scale
+            # right-handed -> Unity left-handed: negate x
+            root_t = {"x": float(-t[0]), "y": float(t[1]), "z": float(t[2])}
+            for i in slots:
+                if i >= 0:
                     r = frame[3 + 4 * i: 7 + 4 * i]
                     rotations.append({"x": float(-r[1]), "y": float(r[2]),
                                       "z": float(r[3]), "w": float(-r[0])})

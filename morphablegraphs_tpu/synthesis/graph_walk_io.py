@@ -77,17 +77,20 @@ def rebuild_frames_from_steps(graph, steps: List[GraphWalkEntry],
         max_f = ((prim.n_canonical_frames * 2 + 31) // 32) * 32
         f, n, _ = prim_mod.back_project(prim, jnp.asarray(step.parameters),
                                         max_frames=max_f, use_time=use_time)
-        f = np.asarray(f)[: int(n)]
         if frames is None:
+            f = np.asarray(f)[: int(n)]
             if start_transform is not None:
                 f = np.asarray(align.transform_frames(jnp.asarray(f),
                                                       *start_transform))
             frames = f
         else:
+            # align the PADDED clip, then slice: slicing first hands
+            # align_clip a different static shape per distinct warped
+            # length and recompiles once per length (motion_generator
+            # _append_padded uses the same pattern)
             aligned = np.asarray(align.align_clip(
-                jnp.asarray(frames[-1], jnp.float32),
-                jnp.asarray(f, jnp.float32), window))
-            frames = np.concatenate([frames, aligned], axis=0)
+                jnp.asarray(frames[-1], jnp.float32), f, window))
+            frames = np.concatenate([frames, aligned[: int(n)]], axis=0)
     return frames if frames is not None else np.zeros((0, 0), np.float32)
 
 

@@ -73,9 +73,9 @@ class HandPoseGenerator:
                                               for j, q in joint_quats.items()})
 
     def _status_for_event(self, event: str, current: str) -> str:
-        """attach -> pick pose, detach -> standard, transfer flips hands
-        (reference handle_event semantics :114-147); an explicit
-        status_change_map from the zip takes precedence."""
+        """attach -> pick pose, detach -> standard (transfer is handled by
+        the caller as a two-hand status SWAP, reference :132-137); an
+        explicit status_change_map from the zip takes precedence."""
         if event in self.status_change_map:
             return self.status_change_map[event]
         if event == "attach":
@@ -97,20 +97,35 @@ class HandPoseGenerator:
         return out
 
     def generate_hand_poses(self, frames: np.ndarray,
-                            events: List[dict]) -> np.ndarray:
+                            events: List[dict],
+                            carry_status: bool = False) -> np.ndarray:
         """Walk the event list, overwrite hand joints per frame, smooth
         transitions (:114-188).
 
         events: [{keyframe, event, parameters: {joint: RightHand|LeftHand}}].
+        carry_status=True starts from the statuses the previous call ended
+        with (streaming chunks: a grasp from chunk 1 persists into chunk 2
+        until a detach); the default resets both hands to 'standard' per
+        call, matching the reference.
         """
         frames = np.asarray(frames, np.float32).copy()
         switch_frames = []
-        status = {"Right": "standard", "Left": "standard"}
+        status = (dict(self.status) if carry_status
+                  else {"Right": "standard", "Left": "standard"})
         changes = sorted(events, key=lambda e: e.get("keyframe", 0))
         ci = 0
         for i in range(len(frames)):
             while ci < len(changes) and changes[ci].get("keyframe", 0) <= i:
                 e = changes[ci]
+                if e.get("event", "") == "transfer":
+                    # transfer SWAPS the two hands' statuses (reference
+                    # generate_hand_poses :132-137) — both get a switch frame
+                    status["Right"], status["Left"] = (status["Left"],
+                                                       status["Right"])
+                    switch_frames.append((i, "Right"))
+                    switch_frames.append((i, "Left"))
+                    ci += 1
+                    continue
                 joint = e.get("parameters", {}).get("joint", "")
                 hand = "Right" if joint.startswith("Right") else "Left"
                 new_status = self._status_for_event(e.get("event", ""), status[hand])

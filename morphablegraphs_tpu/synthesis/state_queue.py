@@ -105,7 +105,11 @@ class MGStateQueue:
         if pose_buffer:
             prev_last = np.asarray(pose_buffer[-1], np.float32).copy()
             if ignore_rotation:
-                prev_last[3:7] = [1, 0, 0, 0]
+                # skip ROTATIONAL alignment (translation-only): make the
+                # aligning heading delta zero by giving prev the new clip's
+                # own root orientation — an identity prev quat would instead
+                # ROTATE the clip to world heading zero
+                prev_last[3:7] = frames[0][3:7]
             aligned = np.asarray(align.align_clip(
                 jnp.asarray(prev_last), jnp.asarray(frames), self.blend_window))
         else:
@@ -131,7 +135,6 @@ class MGStateQueue:
         window = window or self.blend_window
         n = len(frames)
         target_angle = float(np.arctan2(target_dir_xz[0], target_dir_xz[1]))
-        q_target_final = None
         for i in range(max(n - window, 0), n):
             t = (i - (n - window)) / max(window - 1, 1)
             cur_q = jnp.asarray(frames[i, 3:7])

@@ -75,9 +75,15 @@ def back_project_node(g: StackedGraph, node_id: jax.Array, s: jax.Array,
         t_fn, n_frames = timewarp.invert_time_function_dynamic(
             t_can, n_can, max_frames, speed)
     else:
+        # linspace(0, F, F/speed) timeline, traced-n_can twin of
+        # timewarp.linear_time_function (the i = frame-index shortcut
+        # ignored `speed` and differed from primitive.back_project by up to
+        # ~1 canonical frame near clip ends)
+        n_can_f = n_can.astype(jnp.float32)
+        num = jnp.maximum(jnp.floor(n_can_f * (1.0 / speed)), 2.0)
         i = jnp.arange(max_frames, dtype=jnp.float32)
-        t_fn = jnp.minimum(i, (n_can - 1).astype(jnp.float32))
-        n_frames = jnp.minimum(n_can, max_frames)
+        t_fn = jnp.minimum(i * (n_can_f / (num - 1.0)), n_can_f - 1.0)
+        n_frames = jnp.minimum(num.astype(jnp.int32), max_frames)
     frames = bspline.evaluate(coeffs, g.knots_s[node_id], t_fn)
     return frames, n_frames, t_fn
 

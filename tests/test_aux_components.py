@@ -554,3 +554,66 @@ def test_plain_height_grid_true_heights():
     # bilinear midpoint of the 2x2 grid = mean of the four TRUE heights
     # (pixel /255 semantics would give 1.5/255 here)
     assert abs(scene.get_height(0.5, 0.5) - 1.5) < 1e-9
+
+
+def test_hand_pose_transfer_swaps_hands():
+    """A 'transfer' event SWAPS the two hands' statuses (reference
+    generate_hand_poses :132-137) — the receiving hand gets the pose, the
+    giving hand returns to standard."""
+    from morphablegraphs_tpu.synthesis.hand_pose import HandPoseGenerator
+    skel, _ = sk.load_bvh(WALK_BVH)
+    gen = HandPoseGenerator(skel, smoothing_window=0)
+    grip = np.array([0.0, 0.0, 1.0, 0.0], np.float32)
+    gen.add_pose("pick", {"RightLeg": grip, "LeftLeg": grip})
+    frames = np.zeros((30, skel.n_frame_params), np.float32)
+    for j in range(skel.n_animated):
+        frames[:, 3 + 4 * j] = 1.0
+    events = [
+        {"keyframe": 5, "event": "attach",
+         "parameters": {"joint": "RightLeg"}},
+        {"keyframe": 15, "event": "transfer",
+         "parameters": {"joint": "LeftLeg"}},
+    ]
+    out = gen.generate_hand_poses(frames, events)
+    r, l = skel.quat_slice("RightLeg"), skel.quat_slice("LeftLeg")
+    np.testing.assert_allclose(out[10, r], grip, atol=1e-5)  # right holds
+    np.testing.assert_allclose(out[10, l], [1, 0, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(out[25, l], grip, atol=1e-5)  # left received
+    np.testing.assert_allclose(out[25, r], [1, 0, 0, 0], atol=1e-5)
+    # carry_status: a new chunk with no events keeps the left grasp
+    out2 = gen.generate_hand_poses(frames, [], carry_status=True)
+    np.testing.assert_allclose(out2[0, l], grip, atol=1e-5)
+
+
+def test_build_state_ignore_rotation_keeps_heading():
+    """ignore_rotation must SKIP rotational alignment (translation only),
+    not rotate the clip to world heading zero."""
+    from morphablegraphs_tpu.synthesis.state_queue import MGStateQueue
+    from morphablegraphs_tpu.ops import align as align_ops
+    skel, _ = sk.load_bvh(WALK_BVH)
+    q = MGStateQueue(skel, 1.0 / 30, blend_window=2, buffer_size=10)
+    # prev pose faces +X (90 deg about Y); new clip faces 45 deg
+    prev = np.zeros(skel.n_frame_params, np.float32)
+    prev[3::4] = 1.0
+    half = np.deg2rad(90) / 2
+    prev[3:7] = [np.cos(half), 0, np.sin(half), 0]
+    frames = np.zeros((5, skel.n_frame_params), np.float32)
+    frames[:, 3::4] = 1.0
+    half2 = np.deg2rad(45) / 2
+    frames[:, 3:7] = np.array([np.cos(half2), 0, np.sin(half2), 0])
+    state = q.build_state(frames, [prev], ignore_rotation=True)
+    # read past the blend window: heading must stay at the clip's own 45deg
+    a_out = float(align_ops.heading_angle(jnp.asarray(state.frames[4][3:7])))
+    assert abs(a_out - np.deg2rad(45)) < 1e-3, np.rad2deg(a_out)
+
+
+def test_closest_point_advancing_clamp():
+    """closest_point never returns an arc below min_arc_length, even when
+    the true closest point lies just behind it."""
+    from morphablegraphs_tpu.ops import spline_path
+    sp = spline_path.build(np.array([[0.0, 0, 0], [100.0, 0, 0]], np.float32))
+    # query point near arc 50; min_arc ahead of it
+    pos, arc, d = spline_path.closest_point(sp, jnp.asarray([50.0, 0, 0.0]),
+                                            min_arc_length=60.0)
+    assert float(arc) >= 60.0 - 1e-4, float(arc)
+    np.testing.assert_allclose(np.asarray(pos)[0], 60.0, atol=1.5)

@@ -146,8 +146,12 @@ def test_closest_points_advancing_matches_sequential():
     _, arcs_b, d_b = spline_path.closest_points_advancing(sp, q, 0.0)
     cell = float(np.asarray(sp.full_arc_length)) / (sp.table_arc.shape[0] - 1)
     assert float(jnp.max(jnp.abs(arcs_seq - arcs_b))) < 2 * cell
-    # parabolic sub-cell refinement vs the 8-iteration ternary loop
-    np.testing.assert_allclose(np.asarray(d_seq), np.asarray(d_b), atol=1e-2)
+    # parabolic sub-cell refinement vs the 8-iteration ternary loop; the
+    # advancing floors differ sub-cell (sequential floors on the refined
+    # arc, batch on the table arc), so clamped samples may differ by up to
+    # a fraction of a table cell
+    np.testing.assert_allclose(np.asarray(d_seq), np.asarray(d_b),
+                               atol=0.5 * cell)
 
 
 def test_closest_points_advancing_monotone_arcs():
