@@ -38,8 +38,11 @@ def kmeans(rng: np.random.Generator, x: np.ndarray, k: int,
     centers = [x[rng.integers(n)]]
     for _ in range(1, k):
         d2 = np.min(np.stack([np.sum((x - c) ** 2, axis=1) for c in centers]), axis=0)
-        p = d2 / max(d2.sum(), 1e-12)
-        centers.append(x[rng.choice(n, p=p)])
+        total = d2.sum()
+        if total <= 1e-12:  # duplicate rows: probabilities would not sum to 1
+            centers.append(x[rng.integers(n)])
+            continue
+        centers.append(x[rng.choice(n, p=d2 / total)])
     c = np.stack(centers).astype(np.float64)
     xs = np.asarray(x, np.float64)
     # numpy Lloyd iterations: construction-time host work; dispatching tiny
@@ -94,9 +97,15 @@ def knn_interpolation(objective_batched: Callable[[jax.Array], jax.Array],
     neg_best, idx = jax.lax.top_k(-errors, k)   # ascending errors
     best = -neg_best
     pts = data[idx]
-    influence = 1.0 / best[:-1] - 1.0 / best[-1]
-    weights = influence / jnp.sum(influence)
-    blended = weights @ pts[:-1]
+    # degenerate weight mass: a zero best error (1/0) or all-equal errors
+    # (influence sums to 0) would blend to NaN — fall back to the single
+    # best sample, like the k == 1 path
+    safe = jnp.maximum(best, 1e-12)
+    influence = 1.0 / safe[:-1] - 1.0 / safe[-1]
+    total = jnp.sum(influence)
+    degenerate = (best[0] <= 1e-12) | (total <= 1e-12)
+    weights = influence / jnp.where(degenerate, 1.0, total)
+    blended = jnp.where(degenerate, pts[0], weights @ pts[:-1])
     err = objective_batched(blended[None])[0]
     return err, blended
 
@@ -148,10 +157,11 @@ class ClusterTree:
         return TreeNode(mean=mean, indices=indices, children=children)
 
     # -- search (reference cluster_tree.py:117-149 beam search) -----------
-    def find_best_example(self, objective_batched, n_candidates: int = 4):
-        """Beam search: keep the n_candidates best clusters per level by
-        evaluating cluster means as one batch; at the leaves evaluate all
-        member samples as one batch.  Returns (error, sample)."""
+    def _beam_leaf_indices(self, objective_batched,
+                           n_candidates: int) -> np.ndarray:
+        """Beam-search descent shared by both search entry points: keep the
+        n_candidates best clusters per level (means evaluated as one
+        batch), return the surviving leaves' sample indices."""
         frontier = [self.root]
         leaves: List[TreeNode] = []
         while frontier:
@@ -167,10 +177,15 @@ class ClusterTree:
             errs = np.asarray(objective_batched(means))
             order = np.argsort(errs)[: self.n_candidates_effective(n_candidates, len(children))]
             frontier = [children[i] for i in order]
-        # evaluate all samples of the surviving leaves in one batch
         if not leaves:
             leaves = frontier
-        idx = np.concatenate([l.indices for l in leaves])
+        return np.concatenate([l.indices for l in leaves])
+
+    def find_best_example(self, objective_batched, n_candidates: int = 4):
+        """Beam search: keep the n_candidates best clusters per level by
+        evaluating cluster means as one batch; at the leaves evaluate all
+        member samples as one batch.  Returns (error, sample)."""
+        idx = self._beam_leaf_indices(objective_batched, n_candidates)
         cand = jnp.asarray(self.data[idx])
         errs = np.asarray(objective_batched(cand))
         i = int(np.argmin(errs))
@@ -183,24 +198,7 @@ class ClusterTree:
         cluster_tree.py:189-215 find_best_example_excluding_search_candidates_knn
         + cluster_tree_node.py:52-61 find_best_example_knn).
         Returns (error, blended_sample)."""
-        frontier = [self.root]
-        leaves: List[TreeNode] = []
-        while frontier:
-            children = []
-            for node in frontier:
-                if node.is_leaf:
-                    leaves.append(node)
-                else:
-                    children.extend(node.children)
-            if not children:
-                break
-            means = jnp.asarray(np.stack([c.mean for c in children]))
-            errs = np.asarray(objective_batched(means))
-            order = np.argsort(errs)[: self.n_candidates_effective(n_candidates, len(children))]
-            frontier = [children[i] for i in order]
-        if not leaves:
-            leaves = frontier
-        idx = np.concatenate([l.indices for l in leaves])
+        idx = self._beam_leaf_indices(objective_batched, n_candidates)
         err, blended = knn_interpolation(objective_batched,
                                          jnp.asarray(self.data[idx]), k=k)
         return float(err), np.asarray(blended)

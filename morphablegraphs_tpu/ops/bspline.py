@@ -99,9 +99,10 @@ def fit_coeffs(y: jax.Array, knots: jax.Array, t: jax.Array,
     """Least-squares B-spline fit: solve min ||B(t) @ C - y||² for C.
 
     Replaces scipy `splrep` in the construction pipeline (reference
-    construction/fpca/pca_functional_data.py:74-120) with a normal-equations
-    solve — a batched matmul + Cholesky, MXU-friendly, and exact when the
-    basis has full column rank (n_samples >= n_basis).
+    construction/fpca/pca_functional_data.py:74-120) with a QR least-squares
+    solve (NOT normal equations: the Gram matrix squares the basis condition
+    number, costing ~1e-3 in f32 round-trips), exact when the basis has full
+    column rank (n_samples >= n_basis).
 
     y: [T, n_channels] samples at times t: [T] -> coeffs [n_basis, n_channels]
     (the basis width comes from the knot vector).

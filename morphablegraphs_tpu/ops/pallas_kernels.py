@@ -94,7 +94,9 @@ def crowd_back_project(alphas: jax.Array, eigen: jax.Array, mean: jax.Array,
     mean_p = jnp.zeros((n_basis, LANE), jnp.float32)
     mean_p = mean_p.at[:, :n_dim].set(mean.reshape(n_basis, n_dim))
     mean_p = mean_p.reshape(1, n_basis * LANE)
-    assert c % SUBLANE == 0, f"pad characters to a multiple of {SUBLANE}"
+    if c % SUBLANE != 0:  # ValueError: must survive python -O (silent
+        # truncation of the grid would leave tail blocks unwritten)
+        raise ValueError(f"pad characters to a multiple of {SUBLANE}")
     out = pl.pallas_call(
         _back_project_kernel,
         grid=(c // SUBLANE,),
@@ -164,7 +166,8 @@ def gmm_scores(x: jax.Array, weights: jax.Array, means: jax.Array,
     """Mixture log-likelihood of candidates x [N, D] -> [N]."""
     n, d = x.shape
     k = means.shape[0]
-    assert n % block_n == 0, f"pad candidates to a multiple of {block_n}"
+    if n % block_n != 0:
+        raise ValueError(f"pad candidates to a multiple of {block_n}")
     log_det = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(prec_chol, axis1=-2, axis2=-1))), -1)
     logw = (jnp.log(jnp.maximum(weights, 1e-30)) + log_det).reshape(1, k)
     out = pl.pallas_call(
@@ -407,7 +410,8 @@ def score_locomotion_candidates(mop: jax.Array, alphas: jax.Array,
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
     n, k = alphas.shape
-    assert n % N_BLK == 0, f"pad candidates to a multiple of {N_BLK}"
+    if n % N_BLK != 0:
+        raise ValueError(f"pad candidates to a multiple of {N_BLK}")
     a1 = jnp.concatenate([alphas, jnp.ones((n, 1), alphas.dtype)],
                          axis=1).T  # [K+1, N]
     g8 = table.shape[0]
@@ -432,11 +436,19 @@ def score_locomotion_candidates(mop: jax.Array, alphas: jax.Array,
     return out[0]
 
 
-def pack_path_table(sp) -> jax.Array:
+def pack_path_table(sp, root_offset=None) -> jax.Array:
     """Pack a PathSpline's arc table for the selection kernel:
-    [G8, 128] with cols 0..2 = dim-masked points, 3 = arc, 4 = validity,
-    5..7 = the dim mask itself (so the kernel can mask candidate points)."""
+    [G8, 128] with cols 0..2 = dim-masked points (shifted by -root_offset),
+    3 = arc, 4 = validity.  (The candidate dim mask lives in cfg slots
+    22..24, not in this table.)
+
+    root_offset: the skeleton's root OFFSET (fk_root adds it to the frame
+    translation: pos = offsets[0] + t).  The kernel works on raw frame
+    translations, so the table points are shifted by -offset to keep its
+    distances identical to the exact evaluator's."""
     pts = sp.table_points  # [G+1, 3]
+    if root_offset is not None:
+        pts = pts - jnp.asarray(root_offset, pts.dtype)
     arc = sp.table_arc  # [G+1]
     mask = jnp.where(sp.unconstrained, 0.0, 1.0)  # [3]
     g1 = pts.shape[0]
@@ -452,13 +464,24 @@ def pack_selection_cfg(sp, a_prev, prev_pos, start_theta, start_delta,
                        has_prev, goal_pos, dir_target, min_arc,
                        kf_active=1.0, kf_weight=1.0, dir_active=1.0,
                        dir_weight=0.8, traj_active=1.0, traj_weight=1.0,
-                       range_lo=-1e30, range_hi=1e30) -> jax.Array:
+                       range_lo=-1e30, range_hi=1e30,
+                       root_offset=None) -> jax.Array:
     """Pack the per-step scalars for the selection kernel (see
     _score_loco_kernel's cfg layout); sp is the PathSpline the table was
-    packed from (dim mask + end snap constants)."""
+    packed from (dim mask + end snap constants).
+
+    root_offset shifts the goal and the end-snap point by -offset so the
+    kernel's raw-frame-translation residuals match the exact evaluator's
+    fk_root positions (pos = offsets[0] + t); pass the same value given to
+    pack_path_table."""
     a_dir = jnp.arctan2(dir_target[0], dir_target[1])
     mask = jnp.where(sp.unconstrained, 0.0, 1.0)
-    end_pt = sp.table_points[-1] * mask
+    end_raw = sp.table_points[-1]
+    if root_offset is not None:
+        off = jnp.asarray(root_offset, end_raw.dtype)
+        end_raw = end_raw - off
+        goal_pos = goal_pos - off
+    end_pt = end_raw * mask
     vals = [jnp.cos(a_prev), prev_pos[0], prev_pos[1], prev_pos[2],
             jnp.cos(start_theta),
             start_delta[0], start_delta[1], start_delta[2], has_prev,

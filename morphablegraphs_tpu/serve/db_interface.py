@@ -111,7 +111,10 @@ def align_motion_data_in_db(url: str, collection_id, skeleton_name: str,
                             skeleton, constructor_config: Optional[dict] = None,
                             session: Optional[dict] = None):
     """Download a collection's motions, run spatial+temporal alignment, and
-    return the aligned frames + warps (reference align_motion_data :178)."""
+    return the aligned frames + warps (reference align_motion_data :178).
+
+    constructor_config: optional {"ref_orientation": (x, z),
+    "mean_key": motion id} alignment options."""
     from ..construct.constructor import (align_frames_spatially,
                                          align_frames_temporally)
     motion_list = get_motion_list_from_remote_db(url, collection_id, skeleton_name,
@@ -123,8 +126,11 @@ def align_motion_data_in_db(url: str, collection_id, skeleton_name: str,
             motions[entry["id"]] = np.asarray(m["frames"], np.float64)
     if not motions:
         return None, None
-    aligned = align_frames_spatially(motions)
-    return align_frames_temporally(skeleton, aligned)
+    cfg = constructor_config or {}
+    aligned = align_frames_spatially(
+        motions, ref_orientation=cfg.get("ref_orientation", (0.0, -1.0)))
+    return align_frames_temporally(skeleton, aligned,
+                                   mean_key=cfg.get("mean_key"))
 
 
 def create_motion_model_in_db(url: str, collection_id, skeleton_name: str,

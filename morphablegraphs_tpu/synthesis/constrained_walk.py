@@ -338,7 +338,12 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
             raise ValueError(
                 "pallas_selection scores the locomotion goal only; the "
                 "half-step keyframe slot would be ignored during ranking")
-        path_table = pk.pack_path_table(path)  # constant across scan steps
+        # fk_root adds the skeleton's root offset to frame translations;
+        # shift the kernel's goal/table by -offset so its raw-translation
+        # residuals equal the exact evaluator's
+        root_off = jnp.asarray(skeleton.offsets[0], jnp.float32)
+        path_table = pk.pack_path_table(path, root_offset=root_off)
+        # constant across scan steps
 
     init = FullWalkState(
         node_id=jnp.asarray(start_id, jnp.int32),
@@ -393,9 +398,11 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                 goal_frame=n_can_f - 1.0, dir_frame=n_can_f - 1.0,
                 n_canonical=n_can_f)
             a_prev = align.heading_angle(state.prev_last[3:7])
+            # step 0 uses the user start pose, exactly like the evaluator
+            a_start = align.heading_angle(sc.start_q)
             cfg = pk.pack_selection_cfg(
                 path, a_prev, state.prev_last[:3],
-                start_theta=jnp.asarray(0.0), start_delta=jnp.zeros(3),
+                start_theta=a_start, start_delta=sc.start_delta,
                 has_prev=has_prev, goal_pos=goal_pos, dir_target=goal_dir,
                 min_arc=state.travelled, kf_weight=pos_weight,
                 dir_weight=dir_weight,
@@ -403,7 +410,8 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                 traj_weight=traj_weight,
                 # user active ranges must gate the kernel's trajectory
                 # residuals exactly like the XLA scorer's sc.traj_range_*
-                range_lo=sc.traj_range_start, range_hi=sc.traj_range_end)
+                range_lo=sc.traj_range_start, range_hi=sc.traj_range_end,
+                root_offset=root_off)
             errors = pk.score_locomotion_candidates(
                 mop, samples[:, : g.k_s_max], path_table, cfg)
             best = jnp.argmin(errors)

@@ -371,3 +371,35 @@ def test_pallas_selection_honors_trajectory_active_range():
     np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
     np.testing.assert_allclose(np.asarray(errs_p), np.asarray(errs_x),
                                atol=0.5, rtol=0.05)
+
+
+def test_pallas_selection_root_offset_and_start_pose_parity():
+    """The fused selection kernel must match the XLA evaluator when (a) the
+    skeleton's root offset lands in a CONSTRAINED dimension (fk_root adds
+    offsets[0] to frame translations; the kernel works on raw translations)
+    and (b) a user start pose sets the step-0 aligning transform."""
+    skel, graph, stacked, _ = _setup("toy")
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    n_steps = 3
+    # path with NO unconstrained dims: the Y root offset (90) must cancel
+    # identically in both scorers
+    path = spline_path.build(
+        np.array([[0.0, 90.0, 0], [10.0, 90.0, 60], [15.0, 90.0, 120]],
+                 np.float32))
+    base = compiled.empty_step_constraints(skel, 0)
+    base = compiled.set_alignment_from_start_pose(base, [25.0, 0.0, -10.0],
+                                                  40.0)
+    step_scs = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (n_steps,) + np.shape(x)),
+        base)
+    kw = dict(n_steps=n_steps, step_scs=step_scs, max_step_frames=64,
+              n_samples=128, window=10, lm_iters=0)
+    _, _, ids_x, errs_x = cw.constrained_walk_full(
+        skel, jax.random.PRNGKey(11), stacked, path,
+        jnp.asarray(start, jnp.int32), pallas_selection=False, **kw)
+    _, _, ids_p, errs_p = cw.constrained_walk_full(
+        skel, jax.random.PRNGKey(11), stacked, path,
+        jnp.asarray(start, jnp.int32), pallas_selection=True, **kw)
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
+    np.testing.assert_allclose(np.asarray(errs_p), np.asarray(errs_x),
+                               atol=0.5, rtol=0.05)
