@@ -76,6 +76,8 @@ class BVHAnalyzer:
     def joint_speed(self, joint: str) -> np.ndarray:
         p = self._p(joint)
         v = np.linalg.norm(np.diff(p, axis=0), axis=1)
+        if v.size == 0:  # single-frame motion: length-T (== 1), not empty
+            return np.zeros(len(p))
         return np.concatenate([v, v[-1:]])
 
     def joint_distance(self, a: str, b: str) -> np.ndarray:
@@ -185,12 +187,18 @@ class BVHAnalyzer:
         there; semantics follow its docstring)."""
         d = self.feet_distance_on_ground()
         towards = np.diff(d) < 0
+        if towards.size == 0:  # single-frame motion
+            return np.zeros(len(d), bool)
         return np.concatenate([towards[:1], towards])
 
     def body_planes(self) -> "tuple[np.ndarray, np.ndarray]":
         """Per-frame body plane (normals [T,3], points [T,3]) fit through the
         torso joints in root-relative coordinates (reference get_body_plane
-        :278: Hips, Spine, shoulders, up-legs)."""
+        :278: Hips, Spine, shoulders, up-legs).  Cached: positions are
+        immutable after __init__ and the batched SVD is the analyzer's most
+        expensive call (feature_vector hits it once per hand)."""
+        if getattr(self, "_body_planes", None) is not None:
+            return self._body_planes
         names = [n for n in ["Hips", "Spine", "LeftShoulder", "RightShoulder",
                              "LeftUpLeg", "RightUpLeg"]
                  if n in self.skeleton.node_names]
@@ -201,7 +209,8 @@ class BVHAnalyzer:
         normals = vt[:, -1]
         normals /= np.maximum(np.linalg.norm(normals, axis=1, keepdims=True),
                               1e-12)
-        return normals, centroid[:, 0]
+        self._body_planes = (normals, centroid[:, 0])
+        return self._body_planes
 
     def joint_distance_to_body(self, joint: str) -> np.ndarray:
         """Signed distance of a joint to the per-frame body plane (reference

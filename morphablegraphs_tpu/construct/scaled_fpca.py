@@ -48,14 +48,17 @@ def expand_weights(weights: jax.Array, n_joints: int) -> jax.Array:
     return jnp.concatenate([root, joints])
 
 
-def _pca_reconstruct(flat: jax.Array, npc: int) -> jax.Array:
-    """Center -> SVD -> keep npc components -> back-project (differentiable)."""
+def _pca_reconstruct(flat: jax.Array, npc: int):
+    """Center -> SVD -> keep npc components -> back-project (differentiable).
+
+    Returns (projections [n, npc], reconstruction [n, D])."""
     mean = jnp.mean(flat, axis=0)
     x = flat - mean
     _, _, vt = jnp.linalg.svd(x, full_matrices=False)
     v = vt[:npc].T  # [D, npc]
     proj = jnp.matmul(x, v, precision=jax.lax.Precision.HIGHEST)
-    return jnp.matmul(proj, v.T, precision=jax.lax.Precision.HIGHEST) + mean
+    recon = jnp.matmul(proj, v.T, precision=jax.lax.Precision.HIGHEST) + mean
+    return proj, recon
 
 
 @functools.partial(jax.jit, static_argnames=("skeleton", "npc", "n_eval"))
@@ -73,7 +76,8 @@ def sfpca_objective(weights: jax.Array, coeffs: jax.Array, knots: jax.Array,
     ext = expand_weights(weights, n_joints)
 
     weighted = (coeffs * ext).reshape(n, b * d)
-    recon = _pca_reconstruct(weighted, npc).reshape(n, b, d) / ext
+    _, recon_flat = _pca_reconstruct(weighted, npc)
+    recon = recon_flat.reshape(n, b, d) / ext
 
     t = jnp.linspace(knots[3], knots[-4], n_eval)
     frames_ref = jax.vmap(lambda c: bspline.evaluate(c, knots, t))(coeffs)
@@ -120,11 +124,16 @@ def optimize_weights(coeffs: np.ndarray, knots: np.ndarray, skeleton: Skeleton,
     knots_j = jnp.asarray(knots, jnp.float32)
     if init is None:
         init = heuristic_initialization(coeffs, knots, skeleton, npc)
-    # inverse softplus so the optimization starts exactly at `init`
-    theta = jnp.asarray(np.log(np.expm1(np.maximum(init, 1e-4))), jnp.float32)
+    # inverse of the FULL parameterization w = softplus(theta) + 1e-4 so
+    # the optimization starts EXACTLY at `init` (inverting softplus alone
+    # started it at init + 1e-4, off from the value the heuristic
+    # initialization was scored at)
+    init_arr = np.maximum(np.asarray(init, np.float64), 2e-4)
+    theta = jnp.asarray(np.log(np.expm1(init_arr - 1e-4)), jnp.float32)
 
     def loss(th):
-        w = jax.nn.softplus(th) + 1e-4
+        w = jax.nn.softplus(th) + 1e-4  # lower bound (reference bounds
+        #                                 (1e-4, inf), scaled_fpca.py:107)
         return sfpca_objective(w, coeffs_j, knots_j, skeleton, npc)
 
     opt = optax.adam(learning_rate)
@@ -167,15 +176,16 @@ class ScaledFunctionalPCA:
 
     def fit(self):
         """Weighted PCA with the current weights; returns (projection
-        [n, npc], reconstruction [n, n_basis, D])."""
+        [n, npc], reconstruction [n, n_basis, D]).
+
+        Runs the SAME weighting -> PCA -> back-projection sequence as the
+        optimization objective (_pca_reconstruct), so the returned
+        reconstruction is exactly what the optimized weights were scored
+        against."""
         n, b, d = self.data.shape
         n_joints = (d - LEN_CARTESIAN) // LEN_QUAT
-        ext = np.asarray(expand_weights(jnp.asarray(self.weight_vec), n_joints))
-        weighted = (self.data * ext).reshape(n, b * d)
-        mean = weighted.mean(axis=0)
-        x = weighted - mean
-        _, _, vt = np.linalg.svd(x, full_matrices=False)
-        v = vt[: self.npc].T
-        proj = x @ v
-        recon = ((proj @ v.T + mean).reshape(n, b, d)) / ext
-        return proj, recon
+        ext = expand_weights(jnp.asarray(self.weight_vec), n_joints)
+        weighted = (jnp.asarray(self.data, jnp.float32) * ext).reshape(n, b * d)
+        proj, recon_flat = _pca_reconstruct(weighted, self.npc)
+        recon = recon_flat.reshape(n, b, d) / ext
+        return np.asarray(proj), np.asarray(recon)

@@ -45,19 +45,25 @@ class Skeleton:
     # per-animated-joint importance weights (anim_utils skeleton
     # joint_weight_map, consumed by pose constraints); empty = all 1.0
     joint_weights: tuple = ()
+    # per-node REST rotations (wxyz tuples) from skeleton.json 'rotation'
+    # fields: FK applies them as the local rotation of NON-animated joints
+    # (animated joints' frames carry the full rotation).  Empty = identity.
+    rest_rotations: tuple = ()
 
     def __post_init__(self):
         object.__setattr__(self, "offsets", np.asarray(self.offsets, np.float32))
 
     def __hash__(self):
-        return hash((self.node_names, self.parents, self.animated_joints))
+        return hash((self.node_names, self.parents, self.animated_joints,
+                     self.rest_rotations))
 
     def __eq__(self, other):
         return (isinstance(other, Skeleton)
                 and self.node_names == other.node_names
                 and self.parents == other.parents
                 and np.array_equal(self.offsets, other.offsets)
-                and self.animated_joints == other.animated_joints)
+                and self.animated_joints == other.animated_joints
+                and self.rest_rotations == other.rest_rotations)
 
     @property
     def n_nodes(self) -> int:
@@ -228,6 +234,7 @@ def load_skeleton_json(data: dict) -> Skeleton:
     parents: List[int] = []
     offsets: List[list] = []
     channels: List[tuple] = []
+    rests: List[tuple] = []
     animated = tuple(data.get("animated_joints", ()))
 
     def visit(name: str, parent_idx: int):
@@ -236,6 +243,11 @@ def load_skeleton_json(data: dict) -> Skeleton:
         names.append(name)
         parents.append(parent_idx)
         offsets.append(list(nd.get("offset", (0.0, 0.0, 0.0))))
+        # per-node rest rotation (anim_utils skeleton.json 'rotation'):
+        # applied by FK as the fixed local rotation of non-animated joints
+        rot = nd.get("rotation")
+        rests.append(tuple(float(v) for v in rot) if rot is not None
+                     else (1.0, 0.0, 0.0, 0.0))
         chans = nd.get("channels")
         if chans is None:
             chans = (("Xposition", "Yposition", "Zposition",
@@ -254,9 +266,12 @@ def load_skeleton_json(data: dict) -> Skeleton:
                          if any(ch.endswith("rotation") for ch in c))
     else:
         animated = tuple(n for n in names if n in animated)  # DFS order
+    identity = (1.0, 0.0, 0.0, 0.0)
+    rest_tuple = (tuple(rests) if any(r != identity for r in rests) else ())
     return Skeleton(tuple(names), tuple(parents),
                     np.asarray(offsets, np.float32), tuple(channels),
-                    animated, float(data.get("frame_time", 1.0 / 30)))
+                    animated, float(data.get("frame_time", 1.0 / 30)),
+                    rest_rotations=rest_tuple)
 
 
 def _rotation_order(chans: Sequence[str]) -> str:
@@ -335,29 +350,21 @@ def quat_frames_to_bvh(skel: Skeleton, quat_frames: np.ndarray) -> np.ndarray:
     quat_frames = np.asarray(quat_frames)
     t = quat_frames.shape[0]
     cols = []
-    ai = 0
     for name, chans in zip(skel.node_names, skel.node_channels):
         if len(chans) == 0:
             continue
-        pos_cols = [c for c in chans if c.endswith("position")]
         rot_chans = [c for c in chans if c.endswith("rotation")]
         vals = np.zeros((t, len(chans)), np.float64)
-        ci = 0
-        for c in chans:
-            if c.endswith("position"):
-                axis = "XYZ".index(c[0])
-                if name == skel.node_names[0]:
-                    vals[:, ci] = quat_frames[:, axis]
-                ci += 1
-            else:
-                ci += 1
+        if name == skel.node_names[0]:
+            for ci, c in enumerate(chans):
+                if c.endswith("position"):
+                    vals[:, ci] = quat_frames[:, "XYZ".index(c[0])]
         if rot_chans and name in skel.animated_joints:
             q = quat_frames[:, skel.quat_slice(name)]
             order = _rotation_order(chans)
             eul = _np_to_euler(q, order)
             rot_idx = [i for i, c in enumerate(chans) if c.endswith("rotation")]
             vals[:, rot_idx] = eul
-            ai += 1
         cols.append(vals)
     return np.concatenate(cols, axis=1)
 
@@ -419,6 +426,16 @@ def _fk_tables(skel: Skeleton):
     return tuple(anim_idx)
 
 
+def _rest_table(skel: Skeleton) -> np.ndarray:
+    """[n_nodes, 4] rest quaternions (identity when unset); FK uses them as
+    the local rotation of NON-animated joints."""
+    if not skel.rest_rotations:
+        out = np.zeros((skel.n_nodes, 4), np.float32)
+        out[:, 0] = 1.0
+        return out
+    return np.asarray(skel.rest_rotations, np.float32)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def fk_global(skel: Skeleton, frames: jax.Array):
     """Global transforms for every node.
@@ -436,14 +453,15 @@ def fk_global(skel: Skeleton, frames: jax.Array):
     quats = frames[..., 3:].reshape(frames.shape[:-1] + (skel.n_animated, 4))
 
     offsets = jnp.asarray(skel.offsets)
-    identity = jnp.broadcast_to(
-        jnp.array([1.0, 0.0, 0.0, 0.0], frames.dtype), frames.shape[:-1] + (4,))
+    rest = _rest_table(skel)
 
     pos_list = []
     ori_list = []
     for i in range(skel.n_nodes):
         parent = skel.parents[i]
-        local_q = quats[..., anim_idx[i], :] if anim_idx[i] >= 0 else identity
+        local_q = (quats[..., anim_idx[i], :] if anim_idx[i] >= 0
+                   else jnp.broadcast_to(jnp.asarray(rest[i], frames.dtype),
+                                         frames.shape[:-1] + (4,)))
         off = jnp.broadcast_to(offsets[i], frames.shape[:-1] + (3,))
         if parent < 0:
             pos = off + root_t
@@ -516,14 +534,17 @@ def fk_node(skel: Skeleton, frames: jax.Array, node: jax.Array):
     # per-node index into quats_p (n_anim = the identity row)
     q_of_node = jnp.asarray(np.where(anim_idx >= 0, anim_idx, n_anim))
     offsets = jnp.asarray(skel.offsets)
+    rest = jnp.asarray(_rest_table(skel))  # non-animated local rotations
+    animated_node = jnp.asarray((anim_idx >= 0))
 
     node = jnp.broadcast_to(node, batch)
     chain = jnp.asarray(tbl)[node]  # [..., depth]
 
     def local_q(nd):  # nd [...] -> [..., 4]
         gi = q_of_node[nd]
-        return jnp.take_along_axis(quats_p, gi[..., None, None],
-                                   axis=-2)[..., 0, :]
+        ch = jnp.take_along_axis(quats_p, gi[..., None, None],
+                                 axis=-2)[..., 0, :]
+        return jnp.where(animated_node[nd][..., None], ch, rest[nd])
 
     # chain[..., 0] is always the root — reuse fk_root (static slice; a
     # local_q gather here would be per-batch-element for a constant index)
@@ -555,7 +576,7 @@ def fk_root(skel: Skeleton, frames: jax.Array):
         ori = frames[..., 3 + 4 * a: 3 + 4 * a + 4]
     else:
         ori = jnp.broadcast_to(
-            jnp.array([1.0, 0.0, 0.0, 0.0], frames.dtype),
+            jnp.asarray(_rest_table(skel)[0], frames.dtype),
             frames.shape[:-1] + (4,))
     return pos, ori
 
@@ -567,8 +588,13 @@ def fk_point_cloud(skel: Skeleton, frames: jax.Array,
 
     normalize=True zeroes root translation + rotation before FK.
     """
+    frames = jnp.asarray(frames)
     if normalize:
         ident = jnp.array([1.0, 0, 0, 0], frames.dtype)
         frames = frames.at[..., :3].set(0.0)
-        frames = frames.at[..., 3:7].set(ident)
+        # the ROOT's quaternion block (the root is animated_joints[0] when
+        # animated; frames always start with the first animated joint)
+        a = (skel.animated_index_of(skel.node_names[0])
+             if skel.node_names[0] in skel.animated_joints else 0)
+        frames = frames.at[..., 3 + 4 * a: 7 + 4 * a].set(ident)
     return fk_positions(skel, frames)

@@ -83,6 +83,10 @@ def make_static_model_json(frames: np.ndarray, n_basis: int = 16,
     db_interface static-primitive conversion :407)."""
     frames = np.asarray(frames, np.float64)
     t, d = frames.shape
+    # a clip shorter than n_basis makes the fit underdetermined (non-square
+    # triangular solve); the reference accepts arbitrarily short single
+    # clips, so clamp
+    n_basis = max(min(n_basis, t), 4)
     knots = bspline.clamped_knots(n_basis, t)
     ts = jnp.arange(t, dtype=jnp.float32)
     coeffs = np.asarray(bspline.fit_coeffs(

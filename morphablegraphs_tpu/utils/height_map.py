@@ -26,9 +26,11 @@ class HeightMapInterface:
         u = (x - self.origin[0]) / self.scale
         v = (z - self.origin[1]) / self.scale
         h, w = self.map.shape
-        if not (0 <= u < w - 1 and 0 <= v < h - 1):
+        # inclusive far edge: the final texel strip interpolates from the
+        # last cell instead of snapping to default_height
+        if not (0 <= u <= w - 1 and 0 <= v <= h - 1):
             return self.default_height
-        u0, v0 = int(u), int(v)
+        u0, v0 = min(int(u), w - 2), min(int(v), h - 2)
         fu, fv = u - u0, v - v0
         top = self.map[v0, u0] * (1 - fu) + self.map[v0, u0 + 1] * fu
         bot = self.map[v0 + 1, u0] * (1 - fu) + self.map[v0 + 1, u0 + 1] * fu

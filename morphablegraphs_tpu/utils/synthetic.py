@@ -350,17 +350,29 @@ def make_multi_action_graph_dict(seed=0, n_joints=4):
     return gd
 
 
-def to_v3_json(legacy):
+def to_v3_json(legacy, animated_joints=None):
     """Convert a legacy model dict to the v3 {sspm,tspm,gmm} schema
-    (reference motion_model_constructor.py:499-523)."""
+    (reference motion_model_constructor.py:499-523).
+
+    animated_joints defaults to generated names sized from the model's
+    frame dimensionality ((n_dims - 3) / 4 joints; the TEST_BVH names for
+    the 4-joint toy scale) so the list never contradicts sspm.n_dims."""
+    n_dims = int(legacy["n_dim_spatial"])
+    if animated_joints is None:
+        n_joints = (n_dims - 3) // 4
+        if n_joints == 4:
+            animated_joints = ["Hips", "Spine", "Head", "Leg"]
+        else:
+            animated_joints = ["Hips"] + [f"Joint{i}"
+                                          for i in range(1, n_joints)]
     return {
         "sspm": {
             "eigen": legacy["eigen_vectors_spatial"],
             "mean": legacy["mean_spatial_vector"],
             "n_coeffs": legacy["n_basis_spatial"],
-            "n_dims": legacy["n_dim_spatial"],
+            "n_dims": n_dims,
             "knots": legacy["b_spline_knots_spatial"],
-            "animated_joints": ["Hips", "Spine", "Head", "Leg"],
+            "animated_joints": list(animated_joints),
             "degree": 3,
         },
         "tspm": {

@@ -617,3 +617,36 @@ def test_closest_point_advancing_clamp():
                                             min_arc_length=60.0)
     assert float(arc) >= 60.0 - 1e-4, float(arc)
     np.testing.assert_allclose(np.asarray(pos)[0], 60.0, atol=1.5)
+
+
+def test_height_map_far_edge_interpolates():
+    """Queries on the terrain's far edge interpolate from the last cell
+    instead of snapping to default_height."""
+    hm = HeightMapInterface(np.array([[0.0, 1.0], [2.0, 3.0]]), scale=1.0)
+    assert abs(hm.get_height(1.0, 1.0) - 3.0) < 1e-9
+    assert abs(hm.get_height(1.0, 0.0) - 1.0) < 1e-9
+    assert hm.get_height(1.01, 1.0) == 0.0  # beyond the edge -> default
+
+
+def test_static_model_short_clip():
+    """Clips shorter than the default n_basis still fit (reference accepts
+    arbitrarily short single clips)."""
+    frames = np.tile(np.linspace(0, 1, 10)[:, None], (1, 7)).astype(np.float32)
+    data = make_static_model_json(frames, n_basis=16, name="short")
+    prim = prim_mod.load_primitive_json(data)
+    f, n, _ = prim_mod.sample_frames(jax.random.PRNGKey(0), prim,
+                                     max_frames=32)
+    assert int(n) == 10
+    assert np.max(np.abs(np.asarray(f)[: int(n)] - frames)) < 0.05
+
+
+def test_analyzer_single_frame_lengths():
+    """Every feature curve has length T even for a single-frame motion."""
+    from morphablegraphs_tpu.construct.motion_analysis import BVHAnalyzer
+    skel, _ = sk.load_bvh(WALK_BVH)
+    frame = np.zeros((1, skel.n_frame_params), np.float32)
+    frame[:, 3::4] = 1.0
+    an = BVHAnalyzer(skel, frame)
+    fv = an.feature_vector()
+    for k, v in fv.items():
+        assert len(v) == 1, (k, len(v))

@@ -165,3 +165,43 @@ def test_fk_node_scalar_query():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(q), np.asarray(ori_all)[n],
                                atol=1e-5)
+
+
+def test_skeleton_json_rest_rotations_in_fk():
+    """skeleton.json per-node 'rotation' fields are applied by FK as the
+    local rotation of NON-animated joints (anim_utils SkeletonBuilder
+    schema) — fixed joints with pre-rotations are no longer treated as
+    identity."""
+    from morphablegraphs_tpu.models.skeleton import load_skeleton_json
+    half = np.deg2rad(90) / 2
+    rot90z = [float(np.cos(half)), 0.0, 0.0, float(np.sin(half))]
+    data = {"root": "Hips", "animated_joints": ["Hips"],
+            "nodes": {
+                "Hips": {"offset": [0, 0, 0], "children": ["Fixed"]},
+                "Fixed": {"offset": [0, 10, 0], "children": ["Tip"],
+                          "rotation": rot90z},
+                "Tip": {"offset": [0, 5, 0], "children": []},
+            }}
+    skel = load_skeleton_json(data)
+    assert skel.rest_rotations  # recorded
+    frame = np.zeros(skel.n_frame_params, np.float32)
+    frame[3] = 1.0  # identity root quat
+    pos = np.asarray(sk.fk_positions(skel, jnp.asarray(frame)))
+    tip = pos[skel.index_of("Tip")]
+    # Fixed rotates its child's (0,5,0) offset 90deg about z -> (-5, 0, 0)
+    # relative to Fixed at (0, 10, 0)
+    np.testing.assert_allclose(tip, [-5.0, 10.0, 0.0], atol=1e-5)
+    # chain FK agrees
+    p, _ = sk.fk_node(skel, jnp.asarray(frame),
+                      jnp.asarray(skel.index_of("Tip")))
+    np.testing.assert_allclose(np.asarray(p), tip, atol=1e-5)
+
+
+def test_fk_point_cloud_normalize_accepts_numpy():
+    skel, euler = sk.load_bvh(TEST_BVH)
+    qf = np.asarray(sk.bvh_to_quat_frames(skel, euler))
+    pc = np.asarray(sk.fk_point_cloud(skel, qf, normalize=True))
+    assert pc.shape == (2, skel.n_nodes, 3)
+    # root translation removed: Hips at its offset
+    np.testing.assert_allclose(pc[:, skel.index_of("Hips")],
+                               [[0, 90, 0], [0, 90, 0]], atol=1e-5)
