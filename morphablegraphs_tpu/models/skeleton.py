@@ -115,11 +115,16 @@ def add_fixed_joint_parameters_to_motion(skel: Skeleton, frames: np.ndarray,
     out = np.zeros((frames.shape[0], skel.n_frame_params), frames.dtype)
     out[:, :3] = frames[:, :3]
     out[:, 3::4] = 1.0  # identity w components
+    rests = skel.rest_rotations or ()
     sub_index = {name: i for i, name in enumerate(animated_subset)}
     for j, name in enumerate(skel.animated_joints):
         i = sub_index.get(name)
         if i is not None:
             out[:, 3 + 4 * j: 7 + 4 * j] = frames[:, 3 + 4 * i: 7 + 4 * i]
+        else:
+            ni = skel.index_of(name)
+            if ni < len(rests):  # unmodelled joint: its REST pose, not
+                out[:, 3 + 4 * j: 7 + 4 * j] = rests[ni]  # identity
     return out
 
 
@@ -301,7 +306,11 @@ def _np_fix_signs_sequential(quats: np.ndarray) -> np.ndarray:
     d = np.sum(quats[1:] * quats[:-1], axis=-1)
     step_sign = np.where(d < 0.0, -1.0, 1.0)
     run = np.cumprod(step_sign, axis=0)
-    run = np.concatenate([np.ones_like(run[:1]), run], axis=0)
+    # explicit length-1 ones: ones_like(run[:1]) is EMPTY for single-frame
+    # input (run has length T-1 = 0), which silently dropped every
+    # quaternion of 1-frame motions
+    run = np.concatenate([np.ones((1,) + run.shape[1:], run.dtype), run],
+                         axis=0)
     return quats * run[..., None]
 
 
@@ -350,7 +359,9 @@ def quat_frames_to_bvh(skel: Skeleton, quat_frames: np.ndarray) -> np.ndarray:
     quat_frames = np.asarray(quat_frames)
     t = quat_frames.shape[0]
     cols = []
-    for name, chans in zip(skel.node_names, skel.node_channels):
+    rests = skel.rest_rotations or ()
+    for ni, (name, chans) in enumerate(zip(skel.node_names,
+                                           _export_channels(skel))):
         if len(chans) == 0:
             continue
         rot_chans = [c for c in chans if c.endswith("rotation")]
@@ -359,14 +370,38 @@ def quat_frames_to_bvh(skel: Skeleton, quat_frames: np.ndarray) -> np.ndarray:
             for ci, c in enumerate(chans):
                 if c.endswith("position"):
                     vals[:, ci] = quat_frames[:, "XYZ".index(c[0])]
-        if rot_chans and name in skel.animated_joints:
-            q = quat_frames[:, skel.quat_slice(name)]
-            order = _rotation_order(chans)
-            eul = _np_to_euler(q, order)
+        if rot_chans:
             rot_idx = [i for i, c in enumerate(chans) if c.endswith("rotation")]
-            vals[:, rot_idx] = eul
+            if name in skel.animated_joints:
+                q = quat_frames[:, skel.quat_slice(name)]
+            elif ni < len(rests):
+                # fixed joint with a rest rotation: constant channels
+                q = np.tile(np.asarray(rests[ni], np.float64), (t, 1))
+            else:
+                q = np.tile([1.0, 0, 0, 0], (t, 1))
+            order = _rotation_order(chans)
+            vals[:, rot_idx] = _np_to_euler(q, order)
         cols.append(vals)
     return np.concatenate(cols, axis=1)
+
+
+def _export_channels(skel: Skeleton) -> tuple:
+    """Per-node channel tuples for BVH EXPORT: non-animated joints carrying
+    a rest rotation get synthesized rotation channels so the written BVH
+    reproduces the same geometry internal FK computes (the rest rotation
+    would otherwise be silently dropped — OFFSET-only joints are identity
+    to every BVH consumer)."""
+    identity = (1.0, 0.0, 0.0, 0.0)
+    rests = skel.rest_rotations or ()
+    out = []
+    for i, chans in enumerate(skel.node_channels):
+        has_rot = any(c.endswith("rotation") for c in chans)
+        rest = rests[i] if i < len(rests) else identity
+        if (not has_rot and tuple(rest) != identity
+                and not skel.node_names[i].endswith("_EndSite")):
+            chans = tuple(chans) + ("Xrotation", "Yrotation", "Zrotation")
+        out.append(tuple(chans))
+    return tuple(out)
 
 
 def write_bvh(skel: Skeleton, quat_frames: np.ndarray,
@@ -374,6 +409,7 @@ def write_bvh(skel: Skeleton, quat_frames: np.ndarray,
     """Serialize quaternion frames to BVH text (and optionally a file)."""
     buf = io.StringIO()
     buf.write("HIERARCHY\n")
+    export_chans = _export_channels(skel)
     children: Dict[int, List[int]] = {}
     for i, p in enumerate(skel.parents):
         children.setdefault(p, []).append(i)
@@ -391,7 +427,7 @@ def write_bvh(skel: Skeleton, quat_frames: np.ndarray,
         buf.write(f"{indent}{{\n")
         o = skel.offsets[idx]
         buf.write(f"{indent}  OFFSET {o[0]:.6f} {o[1]:.6f} {o[2]:.6f}\n")
-        chans = skel.node_channels[idx]
+        chans = export_chans[idx]
         if chans:
             buf.write(f"{indent}  CHANNELS {len(chans)} {' '.join(chans)}\n")
         for c in children.get(idx, []):
@@ -592,9 +628,10 @@ def fk_point_cloud(skel: Skeleton, frames: jax.Array,
     if normalize:
         ident = jnp.array([1.0, 0, 0, 0], frames.dtype)
         frames = frames.at[..., :3].set(0.0)
-        # the ROOT's quaternion block (the root is animated_joints[0] when
-        # animated; frames always start with the first animated joint)
-        a = (skel.animated_index_of(skel.node_names[0])
-             if skel.node_names[0] in skel.animated_joints else 0)
-        frames = frames.at[..., 3 + 4 * a: 7 + 4 * a].set(ident)
+        if skel.node_names[0] in skel.animated_joints:
+            a = skel.animated_index_of(skel.node_names[0])
+            frames = frames.at[..., 3 + 4 * a: 7 + 4 * a].set(ident)
+        # a non-animated root's (constant) rest rotation is the same for
+        # every frame and motion, so transform-invariant distances are
+        # unaffected — never clobber a real joint's block in its place
     return fk_positions(skel, frames)

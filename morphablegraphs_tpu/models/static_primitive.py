@@ -83,10 +83,14 @@ def make_static_model_json(frames: np.ndarray, n_basis: int = 16,
     db_interface static-primitive conversion :407)."""
     frames = np.asarray(frames, np.float64)
     t, d = frames.shape
+    if t < 4:
+        raise ValueError(
+            f"static primitive needs >= 4 frames for a cubic B-spline fit "
+            f"(got {t}); the reference's scipy splrep k=3 has the same "
+            f"minimum")
     # a clip shorter than n_basis makes the fit underdetermined (non-square
-    # triangular solve); the reference accepts arbitrarily short single
-    # clips, so clamp
-    n_basis = max(min(n_basis, t), 4)
+    # triangular solve), so clamp to the clip length
+    n_basis = min(n_basis, t)
     knots = bspline.clamped_knots(n_basis, t)
     ts = jnp.arange(t, dtype=jnp.float32)
     coeffs = np.asarray(bspline.fit_coeffs(

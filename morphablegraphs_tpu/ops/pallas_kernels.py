@@ -298,7 +298,7 @@ def _score_loco_kernel(mop_ref, alphas_ref, table_ref, cfg_ref, out_ref):
     cos_a_prev, sin_a_prev = cfg_ref[0, 0], cfg_ref[0, 29]
     prev_x, prev_z = cfg_ref[0, 1], cfg_ref[0, 3]
     cos_start, sin_start = cfg_ref[0, 4], cfg_ref[0, 30]
-    sdx, sdz = cfg_ref[0, 5], cfg_ref[0, 7]
+    sdx, sdy, sdz = cfg_ref[0, 5], cfg_ref[0, 6], cfg_ref[0, 7]
     has_prev = cfg_ref[0, 8]
     goal_x, goal_z = cfg_ref[0, 9], cfg_ref[0, 11]
     kf_active, kf_w = cfg_ref[0, 12], cfg_ref[0, 13]
@@ -330,6 +330,11 @@ def _score_loco_kernel(mop_ref, alphas_ref, table_ref, cfg_ref, out_ref):
     r0z = -st * row(f0) + ct * row(f0 + 2)
     dx = jnp.where(has_prev > 0, prev_x - r0x, jnp.full_like(r0x, sdx))
     dz = jnp.where(has_prev > 0, prev_z - r0z, jnp.full_like(r0z, sdz))
+    # Y delta: the 2D prev-alignment never translates Y, but a user start
+    # pose may (exact path adds the full 3D start_delta) — without it the
+    # step-0 trajectory residuals diverge on Y-constrained paths
+    dy = jnp.where(has_prev > 0, jnp.zeros_like(r0x),
+                   jnp.full_like(r0x, sdy))
 
     def world_xz(i):
         x = ct * row(i) + st * row(i + 2) + dx
@@ -361,7 +366,7 @@ def _score_loco_kernel(mop_ref, alphas_ref, table_ref, cfg_ref, out_ref):
     traj_sum = jnp.zeros((1, n))
     for f in range(2, 2 + 16):  # static unroll over traj samples
         px, pz = world_xz(f * CH)
-        py = row(f * CH + 1)
+        py = row(f * CH + 1) + dy
         pxm, pym, pzm = px * mx, py * my, pz * mz
         p3 = jnp.concatenate([pxm, pym, pzm], axis=0)  # [3, N]
         cross = jnp.dot(t_pts, p3, preferred_element_type=jnp.float32,

@@ -216,7 +216,10 @@ def fix_signs_sequential(quats: jax.Array) -> jax.Array:
     d = jnp.sum(quats[1:] * quats[:-1], axis=-1)  # [T-1, ...]
     step_sign = jnp.where(d < 0.0, -1.0, 1.0).astype(quats.dtype)
     run = jnp.cumprod(step_sign, axis=0)
-    run = jnp.concatenate([jnp.ones_like(run[:1]), run], axis=0)
+    # explicit length-1 ones: ones_like(run[:1]) is EMPTY for T == 1 and
+    # would collapse single-frame inputs to zero frames
+    run = jnp.concatenate([jnp.ones((1,) + run.shape[1:], run.dtype), run],
+                          axis=0)
     return quats * run[..., None]
 
 

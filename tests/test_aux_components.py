@@ -629,8 +629,11 @@ def test_height_map_far_edge_interpolates():
 
 
 def test_static_model_short_clip():
-    """Clips shorter than the default n_basis still fit (reference accepts
-    arbitrarily short single clips)."""
+    """Clips shorter than the default n_basis still fit (n_basis clamps to
+    the clip length); clips below the cubic-spline minimum (4 frames, same
+    as scipy splrep k=3) raise a clear error."""
+    with pytest.raises(ValueError):
+        make_static_model_json(np.ones((2, 7), np.float32))
     frames = np.tile(np.linspace(0, 1, 10)[:, None], (1, 7)).astype(np.float32)
     data = make_static_model_json(frames, n_basis=16, name="short")
     prim = prim_mod.load_primitive_json(data)

@@ -403,3 +403,29 @@ def test_pallas_selection_root_offset_and_start_pose_parity():
     np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
     np.testing.assert_allclose(np.asarray(errs_p), np.asarray(errs_x),
                                atol=0.5, rtol=0.05)
+
+
+def test_pallas_selection_start_pose_y_delta_parity():
+    """A user start pose with a nonzero Y on a Y-CONSTRAINED path: the
+    kernel must apply the start delta's Y to trajectory samples like the
+    exact evaluator's 3D transform does."""
+    skel, graph, stacked, _ = _setup("toy")
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    path = spline_path.build(
+        np.array([[0.0, 140.0, 0], [10.0, 140.0, 60], [15.0, 140.0, 120]],
+                 np.float32))
+    base = compiled.empty_step_constraints(skel, 0)
+    base = compiled.set_alignment_from_start_pose(base, [0.0, 50.0, 0.0], 0.0)
+    step_scs = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (2,) + np.shape(x)), base)
+    kw = dict(n_steps=2, step_scs=step_scs, max_step_frames=64,
+              n_samples=128, window=10, lm_iters=0)
+    _, _, ids_x, errs_x = cw.constrained_walk_full(
+        skel, jax.random.PRNGKey(13), stacked, path,
+        jnp.asarray(start, jnp.int32), pallas_selection=False, **kw)
+    _, _, ids_p, errs_p = cw.constrained_walk_full(
+        skel, jax.random.PRNGKey(13), stacked, path,
+        jnp.asarray(start, jnp.int32), pallas_selection=True, **kw)
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
+    np.testing.assert_allclose(np.asarray(errs_p), np.asarray(errs_x),
+                               atol=0.5, rtol=0.05)

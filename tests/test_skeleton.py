@@ -205,3 +205,47 @@ def test_fk_point_cloud_normalize_accepts_numpy():
     # root translation removed: Hips at its offset
     np.testing.assert_allclose(pc[:, skel.index_of("Hips")],
                                [[0, 90, 0], [0, 90, 0]], atol=1e-5)
+
+
+def test_rest_rotations_survive_bvh_export():
+    """write_bvh synthesizes rotation channels for fixed joints carrying a
+    rest rotation, so the exported geometry matches internal FK."""
+    from morphablegraphs_tpu.models.skeleton import load_skeleton_json
+    half = np.deg2rad(90) / 2
+    rot90z = [float(np.cos(half)), 0.0, 0.0, float(np.sin(half))]
+    data = {"root": "Hips", "animated_joints": ["Hips"],
+            "nodes": {
+                "Hips": {"offset": [0, 0, 0], "children": ["Fixed"]},
+                "Fixed": {"offset": [0, 10, 0], "children": ["Tip"],
+                          "rotation": rot90z},
+                "Tip": {"offset": [0, 5, 0], "children": []},
+            }}
+    skel = load_skeleton_json(data)
+    frame = np.zeros((1, skel.n_frame_params), np.float32)
+    frame[0, 3] = 1.0
+    tip_internal = np.asarray(sk.fk_positions(skel, jnp.asarray(frame[0])))[
+        skel.index_of("Tip")]
+    text = sk.write_bvh(skel, frame)
+    skel2, euler2 = sk.load_bvh(text)
+    qf2 = sk.bvh_to_quat_frames(skel2, euler2)
+    tip_export = np.asarray(sk.fk_positions(skel2, jnp.asarray(qf2[0])))[
+        skel2.node_names.index("Tip")]
+    np.testing.assert_allclose(tip_export, tip_internal, atol=1e-4)
+
+
+def test_add_fixed_joint_expansion_uses_rest_rotations():
+    from morphablegraphs_tpu.models.skeleton import load_skeleton_json
+    half = np.deg2rad(45) / 2
+    rest = [float(np.cos(half)), 0.0, float(np.sin(half)), 0.0]
+    data = {"root": "Hips", "animated_joints": ["Hips", "Arm"],
+            "nodes": {
+                "Hips": {"offset": [0, 0, 0], "children": ["Arm"]},
+                "Arm": {"offset": [0, 10, 0], "children": [],
+                        "rotation": rest},
+            }}
+    skel = load_skeleton_json(data)
+    frames = np.zeros((2, 3 + 4), np.float32)  # Hips-only subset
+    frames[:, 3] = 1.0
+    out = sk.add_fixed_joint_parameters_to_motion(skel, frames, ("Hips",))
+    # the unmodelled Arm gets its REST pose, not identity
+    np.testing.assert_allclose(out[:, 7:11], np.tile(rest, (2, 1)), atol=1e-6)
