@@ -5,7 +5,7 @@ for CONSTRAINED walk synthesis.  The default workload is the REFERENCE-SCALE
 model (19 joints -> 79 frame channels, n_basis 16, k_s 25, k_t 3, ~130
 canonical frames — the reference's production dimensions, SURVEY.md §2.1)
 with the COMPLETE constraint semantics: 1024 vmapped characters each
-following their own trajectory spline; per step, best-of-64 GMM candidates
+following their own trajectory spline; per step, best-of-N GMM candidates
 scored under the full compiled constraint set (locomotion goal keyframe +
 2D direction + trajectory residuals with advancing closest-point arc) and a
 lax.cond-gated Levenberg-Marquardt refinement — all inside one jitted scan
@@ -14,32 +14,77 @@ lax.cond-gated Levenberg-Marquardt refinement — all inside one jitted scan
 Target: >= 10k frames/sec/chip on v5e-1 (BASELINE.md config 3+5);
 vs_baseline = value / 10000.
 
+Resilience (round-2 failure: one UNAVAILABLE at first dispatch -> rc=1, no
+number on record; round-3 session: axon init HANGS): the TPU backend is
+probed in a bounded subprocess with retry/backoff BEFORE this process ever
+touches it.  If the probe fails, the bench degrades to a reduced-scale CPU
+parity run and still emits the JSON line with an explicit
+"fallback": "cpu-tpu-unavailable" marker instead of dying.
+
+On TPU the same run also measures the end-effector config (every step
+carries a non-root RightHand keyframe — the reference's pick/place
+semantics, motion_primitive_constraints_builder.py:218-230) and reports it
+in the JSON line's "extras" field, so the heaviest constraint workload gets
+a driver-recorded number too.  MG_BENCH_EXTRAS=0 disables it.
+
 Also reports an estimated-FLOPs roofline line on stderr (XLA cost analysis
 of the compiled crowd program vs the chip's nominal peak).
 
-Set MG_BENCH_CONFIG=toy for the round-1 smoke config (4-joint model,
-boundary-row-only scoring — kept for regression comparison), or
-MG_BENCH_CONFIG=ee for the end-effector variant: every step additionally
-carries a non-root RightHand keyframe constraint, so candidate scoring and
-the (always-triggered) LM refinement run the full per-joint FK chain — the
-heaviest constraint semantics the reference's pick/place actions exercise
-(reference motion_primitive_constraints_builder.py:218-230).
+Env knobs: MG_BENCH_CONFIG=ref|toy|ee (default ref), MG_BENCH_PLATFORM=
+tpu|cpu (skip probing), MG_BENCH_LM_FROZEN=1 (frozen-correspondence LM),
+MG_BENCH_EXTRAS=0 (skip the ee extras run).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
 # v5e nominal peaks (public spec): 197 TFLOP/s bf16, ~98.5 TFLOP/s f32
 # (one MXU pass per f32 product), 819 GB/s HBM.
 PEAK_F32_FLOPS = 98.5e12
 PEAK_HBM_BYTES = 819e9
+
+_PROBE_CODE = (
+    "import jax, jax.numpy as jnp;"
+    "jnp.zeros((8,)).sum().block_until_ready();"
+    "print('PROBE_BACKEND', jax.default_backend())"
+)
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def probe_tpu(attempts: int = 3, timeout_s: int = 120) -> bool:
+    """True when a subprocess can initialize the TPU backend and run one
+    dispatch.  Bounded + retried: the axon plugin can either raise
+    UNAVAILABLE (round-2 failure) or hang during init (round-3 session) —
+    neither may take the bench process down with it."""
+    for i in range(attempts):
+        t0 = time.perf_counter()
+        try:
+            p = subprocess.run([sys.executable, "-c", _PROBE_CODE],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+            dt = time.perf_counter() - t0
+            if p.returncode == 0 and "PROBE_BACKEND tpu" in p.stdout:
+                _log(f"# tpu probe ok ({dt:.0f}s, attempt {i + 1})")
+                return True
+            tail = (p.stderr or p.stdout).strip().splitlines()[-1:] or ["?"]
+            _log(f"# tpu probe attempt {i + 1}/{attempts} failed "
+                 f"(rc={p.returncode}, {dt:.0f}s): {tail[0][:200]}")
+        except subprocess.TimeoutExpired:
+            _log(f"# tpu probe attempt {i + 1}/{attempts} timed out "
+                 f"({timeout_s}s): backend init hang")
+        if i + 1 < attempts:
+            backoff = 10 * (i + 1)
+            _log(f"# retrying tpu probe in {backoff}s")
+            time.sleep(backoff)
+    return False
 
 
 def rand_path(rng, spline_path, granularity=256):
@@ -57,18 +102,18 @@ def rand_path(rng, spline_path, granularity=256):
                              unconstrained_dims=(1,), granularity=granularity)
 
 
-def main():
+def run_config(config: str, on_tpu: bool, n_chars: int, n_steps: int,
+               n_samples: int, n_iters: int, lm_iters: int = 3):
+    """Measure one workload config; returns a result dict."""
+    import jax
+    import jax.numpy as jnp
+
     from morphablegraphs_tpu.models import graph as graph_mod
     from morphablegraphs_tpu.models import skeleton as sk
     from morphablegraphs_tpu.ops import spline_path
     from morphablegraphs_tpu.synthesis import constrained_walk as cw
     from morphablegraphs_tpu.utils.synthetic import (
         REF_BVH, TEST_BVH, make_graph_dict, make_reference_scale_graph_dict)
-
-    config = os.environ.get("MG_BENCH_CONFIG", "ref")
-    n_chars = 1024
-    n_steps = 8
-    n_samples = 64
 
     if config == "toy":
         graph = graph_mod.build_graph_from_dict(make_graph_dict())
@@ -106,8 +151,12 @@ def main():
     # the toy config keep the XLA path.  The ee config also keeps XLA
     # selection: the kernel covers the locomotion family only, and the hand
     # keyframe must participate in selection, not just refinement.
-    use_pallas = (jax.default_backend() == "tpu"
-                  and config not in ("toy", "ee"))
+    # step_scs_locomotion_only is the host-side contract check — the kernel
+    # silently ignores user slots, so enabling it on a workload that carries
+    # any would mis-rank candidates.
+    from morphablegraphs_tpu.constraints import compiled as cmp
+    use_pallas = (on_tpu and config == "ref"
+                  and cmp.step_scs_locomotion_only(step_scs))
     if use_pallas:
         n_samples = 128  # lane-width multiple; scoring 128 costs the same
 
@@ -118,8 +167,7 @@ def main():
                 k, g, p, s, n_steps=n_steps, max_step_frames=64,
                 n_samples=n_samples))(keys, paths, sids)
     else:
-        from morphablegraphs_tpu.constraints import compiled
-        root_only = compiled.step_scs_root_only(step_scs)
+        root_only = cmp.step_scs_root_only(step_scs)
         # frozen-correspondence LM (root-only fast path): the advancing
         # closest-point scan runs once per LM iteration instead of once per
         # jacobian tangent; MG_BENCH_LM_FROZEN=1 opts in (off until the
@@ -132,7 +180,7 @@ def main():
             return jax.vmap(lambda k, p, s: cw.constrained_walk_full(
                 skel, k, g, p, s, n_steps=n_steps, step_scs=step_scs,
                 max_step_frames=160, n_samples=n_samples,
-                lm_iters=3, lm_threshold=5.0,
+                lm_iters=lm_iters, lm_threshold=5.0,
                 pallas_selection=use_pallas,
                 root_only=root_only, lm_frozen=lm_frozen))(keys, paths, sids)
 
@@ -140,9 +188,11 @@ def main():
     # AOT: ONE compile serves both the cost analysis and the timed runs
     # (calling the jit wrapper and separately lower().compile() would
     # compile the 2-minute program twice)
+    _log(f"# compiling config={config} (chars={n_chars}, steps={n_steps}, "
+         f"samples={n_samples}, pallas={use_pallas})")
     t0 = time.perf_counter()
     compiled = crowd.lower(stacked, keys, start_ids).compile()
-    print(f"# compile: {time.perf_counter() - t0:.0f}s", file=sys.stderr)
+    _log(f"# compile: {time.perf_counter() - t0:.0f}s")
     try:
         cost = compiled.cost_analysis() or {}
         flops = float(cost.get("flops", 0.0))
@@ -152,8 +202,8 @@ def main():
     crowd = compiled
     segs, nf, _, _ = crowd(stacked, keys, start_ids)  # warmup
     jax.block_until_ready(segs)
+    _log("# warmup done")
 
-    n_iters = 5
     # pre-stage per-iteration keys on device: key splitting is host-side
     # bookkeeping, and over the remote-TPU tunnel each extra dispatch adds
     # latency noise that is not part of the synthesis workload
@@ -180,17 +230,68 @@ def main():
         per_iter = dt / n_iters
         mfu = flops / per_iter / PEAK_F32_FLOPS
         hbm = bytes_accessed / per_iter / PEAK_HBM_BYTES
-        print(f"# roofline ({config}): {flops/1e9:.1f} GFLOP/iter, "
-              f"{bytes_accessed/1e9:.2f} GB/iter, {per_iter*1e3:.0f} ms/iter "
-              f"-> {flops/per_iter/1e12:.2f} TFLOP/s ({100*mfu:.1f}% of f32 "
-              f"peak), {bytes_accessed/per_iter/1e9:.0f} GB/s "
-              f"({100*hbm:.1f}% of HBM peak)", file=sys.stderr)
-    print(json.dumps({
+        _log(f"# roofline ({config}): {flops/1e9:.1f} GFLOP/iter, "
+             f"{bytes_accessed/1e9:.2f} GB/iter, {per_iter*1e3:.0f} ms/iter "
+             f"-> {flops/per_iter/1e12:.2f} TFLOP/s ({100*mfu:.1f}% of f32 "
+             f"peak), {bytes_accessed/per_iter/1e9:.0f} GB/s "
+             f"({100*hbm:.1f}% of HBM peak)")
+    return {"fps": fps, "frames": total, "seconds": dt}
+
+
+def main() -> None:
+    config = os.environ.get("MG_BENCH_CONFIG", "ref")
+
+    platform = os.environ.get("MG_BENCH_PLATFORM")
+    if platform is None:
+        platform = "tpu" if probe_tpu() else "cpu"
+    on_tpu = platform == "tpu"
+
+    import jax
+
+    if not on_tpu:
+        # pin CPU before any dispatch (the axon plugin overrides
+        # jax_platforms at import; config wins over env) + persistent
+        # compile cache so the fallback doesn't spend its budget in XLA-CPU
+        _log("# tpu-unavailable: falling back to reduced-scale CPU parity "
+             "run (marker in JSON line)")
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_cache_mg_bench")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        scale = dict(n_chars=16, n_steps=4, n_samples=16, n_iters=2,
+                     lm_iters=2)
+    else:
+        scale = dict(n_chars=1024, n_steps=8, n_samples=64, n_iters=5,
+                     lm_iters=3)
+
+    res = run_config(config, on_tpu, **scale)
+    out = {
         "metric": "constrained_synthesis_frames_per_sec_per_chip",
-        "value": round(fps, 1),
+        "value": round(res["fps"], 1),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 10000.0, 3),
-    }))
+        "vs_baseline": round(res["fps"] / 10000.0, 3),
+    }
+    if not on_tpu:
+        out["fallback"] = "cpu-tpu-unavailable"
+        out["note"] = (f"TPU backend init failed/hung after probing; "
+                       f"reduced scale {scale['n_chars']} chars on CPU")
+
+    # secondary number: the end-effector config (heaviest constraint
+    # semantics) in the same driver artifact — TPU runs only
+    if (on_tpu and config == "ref"
+            and os.environ.get("MG_BENCH_EXTRAS", "1") != "0"):
+        try:
+            ee = run_config("ee", on_tpu, n_chars=1024, n_steps=8,
+                            n_samples=64, n_iters=3, lm_iters=3)
+            out["extras"] = {
+                "ee_frames_per_sec": round(ee["fps"], 1),
+                "ee_vs_baseline": round(ee["fps"] / 10000.0, 3),
+            }
+        except Exception as e:  # extras must never take down the headline
+            _log(f"# ee extras run failed: {type(e).__name__}: {e}")
+
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

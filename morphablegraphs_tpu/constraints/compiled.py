@@ -204,7 +204,9 @@ def empty_step_constraints(skeleton: Skeleton,
 
 
 def spline_path_max_points() -> int:
-    return 32
+    """Padded control-point capacity the compiled constraint tables assume —
+    the single source of truth is spline_path.build's default."""
+    return spline_path.MAX_PATH_POINTS
 
 
 # ---------------------------------------------------------------------------
@@ -466,10 +468,14 @@ def residuals_from_coeffs(skeleton: Skeleton, knots_s: jax.Array,
             in_axes=(0, 1), out_axes=(1, 1))(
                 jnp.arange(MAX_TS_JOINTS), arcs_ts)  # [S, J, 3], [S, J]
         active = (arcs_ts <= full_arcs).astype(pos_ts.dtype) * sc.ts_joint_mask
-        # a joint whose advancing arc has run off the end of its own spline
-        # drops out of BOTH centroids (reference pops it from the joint set,
-        # trajectory_set_constraint.py:95-100) — per-sample weights from the
-        # active mask, not the static joint mask
+        # DELIBERATE DEVIATION from the reference: a joint whose advancing
+        # arc has run off the end of its own spline drops out of BOTH
+        # centroids here (per-sample weights from the active mask).  The
+        # reference keeps ALL joints in both centroids and only gates the
+        # whole frame residual by np.any(is_active)
+        # (trajectory_set_constraint.py) — like the vector-vs-scalar
+        # centroid fix, the dropout avoids an exhausted spline's frozen
+        # endpoint dragging the centroid target.  Documented in PARITY.md.
         w = active / jnp.maximum(jnp.sum(active, axis=1, keepdims=True), 1e-6)
         actual_c = jnp.sum(pos_ts * w[..., None], axis=1)  # [S, 3]
         target_c = jnp.sum(targets * w[..., None], axis=1)

@@ -148,7 +148,11 @@ def monotonic_indices(indices: np.ndarray, epsilon: float = 0.01) -> np.ndarray:
         if w[i] >= w[i + 1]:
             w[i] = w[i + 1] - epsilon
     if np.any(np.diff(w) <= 0):
-        w = np.linspace(w[0], w[-1], len(w))
+        # linear-ramp fallback; when the warp's end is at or below its start
+        # (w[-1] <= w[0], a degenerate input) a plain ramp to w[-1] would not
+        # be strictly increasing — ramp to an epsilon-per-step ceiling instead
+        hi = w[-1] if w[-1] > w[0] else w[0] + epsilon * (len(w) - 1)
+        w = np.linspace(w[0], hi, len(w))
     return w
 
 

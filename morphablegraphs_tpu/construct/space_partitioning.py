@@ -235,7 +235,13 @@ class ClusterTree:
                          n_dims: Optional[int] = None) -> "ClusterTree":
         """Hydrate from this class's own save() layout: JSON meta (with
         n_dims recorded) + the raw f32 .data payload."""
-        n_dims = n_dims or int(meta["n_dims"])
+        if n_dims is None:
+            if "n_dims" not in meta:
+                raise ValueError(
+                    "cluster-tree meta JSON has no 'n_dims' (pre-n_dims "
+                    "save?) — pass n_dims explicitly to ClusterTree.load/"
+                    "from_native_json")
+            n_dims = int(meta["n_dims"])
         tree = cls(meta["n_subdivisions"], meta["max_level"])
         tree.data = np.frombuffer(data_bytes, np.float32).reshape(-1, n_dims)
         tree.root = cls._node_from_json(meta["root"])

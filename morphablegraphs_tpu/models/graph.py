@@ -303,8 +303,16 @@ def build_graph_from_dict(graph_dict: dict, skeleton: Optional[Skeleton] = None,
                     graph.nodes[key].cluster_tree = \
                         load_reference_feature_tree_json(tj)
                 else:  # native ClusterTree.save meta + .data sidecar
+                    sidecar = desc.get("space_partition_data")
+                    if sidecar is None:
+                        raise ValueError(
+                            f"cluster tree for node {key} has no 'data' key "
+                            "(reference FeatureClusterTree layout) and no "
+                            "'.data' sidecar next to its "
+                            "'*_cluster_tree.json' in the zip — the native "
+                            "ClusterTree.save layout needs both files")
                     graph.nodes[key].cluster_tree = ClusterTree.from_native_json(
-                        tj, desc["space_partition_data"])
+                        tj, sidecar)
             elif "space_partition_pickle" in desc:
                 # legacy pickled trees (formatVersion < 4 / usePickle
                 # packages, reference zip_io.py:210-223)

@@ -80,7 +80,10 @@ def _tangent_u(points: jax.Array, n_points: jax.Array, u: jax.Array,
     return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-10)
 
 
-def build(control_points: np.ndarray, max_points: int = 32,
+MAX_PATH_POINTS = 32  # default padded control-point capacity of `build`
+
+
+def build(control_points: np.ndarray, max_points: int = MAX_PATH_POINTS,
           unconstrained_dims=(), granularity: int = GRANULARITY) -> PathSpline:
     """Host-side constructor from filtered control points [P, 3].
 

@@ -27,8 +27,10 @@ from ..synthesis import constrained_walk as cw
 from ..synthesis import walk as walk_mod
 from ..utils.config import default_config
 
-# spline_path.build's padded control-point capacity (its max_points default)
-_MAX_PATH_POINTS = 32
+# spline_path.build's padded control-point capacity — single source of truth
+# (passed explicitly to build in generate_batch so the guard and the build
+# can never desync)
+_MAX_PATH_POINTS = spline_path.MAX_PATH_POINTS
 
 
 def _root_trajectory(parsed, root_joint: str):
@@ -143,7 +145,8 @@ class BatchedGenerator:
             pts = traj.control_points - traj.control_points[:1] \
                 + parsed.start_pose_position
             paths.append(spline_path.build(
-                pts, unconstrained_dims=traj.unconstrained_dims))
+                pts, max_points=_MAX_PATH_POINTS,
+                unconstrained_dims=traj.unconstrained_dims))
             start_ids.append(self._start_id(a.name))
         stacked_paths = cw.stack_paths(paths)
         keys = jax.random.split(jax.random.PRNGKey(seed), len(mg_inputs))
@@ -151,12 +154,17 @@ class BatchedGenerator:
         if self.full_constraints:
             from ..constraints import compiled
             skel = self.graph.skeleton
-            use_pallas = jax.default_backend() == "tpu"
+            step_scs = cw.default_step_scs(skel, self.n_steps)
+            # the fused selection kernel ranks on the locomotion family only;
+            # verify host-side that no user slots would be silently ignored
+            # (today step_scs is always default/empty here, but a future
+            # batch path adding user slots must fall back to XLA selection)
+            use_pallas = (jax.default_backend() == "tpu"
+                          and compiled.step_scs_locomotion_only(step_scs))
             n_samples = self.n_samples
             if use_pallas:
                 from ..ops import pallas_kernels as pk
                 n_samples = ((n_samples + pk.N_BLK - 1) // pk.N_BLK) * pk.N_BLK
-            step_scs = cw.default_step_scs(skel, self.n_steps)
             # locomotion-only constraints touch just the root joint: skip
             # the FK chain inside the LM residuals (static shortcut)
             root_only = compiled.step_scs_root_only(step_scs)

@@ -38,9 +38,9 @@ class MGStatePlanningSettings:
     (mg_state_planner.py:191-235)."""
 
     blend_window: int = 20
-    buffer_size: int = 10
+    buffer_size: int = 100  # reference default (look_back_range reads it)
     step_target_threshold: float = 10.0  # target switching distance
-    overstepping_range: float = 5.0
+    overstepping_range: float = 50.0  # reference default
     direction_constraint_weight: float = 0.8
     position_constraint_weight: float = 1.0
     n_samples: int = 30
@@ -48,6 +48,20 @@ class MGStatePlanningSettings:
     max_steps_per_target: int = 50
     activate_upper_body_overlay: bool = False
     collision_check_step: float = 10.0  # sampling step along the checked ray
+    # constrained-sampling gates (reference :214-215, :229 and
+    # generate_constrained_motion_primitive :1003-1012)
+    use_constrained_sampling: bool = True
+    add_transition_constraint: bool = False
+    # end-target enforcement (reference :357-380): after a successful
+    # locomotion run to the last control point, blend the newest state's
+    # root toward the exact target/heading when it stopped short
+    force_walk_end_targets: bool = False
+    min_end_distance: float = 10.0
+    end_target_blend_range: int = 50
+    # idle states keep their own heading (reference ignore_idle_rotation)
+    ignore_idle_rotation: bool = False
+    # worker-thread pacing between generated steps (reference sleep_time)
+    sleep_time: float = 0.0
     # direction extraction / target switching (reference :191-235 defaults)
     min_target_distance: float = 20.0
     min_dir_distance: float = 50.0
@@ -60,6 +74,7 @@ class MGStatePlanningSettings:
     orient_spine: bool = False
     n_max_ik_iter: int = 10
     # PFNN locomotion (reference mg_state_planner.py:219-224)
+    pfnn_blend_bias: float = 0.5  # forwarded to the controller's trajectory
     min_pfnn_target_distance: float = 8.0
     min_pfnn_primitive_steps: int = 100
     split_pfnn_primitives: bool = True
@@ -179,10 +194,21 @@ class MGStatePlanner:
                 weight=self.settings.direction_constraint_weight)
         if pose_buffer:
             sc = compiled.set_alignment_from_prev(sc, np.asarray(pose_buffer[-1]))
+            if self.settings.add_transition_constraint:
+                # transition pose constraint at the step's first frame
+                # (reference generate_transition_constraint,
+                # constraint_builder.py:404-406 + :434-436: the previous
+                # buffer pose as a PoseConstraint so the chosen candidate
+                # starts where the buffer ended)
+                sc = compiled.set_pose_constraint(
+                    sc, skel, np.asarray(pose_buffer[-1], np.float32))
         else:
             sc = compiled.set_alignment_from_start_pose(sc, np.zeros(3), 0.0)
 
-        if target_pos is None and target_dir is None:
+        unconstrained = target_pos is None and target_dir is None
+        if unconstrained or not self.settings.use_constrained_sampling:
+            # reference :1003-1012: use_constrained_sampling=False always
+            # takes a plain GMM sample
             s = prim_mod.sample_latent(self._next_key(), prim, 1)[0]
         else:
             s, _ = generator.generate_constrained_sample(
@@ -201,6 +227,11 @@ class MGStatePlanner:
         if self.hand_collision_boundary is not None:
             frames = self.handle_collision(frames, action or node_key[0])
         node_type = self.graph.nodes[node_key].node_type
+        if node_type == NODE_TYPE_IDLE and self.settings.ignore_idle_rotation:
+            # idle clips keep their own heading (translation-only alignment,
+            # reference ignore_idle_rotation)
+            return self.state_queue.generate_idle_state(
+                frames, pose_buffer, node_key=node_key, ignore_rotation=True)
         return self.state_queue.add_state(node_key, node_type, frames, pose_buffer)
 
     # -- upper-body gesture overlay (reference :568-604 + :817-828) ------
@@ -478,6 +509,12 @@ class MGStatePlanner:
         control_points = np.asarray(control_points, np.float64)
         cur = (np.asarray(pose_buffer[-1][:3], np.float64) if pose_buffer
                else np.zeros(3))
+        # forward the blend bias to the controller's trajectory when it
+        # exposes one (reference :861 pfnn_wrapper.controller.traj.blend_bias)
+        traj = getattr(getattr(self.pfnn_wrapper, "controller", None),
+                       "traj", None)
+        if traj is not None and hasattr(traj, "blend_bias"):
+            traj.blend_bias = self.settings.pfnn_blend_bias
         self.pfnn_wrapper.reset(cur, 0, np.array([0.0, 0.0, 1.0]))
         new_frames = []
         target_idx = 0
@@ -588,6 +625,38 @@ class MGStatePlanner:
             path_state["prev_direction_vector"] = direction
             path_state["prev_distance"] = path_state["distance"]
             steps += 1
+            if self.settings.sleep_time > 0:
+                # worker-thread pacing so a streaming consumer can keep up
+                # (reference sleep_time, mg_state_planner.py:608)
+                import time as _time
+                _time.sleep(self.settings.sleep_time)
+        # end-target enforcement (reference :357-380 force_walk_end_targets):
+        # when the loop consumed every control point but stopped short of the
+        # exact target, blend the newest state's root onto it and orient it
+        # toward end_direction (or the last steering direction)
+        if (self.settings.force_walk_end_targets and not control_points
+                and not self.stop_thread
+                and path_state["prev_target"] is not None and pose_buffer):
+            target = np.asarray(path_state["prev_target"], np.float64)
+            end_pos = np.asarray(pose_buffer[-1][:3], np.float64)
+            end_distance = float(np.linalg.norm(
+                (target - end_pos) * np.array([1.0, 0.0, 1.0])))
+            window = self.settings.end_target_blend_range
+            if end_distance > self.settings.min_end_distance:
+                self.state_queue.correct_last_state_end_pos(target, window)
+            end_dir = end_direction
+            if end_dir is None:
+                end_dir = path_state["prev_direction_vector"]
+            if end_dir is not None:
+                d = np.asarray(end_dir, np.float64)
+                d_xz = np.array([d[0], d[2]] if len(d) == 3 else d[:2])
+                n = np.linalg.norm(d_xz)
+                if n > 1e-10:
+                    self.state_queue.correct_last_state_end_dir(d_xz / n,
+                                                                window)
+            last = self.state_queue.get_last_state()
+            if last is not None:
+                pose_buffer = last.pose_buffer
         return pose_buffer
 
     def generate_motion_states_from_action_sequence(self, actions: List[dict],

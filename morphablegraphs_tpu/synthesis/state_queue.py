@@ -162,6 +162,61 @@ class MGStateQueue:
 
     def generate_idle_state(self, idle_frames: np.ndarray,
                             pose_buffer: Optional[List[np.ndarray]],
-                            node_key=("walk", "idle")) -> StateQueueEntry:
-        """reference :160-197: hold an idle clip aligned to the buffer."""
-        return self.add_state(node_key, "idle", idle_frames, pose_buffer)
+                            node_key=("walk", "idle"),
+                            ignore_rotation: bool = False) -> StateQueueEntry:
+        """reference :160-197: hold an idle clip aligned to the buffer.
+        ignore_rotation mirrors the reference's `ignore_idle_rotation`
+        setting: idle clips keep their own heading (translation-only
+        alignment)."""
+        state = self.build_state(idle_frames, pose_buffer,
+                                 ignore_rotation=ignore_rotation)
+        new_buffer = ((list(pose_buffer) if pose_buffer else [])
+                      + list(state.frames))[-self.buffer_size:]
+        entry = StateQueueEntry(node_key, "idle", state, new_buffer)
+        self.append(entry)
+        return entry
+
+    # -- end-target corrections on the NEWEST queued state (reference
+    #    apply_end_pos_correction :228-253 / apply_end_orientation_by_
+    #    direction :256-267, driven by force_walk_end_targets) -----------
+    def _refresh_last_entry(self, entry: StateQueueEntry,
+                            frames: np.ndarray) -> None:
+        """Write edited frames back into the entry and its pose buffer tail
+        (the buffer's newest frames ARE the state's frames)."""
+        entry.state.frames = frames
+        n = min(len(frames), len(entry.pose_buffer))
+        if n > 0:
+            entry.pose_buffer[-n:] = list(frames[-n:])
+
+    def correct_last_state_end_pos(self, target_pos,
+                                   window: Optional[int] = None) -> bool:
+        """Linear-blend the newest state's root XZ toward `target_pos` over
+        the final `window` frames (reference apply_end_pos_correction;
+        window <= 0 snaps only the last frame)."""
+        entry = self.get_last_state()
+        if entry is None:
+            return False
+        frames = np.asarray(entry.state.frames, np.float32).copy()
+        if window is not None and window <= 0:
+            delta = np.asarray(target_pos, np.float32) - frames[-1, :3]
+            delta[1] = 0.0
+            frames[-1, :3] += delta
+        else:
+            frames = self.apply_end_pos_correction(frames, target_pos,
+                                                   window=window)
+        self._refresh_last_entry(entry, frames)
+        return True
+
+    def correct_last_state_end_dir(self, target_dir_xz,
+                                   window: Optional[int] = None) -> bool:
+        """Slerp the newest state's root heading toward the XZ direction
+        over the final `window` frames (reference
+        apply_end_orientation_by_direction -> correction)."""
+        entry = self.get_last_state()
+        if entry is None:
+            return False
+        frames = np.asarray(entry.state.frames, np.float32).copy()
+        frames = self.apply_end_orientation_correction(frames, target_dir_xz,
+                                                       window=window)
+        self._refresh_last_entry(entry, frames)
+        return True

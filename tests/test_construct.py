@@ -358,6 +358,17 @@ def test_monotonic_indices_constant_run():
     assert w[0] == 0.0 and abs(w[-1] - 0.005) < 1e-12
 
 
+def test_monotonic_indices_degenerate_end_below_start():
+    """A degenerate warp whose end is at or below its start must still come
+    out strictly increasing (the plain endpoint ramp would be flat or
+    decreasing)."""
+    from morphablegraphs_tpu.construct.fpca import monotonic_indices
+    for end in (0.0, -1.0):
+        w = monotonic_indices(np.array([0.0, 0.5, 0.2, end]))
+        assert np.all(np.diff(w) > 0), (end, w)
+        assert w[0] == 0.0
+
+
 def test_detect_keyframes_local_minima():
     """Two separated pose matches: the picks must be the two LOCAL minima,
     not two points on the slopes of the deeper valley."""

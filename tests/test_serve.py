@@ -189,6 +189,118 @@ def test_direction_extraction_overstepping_abort(graph):
     assert step == 0.0
 
 
+def test_queue_end_corrections_on_last_state(graph):
+    """correct_last_state_end_pos/dir edit the NEWEST queued entry in place
+    — frames AND pose buffer tail (reference apply_end_pos_correction
+    :228-253 operates on the queue)."""
+    q = MGStateQueue(graph.skeleton, 1 / 30)
+    e1 = q.add_state(("walk", "a"), "start", _frames(30), None)
+    target = np.array([10.0, 0, 40.0])
+    assert q.correct_last_state_end_pos(target, window=10)
+    last = q.get_last_state()
+    np.testing.assert_allclose(last.state.frames[-1][:3], target, atol=0.5)
+    np.testing.assert_allclose(last.pose_buffer[-1][:3], target, atol=0.5)
+    assert q.correct_last_state_end_dir(np.array([1.0, 0.0]), window=10)
+    from morphablegraphs_tpu.ops import align
+    import jax.numpy as jnp
+    heading = float(align.heading_angle(
+        jnp.asarray(q.get_last_state().state.frames[-1][3:7])))
+    assert abs(heading - np.pi / 2) < 0.1
+    # empty queue -> no-op, reports False
+    q2 = MGStateQueue(graph.skeleton, 1 / 30)
+    assert not q2.correct_last_state_end_pos(target)
+
+
+def test_force_walk_end_targets(graph):
+    """With force_walk_end_targets the locomotion run ends EXACTLY on the
+    final control point, oriented along end_direction (reference
+    generate_motion_states_from_action :357-380)."""
+    settings = MGStatePlanningSettings(
+        n_samples=6, max_steps_per_target=8, force_walk_end_targets=True,
+        min_end_distance=1.0, end_target_blend_range=10)
+    p = MGStatePlanner(graph, settings)
+    target = [0.0, 0.0, 60.0]
+    p.generate_locomotion("walk", np.array([[0.0, 0, 30.0], target]),
+                          end_direction=[1.0, 0.0, 0.0])
+    last = p.state_queue.get_last_state()
+    assert last is not None
+    xz = last.state.frames[-1][[0, 2]]
+    np.testing.assert_allclose(xz, [target[0], target[2]], atol=0.5)
+    from morphablegraphs_tpu.ops import align
+    import jax.numpy as jnp
+    heading = float(align.heading_angle(
+        jnp.asarray(last.state.frames[-1][3:7])))
+    assert abs(heading - np.pi / 2) < 0.1
+
+
+def test_ignore_idle_rotation(graph):
+    """generate_idle_state(ignore_rotation=True) keeps the idle clip's own
+    heading while still translating it onto the buffer (reference
+    ignore_idle_rotation)."""
+    from morphablegraphs_tpu.ops import align, quat
+    import jax.numpy as jnp
+    q = MGStateQueue(graph.skeleton, 1 / 30)
+    e1 = q.add_state(("walk", "a"), "start", _frames(10), None)
+    idle = _frames(6, z0=50.0)
+    # give the idle clip a distinctive 90-degree heading
+    rot = np.asarray(quat.about_y(jnp.asarray(np.pi / 2)), np.float32)
+    idle[:, 3:7] = rot
+    kept = q.generate_idle_state(idle, e1.pose_buffer, ignore_rotation=True)
+    h = float(align.heading_angle(jnp.asarray(kept.state.frames[0][3:7])))
+    assert abs(h - np.pi / 2) < 1e-3  # own heading preserved
+    seam = np.linalg.norm(np.asarray(kept.state.frames[0][:3])
+                          - np.asarray(e1.pose_buffer[-1][:3]))
+    assert seam < 1.0  # still translated onto the buffer
+
+
+def test_use_constrained_sampling_off(graph):
+    """use_constrained_sampling=False always takes a plain GMM sample
+    (reference generate_constrained_motion_primitive :1003-1012)."""
+    from morphablegraphs_tpu.synthesis import state_planner as sp_mod
+    settings = MGStatePlanningSettings(use_constrained_sampling=False,
+                                       n_samples=4)
+    p = MGStatePlanner(graph, settings)
+    calls = []
+    orig = sp_mod.generator.generate_constrained_sample
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    sp_mod.generator.generate_constrained_sample = spy
+    try:
+        entry = p.generate_step(("walk", "beginLeftStance"), None,
+                                target_dir=[0.0, 1.0])
+    finally:
+        sp_mod.generator.generate_constrained_sample = orig
+    assert entry is not None and not calls  # constrained path never ran
+
+
+def test_add_transition_constraint(graph):
+    """add_transition_constraint activates the transition pose slot on the
+    step's compiled constraints (reference constraint_builder.py:404-406)."""
+    from morphablegraphs_tpu.synthesis import state_planner as sp_mod
+    settings = MGStatePlanningSettings(add_transition_constraint=True,
+                                       n_samples=4)
+    p = MGStatePlanner(graph, settings)
+    seen = {}
+    orig = sp_mod.generator.generate_constrained_sample
+
+    def spy(key, skel, prim, sc, config, **kw):
+        seen["pose_active"] = float(sc.pose_active)
+        return orig(key, skel, prim, sc, config, **kw)
+
+    sp_mod.generator.generate_constrained_sample = spy
+    try:
+        e0 = p.state_queue.add_state(("walk", "a"), "start", _frames(10),
+                                     None)
+        p.generate_step(("walk", "leftStance"), e0.pose_buffer,
+                        target_dir=[0.0, 1.0])
+    finally:
+        sp_mod.generator.generate_constrained_sample = orig
+    assert seen.get("pose_active") == 1.0
+
+
 def test_upper_body_state_cycles_through_gesture(graph):
     """reference combine_frames_with_other_motion_primitive :817-828: the
     gesture frames splice cyclically into consecutive steps."""
