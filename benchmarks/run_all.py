@@ -27,11 +27,19 @@ for _p in (_REPO, os.path.join(_REPO, "tests")):
 
 
 def _setup():
+    """Reference-scale model by default (19 joints -> 79 channels, n_basis
+    16, ~130 canonical frames — the reference's production dimensions);
+    MG_BENCH_SCALE=toy keeps the round-1 4-joint smoke config."""
     from morphablegraphs_tpu.models import graph as graph_mod
     from morphablegraphs_tpu.models import skeleton as sk
-    from morphablegraphs_tpu.utils.synthetic import TEST_BVH, make_graph_dict
-    graph = graph_mod.build_graph_from_dict(make_graph_dict())
-    skel, _ = sk.load_bvh(TEST_BVH)
+    from morphablegraphs_tpu.utils.synthetic import (
+        REF_BVH, TEST_BVH, make_graph_dict, make_reference_scale_graph_dict)
+    if os.environ.get("MG_BENCH_SCALE") == "toy":
+        graph_dict, bvh = make_graph_dict(), TEST_BVH
+    else:
+        graph_dict, bvh = make_reference_scale_graph_dict(), REF_BVH
+    graph = graph_mod.build_graph_from_dict(graph_dict)
+    skel, _ = sk.load_bvh(bvh)
     graph.skeleton = skel
     return graph, graph_mod.stack_graph(graph)
 
