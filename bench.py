@@ -148,15 +148,23 @@ def run_config(config: str, on_tpu: bool, n_chars: int, n_steps: int,
 
     # the fused Pallas selection kernel (10.1x the XLA candidate scoring at
     # 10k candidates, measured on v5e-1) is the default on TPU; CPU runs and
-    # the toy config keep the XLA path.  The ee config also keeps XLA
-    # selection: the kernel covers the locomotion family only, and the hand
-    # keyframe must participate in selection, not just refinement.
-    # step_scs_locomotion_only is the host-side contract check — the kernel
-    # silently ignores user slots, so enabling it on a workload that carries
-    # any would mis-rank candidates.
+    # the toy config keep the XLA path.  The ee config uses the kernel's
+    # end-effector variant: the hand keyframe participates in selection via
+    # in-kernel chain FK (ops/pallas_kernels._score_loco_ee_kernel).
+    # step_scs_locomotion_only / step_scs_pallas_ee_only are the host-side
+    # contract checks — the kernel silently ignores slots outside its
+    # family, so enabling it on any other workload would mis-rank
+    # candidates.
     from morphablegraphs_tpu.constraints import compiled as cmp
-    use_pallas = (on_tpu and config == "ref"
-                  and cmp.step_scs_locomotion_only(step_scs))
+    pallas_ee = None
+    if on_tpu and config == "ref":
+        use_pallas = cmp.step_scs_locomotion_only(step_scs)
+    elif on_tpu and config == "ee" and cmp.step_scs_pallas_ee_only(
+            step_scs, skel.index_of("RightHand")):
+        use_pallas = True
+        pallas_ee = "RightHand"
+    else:
+        use_pallas = False
     if use_pallas:
         n_samples = 128  # lane-width multiple; scoring 128 costs the same
 
@@ -181,7 +189,7 @@ def run_config(config: str, on_tpu: bool, n_chars: int, n_steps: int,
                 skel, k, g, p, s, n_steps=n_steps, step_scs=step_scs,
                 max_step_frames=160, n_samples=n_samples,
                 lm_iters=lm_iters, lm_threshold=5.0,
-                pallas_selection=use_pallas,
+                pallas_selection=use_pallas, pallas_ee=pallas_ee,
                 root_only=root_only, lm_frozen=lm_frozen))(keys, paths, sids)
 
     keys = jax.random.split(jax.random.PRNGKey(0), n_chars)

@@ -545,6 +545,37 @@ def step_scs_locomotion_only(step_scs) -> bool:
                 or any_active(step_scs.ts_active))
 
 
+def step_scs_pallas_ee_only(step_scs, ee_node: int) -> bool:
+    """Host-side check for the end-effector selection kernel: True when the
+    ONLY user constraint beyond the locomotion family is keyframe slot 2,
+    position-only, on `ee_node` (the reference's pick/place shape — one
+    end-effector target per step, motion_primitive_constraints_builder.py:
+    218-230).  Slots 0/1 are the walk's own locomotion goals; anything else
+    would be silently ignored by the kernel and mis-rank candidates."""
+
+    def any_active(a):
+        return bool(np.any(np.asarray(a) > 0))
+
+    kf_act = np.asarray(step_scs.kf_active) > 0
+    kf_act2 = np.atleast_2d(kf_act)  # [n_steps?, K]
+    if np.any(kf_act2[:, 3:]):
+        return False
+    slot2 = kf_act2[:, 2]
+    if np.any(slot2):
+        node = np.atleast_2d(np.asarray(step_scs.kf_node))[:, 2]
+        has_q = np.atleast_2d(np.asarray(step_scs.kf_has_quat))[:, 2]
+        if np.any(slot2 & (node != ee_node)):
+            return False
+        if np.any(slot2 & (has_q > 0)):
+            return False
+    return not (any_active(step_scs.la_active)
+                or any_active(step_scs.rt_active)
+                or any_active(step_scs.jr_active)
+                or any_active(step_scs.pose_active)
+                or any_active(step_scs.ca_active)
+                or any_active(step_scs.ts_active))
+
+
 def active_mask(sc: StepConstraints) -> jax.Array:
     """0/1 mask over the residual vector marking active constraint slots
     (reference pads residuals likewise, objective_functions.py:233-236)."""

@@ -223,32 +223,97 @@ def gmm_scores_xla(x, weights, means, prec_chol):
 N_EVAL = 19  # goal kf + dir + 16 traj samples + frame0 (alignment)
 CH = 8  # root channels per eval frame, sublane-padded (x y z qw qx qy qz _)
 N_BLK = 128  # candidate block (lane width)
+CFG_W = 48  # SMEM config row width (scalars; slots 31+ are the ee block)
+
+
+def pack_ee_chain(skeleton, joint: str):
+    """Static ancestor-chain tables for the end-effector selection kernel.
+
+    Returns (chain_idx [L] int32 — the ANIMATED-joint index of each chain
+    node root-first, -1 for fixed joints — and chain_const [L, 8] f32 rows
+    [off_x off_y off_z rest_w rest_x rest_y rest_z is_animated]).  Host-side;
+    everything here is static skeleton topology."""
+    from ..models import skeleton as sk_mod
+    node = skeleton.index_of(joint)
+    chain = []
+    j = node
+    while j >= 0:
+        chain.append(j)
+        j = skeleton.parents[j]
+    chain = chain[::-1]
+    anim_idx = sk_mod._fk_tables(skeleton)
+    rest = sk_mod._rest_table(skeleton)
+    idx = np.asarray([anim_idx[c] for c in chain], np.int32)
+    const = np.zeros((len(chain), 8), np.float32)
+    for d, c in enumerate(chain):
+        const[d, 0:3] = skeleton.offsets[c]
+        const[d, 3:7] = rest[c]
+        const[d, 7] = 1.0 if anim_idx[c] >= 0 else 0.0
+    return idx, const
 
 
 def selection_operator(eigen_s: jax.Array, mean_s: jax.Array,
                        knots_s: jax.Array, n_basis_max: int, n_dim: int,
                        goal_frame: jax.Array, dir_frame: jax.Array,
-                       n_canonical: jax.Array, traj_samples: int = 16):
+                       n_canonical: jax.Array, traj_samples: int = 16,
+                       ee_frame=None, ee_chain_idx=None):
     """Collapse the B-spline basis into the ROOT rows of the fPCA operator.
 
     eigen_s: [n_basis_max * n_dim, K]; mean_s: [n_basis_max * n_dim].
     Returns M' [N_EVAL*CH, K+1] with the mean folded into the last column;
     eval frame order: [goal kf | dir | traj 0..S-1 | frame 0].
+
+    With ee_frame + ee_chain_idx (the [L] table from `pack_ee_chain`), an
+    end-effector block of round_up(3+4L, 8) extra rows is appended: the raw
+    root translation and each chain joint's local quaternion channels
+    evaluated at ee_frame (zero rows for fixed joints — the kernel
+    substitutes their constant rest rotations).
     """
     k = eigen_s.shape[-1]
-    eigen = eigen_s.reshape(n_basis_max, n_dim, k)[:, :7, :]  # [B, 7, K]
-    mean = mean_s.reshape(n_basis_max, n_dim)[:, :7]  # [B, 7]
+    eigen_full = eigen_s.reshape(n_basis_max, n_dim, k)
+    mean_full = mean_s.reshape(n_basis_max, n_dim)
+    eigen = eigen_full[:, :7, :]  # [B, 7, K]
+    mean = mean_full[:, :7]  # [B, 7]
     t_lin = jnp.linspace(0.0, 1.0, traj_samples) * jnp.maximum(
         n_canonical - 1.0, 1.0)
-    t_eval = jnp.concatenate([goal_frame[None], dir_frame[None], t_lin,
-                              jnp.zeros(1)])
-    b = bspline.basis_matrix(knots_s, t_eval)  # [N_EVAL, B]
-    m = jnp.einsum("fb,bck->fck", b, eigen,
+    parts = [goal_frame[None], dir_frame[None], t_lin, jnp.zeros(1)]
+    if ee_chain_idx is not None:
+        parts.append(jnp.asarray(ee_frame, jnp.float32)[None])
+    t_eval = jnp.concatenate(parts)
+    b = bspline.basis_matrix(knots_s, t_eval)  # [N_EVAL(+1), B]
+    m = jnp.einsum("fb,bck->fck", b[:N_EVAL], eigen,
                    precision=jax.lax.Precision.HIGHEST)  # [F, 7, K]
-    mu = jnp.matmul(b, mean, precision=jax.lax.Precision.HIGHEST)  # [F, 7]
+    mu = jnp.matmul(b[:N_EVAL], mean,
+                    precision=jax.lax.Precision.HIGHEST)  # [F, 7]
     m = jnp.concatenate([m, mu[..., None]], axis=-1)  # [F, 7, K+1]
     m = jnp.pad(m, ((0, 0), (0, CH - 7), (0, 0)))  # channel pad to 8
-    return m.reshape(N_EVAL * CH, k + 1)
+    mop = m.reshape(N_EVAL * CH, k + 1)
+    if ee_chain_idx is None:
+        return mop
+    # ---- end-effector block: [tx ty tz | q(chain 0) | q(chain 1) | ...]
+    depth = len(ee_chain_idx)
+    ch_idx = [0, 1, 2]
+    ch_mask = [1.0, 1.0, 1.0]
+    for a in np.asarray(ee_chain_idx):
+        if a >= 0:
+            ch_idx += [3 + 4 * a + i for i in range(4)]
+            ch_mask += [1.0] * 4
+        else:  # fixed joint: zero rows (kernel substitutes the rest quat)
+            ch_idx += [0, 0, 0, 0]
+            ch_mask += [0.0] * 4
+    ch_idx = np.asarray(ch_idx)
+    ch_mask = jnp.asarray(np.asarray(ch_mask, np.float32))
+    eig_ee = eigen_full[:, ch_idx, :] * ch_mask[None, :, None]
+    mu_ee = mean_full[:, ch_idx] * ch_mask[None, :]
+    b_ee = b[N_EVAL: N_EVAL + 1]  # [1, B]
+    m_ee = jnp.einsum("fb,bck->fck", b_ee, eig_ee,
+                      precision=jax.lax.Precision.HIGHEST)[0]  # [C, K]
+    mu_e = jnp.matmul(b_ee, mu_ee,
+                      precision=jax.lax.Precision.HIGHEST)[0]  # [C]
+    rows = jnp.concatenate([m_ee, mu_e[:, None]], axis=-1)  # [C, K+1]
+    pad = _round_up(3 + 4 * depth, SUBLANE) - rows.shape[0]
+    rows = jnp.pad(rows, ((0, pad), (0, 0)))
+    return jnp.concatenate([mop, rows], axis=0)
 
 
 def _heading_vec(qw, qx, qy, qz):
@@ -282,17 +347,14 @@ def _atan2(y, x):
     return jnp.where(y < 0, -r, r)
 
 
-def _score_loco_kernel(mop_ref, alphas_ref, table_ref, cfg_ref, out_ref):
-    """One block of N_BLK candidates.
+def _loco_score_body(frames, table_ref, cfg_ref):
+    """Shared locomotion-family scoring on the evaluated channel rows.
 
-    mop: [N_EVAL*CH, K+1]; alphas: [K+1, N] (last row = 1);
-    table: [G8, 128] cols 0..2 = masked path points, col 3 = arc length,
-    col 4 = validity (1 real row / 0 padding); cfg: [1, 32] scalars in SMEM.
-    out: [8, N] row 0 = errors.
+    frames: [rows, N] (only the base N_EVAL*CH rows are read here);
+    table/cfg as documented on `_score_loco_kernel`.
+    Returns (err [1, N], ct, st, dx, dy, dz) — the per-candidate aligning
+    transform pieces so extension blocks (the ee kernel) can reuse them.
     """
-    frames = jnp.dot(mop_ref[:], alphas_ref[:],
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)  # [F*CH, N]
     n = frames.shape[1]
 
     cos_a_prev, sin_a_prev = cfg_ref[0, 0], cfg_ref[0, 29]
@@ -392,20 +454,124 @@ def _score_loco_kernel(mop_ref, alphas_ref, table_ref, cfg_ref, out_ref):
     err = (kf_active * kf_w * kf_err
            + dir_active * dir_w * dir_err
            + traj_active * traj_w * traj_sum / 16.0)
+    return err, ct, st, dx, dy, dz
+
+
+def _score_loco_kernel(mop_ref, alphas_ref, table_ref, cfg_ref, out_ref):
+    """One block of N_BLK candidates.
+
+    mop: [N_EVAL*CH, K+1]; alphas: [K+1, N] (last row = 1);
+    table: [G8, 128] cols 0..2 = masked path points, col 3 = arc length,
+    col 4 = validity (1 real row / 0 padding); cfg: [1, CFG_W] scalars in
+    SMEM.  out: [8, N] row 0 = errors.
+    """
+    frames = jnp.dot(mop_ref[:], alphas_ref[:],
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # [F*CH, N]
+    n = frames.shape[1]
+    err, _, _, _, _, _ = _loco_score_body(frames, table_ref, cfg_ref)
     out_ref[0:1, :] = err
+    out_ref[1:8, :] = jnp.zeros((7, n))
+
+
+def _score_loco_ee_kernel(mop_ref, alphas_ref, table_ref, cfg_ref, chain_ref,
+                          out_ref, *, depth: int):
+    """Locomotion scoring + ONE non-root end-effector keyframe slot.
+
+    The ee block appended by `selection_operator(..., ee_chain_idx=...)`
+    carries the raw root translation and each chain joint's local quaternion
+    at the ee keyframe; the chain FK runs HERE, per candidate, as [1, N]
+    row ops — composition order and (deliberately unnormalized) quaternion
+    math exactly mirror models/skeleton.fk_global, so the kernel's error
+    matches the XLA evaluator's kf-slot residual
+    (reference pick/place semantics,
+    motion_primitive_constraints_builder.py:218-230).
+
+    chain: [L, 8] SMEM rows [off_xyz | rest_wxyz | is_animated] from
+    `pack_ee_chain`.  cfg slots 31..38: ee_active, ee_weight, target xyz
+    (pre-shifted by -root_offset), mask xyz.
+    """
+    frames = jnp.dot(mop_ref[:], alphas_ref[:],
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    n = frames.shape[1]
+    err, ct, st, dx, dy, dz = _loco_score_body(frames, table_ref, cfg_ref)
+
+    def row(i):
+        return frames[i: i + 1, :]
+
+    eb = N_EVAL * CH  # ee block base row
+    # aligned root position in off0-shifted space: R_y(theta) t + delta
+    px = ct * row(eb) + st * row(eb + 2) + dx
+    pz = -st * row(eb) + ct * row(eb + 2) + dz
+    py = row(eb + 1) + dy
+
+    def local_q(d):
+        """Chain joint d's local quat rows; fixed joints read the constant
+        rest rotation from SMEM (their emitted rows are zero)."""
+        base = eb + 3 + 4 * d
+        is_anim = chain_ref[d, 7]
+        qs = [row(base + i) for i in range(4)]
+        return [jnp.where(is_anim > 0, q,
+                          jnp.full_like(q, chain_ref[d, 3 + i]))
+                for i, q in enumerate(qs)]
+
+    # q_acc = q_y(theta) ∘ q_root: half-angle terms from (ct, st); the sign
+    # ambiguity at theta = ±pi only flips the quaternion sign, which cancels
+    # in rotate and in later compositions
+    c2 = jnp.sqrt(jnp.maximum((1.0 + ct) * 0.5, 0.0))
+    s2m = jnp.sqrt(jnp.maximum((1.0 - ct) * 0.5, 0.0))
+    s2 = jnp.where(st >= 0, s2m, -s2m)
+    qw, qx, qy_, qz = local_q(0)
+    aw = c2 * qw - s2 * qy_
+    ax = c2 * qx + s2 * qz
+    ay = c2 * qy_ + s2 * qw
+    az = c2 * qz - s2 * qx
+    for d in range(1, depth):  # static unroll down the chain
+        ox, oy, oz = chain_ref[d, 0], chain_ref[d, 1], chain_ref[d, 2]
+        # rotate_vec(q_acc, off): v + 2(w u×v + u×(u×v)) — the same
+        # (norm-sensitive) form ops/quat.rotate_vec uses on raw quats
+        uvx = ay * oz - az * oy
+        uvy = az * ox - ax * oz
+        uvz = ax * oy - ay * ox
+        uuvx = ay * uvz - az * uvy
+        uuvy = az * uvx - ax * uvz
+        uuvz = ax * uvy - ay * uvx
+        px = px + ox + 2.0 * (aw * uvx + uuvx)
+        py = py + oy + 2.0 * (aw * uvy + uuvy)
+        pz = pz + oz + 2.0 * (aw * uvz + uuvz)
+        lw, lx, ly, lz = local_q(d)
+        nw = aw * lw - ax * lx - ay * ly - az * lz
+        nx = aw * lx + ax * lw + ay * lz - az * ly
+        ny = aw * ly - ax * lz + ay * lw + az * lx
+        nz = aw * lz + ax * ly - ay * lx + az * lw
+        aw, ax, ay, az = nw, nx, ny, nz
+    ee_active, ee_w = cfg_ref[0, 31], cfg_ref[0, 32]
+    tx, ty, tz = cfg_ref[0, 33], cfg_ref[0, 34], cfg_ref[0, 35]
+    mx, my, mz = cfg_ref[0, 36], cfg_ref[0, 37], cfg_ref[0, 38]
+    ddx = (px - tx) * mx
+    ddy = (py - ty) * my
+    ddz = (pz - tz) * mz
+    ee_err = jnp.sqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-12))
+    out_ref[0:1, :] = err + ee_active * ee_w * ee_err
     out_ref[1:8, :] = jnp.zeros((7, n))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def score_locomotion_candidates(mop: jax.Array, alphas: jax.Array,
                                 table: jax.Array, cfg: jax.Array,
+                                chain: jax.Array = None,
                                 interpret: bool = False) -> jax.Array:
     """Score candidates under the locomotion constraint family.
 
-    mop: [N_EVAL*CH, K+1] from `selection_operator`;
+    mop: [N_EVAL*CH(+ee rows), K+1] from `selection_operator`;
     alphas: [N, K] candidate spatial latents (N multiple of 128);
     table: [G8, 128] packed path table from `pack_path_table`;
-    cfg: [1, 32] scalars from `pack_selection_cfg`.
+    cfg: [1, CFG_W] scalars from `pack_selection_cfg`;
+    chain: optional [L, 8] table from `pack_ee_chain` — when given, the ee
+    variant also scores the single non-root end-effector keyframe slot
+    (build mop with matching ee_frame/ee_chain_idx and pack the ee cfg
+    slots).
     Returns errors [N].
 
     Off-TPU the kernel runs in Pallas interpret mode automatically (exact
@@ -420,24 +586,40 @@ def score_locomotion_candidates(mop: jax.Array, alphas: jax.Array,
     a1 = jnp.concatenate([alphas, jnp.ones((n, 1), alphas.dtype)],
                          axis=1).T  # [K+1, N]
     g8 = table.shape[0]
+    in_specs = [
+        pl.BlockSpec((mop.shape[0], k + 1), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k + 1, N_BLK), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g8, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CFG_W), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    if chain is None:
+        kernel = _score_loco_kernel
+        args = (mop, a1, table, cfg)
+    else:
+        depth = chain.shape[0]
+        expect = N_EVAL * CH + _round_up(3 + 4 * depth, SUBLANE)
+        if mop.shape[0] != expect:  # ValueError: must survive python -O
+            raise ValueError(
+                f"mop has {mop.shape[0]} rows but a depth-{depth} ee chain "
+                f"needs {expect} — build it with selection_operator("
+                "ee_frame=..., ee_chain_idx=...)")
+        kernel = functools.partial(_score_loco_ee_kernel, depth=depth)
+        in_specs.append(pl.BlockSpec((depth, 8), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args = (mop, a1, table, cfg, chain)
     out = pl.pallas_call(
-        _score_loco_kernel,
+        kernel,
         grid=(n // N_BLK,),
-        in_specs=[
-            pl.BlockSpec((mop.shape[0], k + 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k + 1, N_BLK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g8, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 32), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((8, N_BLK), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         interpret=interpret,
-    )(mop, a1, table, cfg)
+    )(*args)
     return out[0]
 
 
@@ -470,22 +652,34 @@ def pack_selection_cfg(sp, a_prev, prev_pos, start_theta, start_delta,
                        kf_active=1.0, kf_weight=1.0, dir_active=1.0,
                        dir_weight=0.8, traj_active=1.0, traj_weight=1.0,
                        range_lo=-1e30, range_hi=1e30,
-                       root_offset=None) -> jax.Array:
+                       root_offset=None,
+                       ee_active=0.0, ee_weight=1.0, ee_target=None,
+                       ee_mask=None) -> jax.Array:
     """Pack the per-step scalars for the selection kernel (see
     _score_loco_kernel's cfg layout); sp is the PathSpline the table was
     packed from (dim mask + end snap constants).
 
-    root_offset shifts the goal and the end-snap point by -offset so the
-    kernel's raw-frame-translation residuals match the exact evaluator's
-    fk_root positions (pos = offsets[0] + t); pass the same value given to
-    pack_path_table."""
+    root_offset shifts the goal, the end-snap point and the ee target by
+    -offset so the kernel's raw-frame-translation residuals match the exact
+    evaluator's fk positions (root pos = offsets[0] + t); pass the same
+    value given to pack_path_table.
+
+    ee_* fill cfg slots 31..38 for the end-effector kernel variant
+    (`score_locomotion_candidates(..., chain=...)`): activity, weight,
+    world target (xyz) and the NaN-derived component mask of the keyframe
+    slot."""
     a_dir = jnp.arctan2(dir_target[0], dir_target[1])
     mask = jnp.where(sp.unconstrained, 0.0, 1.0)
     end_raw = sp.table_points[-1]
+    if ee_target is None:
+        ee_target = jnp.zeros(3)
+    if ee_mask is None:
+        ee_mask = jnp.zeros(3)
     if root_offset is not None:
         off = jnp.asarray(root_offset, end_raw.dtype)
         end_raw = end_raw - off
         goal_pos = goal_pos - off
+        ee_target = ee_target - off
     end_pt = end_raw * mask
     vals = [jnp.cos(a_prev), prev_pos[0], prev_pos[1], prev_pos[2],
             jnp.cos(start_theta),
@@ -494,6 +688,9 @@ def pack_selection_cfg(sp, a_prev, prev_pos, start_theta, start_delta,
             dir_active, dir_weight, traj_active, traj_weight, min_arc,
             a_dir, range_lo, range_hi,
             mask[0], mask[1], mask[2], end_pt[0], end_pt[1], end_pt[2],
-            sp.table_arc[-1], jnp.sin(a_prev), jnp.sin(start_theta)]
+            sp.table_arc[-1], jnp.sin(a_prev), jnp.sin(start_theta),
+            ee_active, ee_weight,
+            ee_target[0], ee_target[1], ee_target[2],
+            ee_mask[0], ee_mask[1], ee_mask[2]]
     cfg = jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
-    return jnp.pad(cfg, (0, 32 - cfg.shape[0]))[None, :]
+    return jnp.pad(cfg, (0, CFG_W - cfg.shape[0]))[None, :]

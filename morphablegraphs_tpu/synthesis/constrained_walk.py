@@ -261,6 +261,7 @@ def default_step_scs(skeleton, n_steps: int):
                                     "window", "lm_iters", "use_traj",
                                     "use_ca", "use_ts", "use_half",
                                     "root_node", "pallas_selection",
+                                    "pallas_ee",
                                     "root_only", "lm_frozen"))
 def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                           path: spline_path.PathSpline, start_id: jax.Array,
@@ -278,6 +279,7 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                           use_half: bool = False,
                           root_node: int = 0,
                           pallas_selection: bool = False,
+                          pallas_ee: str = None,
                           root_only: bool = False,
                           lm_frozen: bool = False):
     """Trajectory-following walk with FULL constraint semantics per step.
@@ -323,11 +325,12 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
 
     if pallas_selection:
         # the fused selection kernel covers exactly the locomotion family
-        # (root goal keyframe + direction + root trajectory); callers must
-        # verify step_scs carries no user slots BEFORE enabling it
-        # (compiled.step_scs_locomotion_only — checked host-side in
-        # constrained_walk_full_crowd; step_scs is traced here, so only the
-        # static flags are checkable at this level)
+        # (root goal keyframe + direction + root trajectory) — plus, with
+        # pallas_ee, ONE position-only end-effector keyframe in slot 2;
+        # callers must verify step_scs carries nothing else BEFORE enabling
+        # it (compiled.step_scs_locomotion_only / step_scs_pallas_ee_only —
+        # checked host-side in constrained_walk_full_crowd; step_scs is
+        # traced here, so only the static flags are checkable at this level)
         from ..ops import pallas_kernels as pk
         # ValueError, not assert: these guards protect against silent
         # mis-ranking and must survive python -O
@@ -344,6 +347,14 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
         root_off = jnp.asarray(skeleton.offsets[0], jnp.float32)
         path_table = pk.pack_path_table(path, root_offset=root_off)
         # constant across scan steps
+        if pallas_ee is not None:
+            ee_chain_idx, ee_chain_const = pk.pack_ee_chain(skeleton,
+                                                            pallas_ee)
+            ee_chain = jnp.asarray(ee_chain_const)
+        else:
+            ee_chain_idx = ee_chain = None
+    elif pallas_ee is not None:
+        raise ValueError("pallas_ee requires pallas_selection")
 
     init = FullWalkState(
         node_id=jnp.asarray(start_id, jnp.int32),
@@ -396,7 +407,9 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                 g.eigen_s[state.node_id], g.mean_s[state.node_id],
                 g.knots_s[state.node_id], g.n_basis_max, g.n_dim,
                 goal_frame=n_can_f - 1.0, dir_frame=n_can_f - 1.0,
-                n_canonical=n_can_f)
+                n_canonical=n_can_f,
+                ee_frame=sc.kf_frame[2] if pallas_ee else None,
+                ee_chain_idx=ee_chain_idx)
             a_prev = align.heading_angle(state.prev_last[3:7])
             # step 0 uses the user start pose, exactly like the evaluator
             a_start = align.heading_angle(sc.start_q)
@@ -411,9 +424,16 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                 # user active ranges must gate the kernel's trajectory
                 # residuals exactly like the XLA scorer's sc.traj_range_*
                 range_lo=sc.traj_range_start, range_hi=sc.traj_range_end,
-                root_offset=root_off)
+                root_offset=root_off,
+                # the end-effector keyframe (user slot 2) when enabled —
+                # target/mask/weight straight from the user's slot
+                ee_active=sc.kf_active[2] if pallas_ee else 0.0,
+                ee_weight=sc.kf_weight[2] if pallas_ee else 1.0,
+                ee_target=sc.kf_pos[2] if pallas_ee else None,
+                ee_mask=sc.kf_pos_mask[2] if pallas_ee else None)
             errors = pk.score_locomotion_candidates(
-                mop, samples[:, : g.k_s_max], path_table, cfg)
+                mop, samples[:, : g.k_s_max], path_table, cfg,
+                chain=ee_chain)
             best = jnp.argmin(errors)
             s = samples[best]
             err = stacked_error(skeleton, g, state.node_id, sc, s,
@@ -528,7 +548,16 @@ def constrained_walk_full_crowd(skeleton, key: jax.Array, g: StackedGraph,
         kw["step_scs"] = default_step_scs(skeleton, n_steps)
     if kw.get("pallas_selection"):
         from ..constraints import compiled
-        if not compiled.step_scs_locomotion_only(kw["step_scs"]):
+        ee = kw.get("pallas_ee")
+        if ee is not None:
+            if not compiled.step_scs_pallas_ee_only(
+                    kw["step_scs"], skeleton.index_of(ee)):
+                raise ValueError(
+                    "pallas_selection+pallas_ee ranks candidates on the "
+                    "locomotion family plus ONE position-only keyframe on "
+                    f"'{ee}' in slot 2; step_scs carries other user slots "
+                    "that would be ignored — use the XLA selection path")
+        elif not compiled.step_scs_locomotion_only(kw["step_scs"]):
             raise ValueError(
                 "pallas_selection ranks candidates on the locomotion family "
                 "only; step_scs carries user constraint slots that would be "

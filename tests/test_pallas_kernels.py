@@ -125,3 +125,103 @@ def test_score_locomotion_candidates_matches_stacked_error():
     errs_pk0 = np.asarray(pk.score_locomotion_candidates(
         mop, samples[:, : st.k_s_max], table, cfg0, interpret=True))
     np.testing.assert_allclose(errs_pk0, errs_xla0, atol=0.6, rtol=8e-3)
+
+
+@pytest.mark.parametrize("scale", ["toy", "ref"])
+def test_score_ee_candidates_matches_stacked_error(scale):
+    """The ee kernel variant (locomotion family + ONE non-root end-effector
+    keyframe scored via in-kernel chain FK) matches the exact XLA evaluator
+    and picks the same argmin (VERDICT r2 item 5; reference pick/place
+    semantics, motion_primitive_constraints_builder.py:218-230)."""
+    from morphablegraphs_tpu.constraints import compiled
+    from morphablegraphs_tpu.models import graph as graph_mod
+    from morphablegraphs_tpu.models import skeleton as sk
+    from morphablegraphs_tpu.ops import align, spline_path
+    from morphablegraphs_tpu.synthesis import constrained_walk as cw
+    from morphablegraphs_tpu.synthesis import walk as walk_mod
+    from morphablegraphs_tpu.utils.synthetic import (
+        REF_BVH, TEST_BVH, make_graph_dict, make_reference_scale_graph_dict)
+
+    if scale == "toy":
+        bvh, gd, joint = TEST_BVH, make_graph_dict(), "Head"
+    else:
+        bvh, gd, joint = (REF_BVH, make_reference_scale_graph_dict(),
+                          "RightHand")
+    skel, _ = sk.load_bvh(bvh)
+    graph = graph_mod.build_graph_from_dict(gd)
+    st = graph_mod.stack_graph(graph)
+    path = spline_path.build(
+        np.array([[0.0, 0, 0], [10.0, 0, 60], [15.0, 0, 120]], np.float32),
+        unconstrained_dims=(1,), granularity=256)
+    node_id = jnp.asarray(st.node_id(("walk", "leftStance")), jnp.int32)
+    n_can = float(st.n_canonical[node_id])
+    travelled = 10.0
+    goal_arc = jnp.asarray(50.0)
+    goal_pos, goal_dir = spline_path.point_and_dir_at_arc_length(path,
+                                                                 goal_arc)
+    prev_last = np.zeros(skel.n_frame_params, np.float32)
+    prev_last[3::4] = 1.0
+    prev_last[0], prev_last[2] = 3.0, 12.0
+
+    # ee keyframe in user slot 2: y-masked target (NaN component) like the
+    # reference's partially-specified positions
+    ee_target = np.array([20.0, np.nan, 40.0], np.float32)
+    sc_host = compiled.empty_step_constraints(skel, 0)
+    sc_host = compiled.set_keyframe_constraint(
+        sc_host, 2, skel, joint, n_can - 1.0, position=ee_target,
+        weight=1.3)
+    sc = jax.tree.map(jnp.asarray, sc_host)
+    loco = compiled.LocoSpec(
+        goal_arc=goal_arc, half_arc=jnp.asarray(25.0),
+        node=jnp.asarray(0, jnp.int32), end_kf=jnp.asarray(n_can - 1),
+        mid_kf=jnp.asarray((n_can - 1) / 2),
+        dim_mask=jnp.array([1.0, 0, 1.0]),
+        pos_weight=jnp.asarray(1.0), dir_weight=jnp.asarray(0.8))
+    sc = sc.replace(traj=path, traj_active=jnp.asarray(1.0),
+                    traj_node=jnp.asarray(0, jnp.int32),
+                    traj_min_arc=jnp.asarray(travelled),
+                    n_canonical=jnp.asarray(n_can),
+                    has_prev=jnp.asarray(1.0),
+                    prev_last=jnp.asarray(prev_last))
+    sc = compiled.fill_locomotion_slots(sc, path, loco)
+    samples = jax.vmap(lambda kk: walk_mod.sample_node_latent(
+        kk, st, node_id))(jax.random.split(jax.random.PRNGKey(0), 128))
+    errs_xla = np.asarray(jax.vmap(lambda sv: cw.stacked_error(
+        skel, st, node_id, sc, sv, True, False))(samples))
+
+    root_off = jnp.asarray(skel.offsets[0], jnp.float32)
+    chain_idx, chain_const = pk.pack_ee_chain(skel, joint)
+    mop = pk.selection_operator(
+        st.eigen_s[node_id], st.mean_s[node_id], st.knots_s[node_id],
+        st.n_basis_max, st.n_dim, goal_frame=jnp.asarray(n_can - 1.0),
+        dir_frame=jnp.asarray(n_can - 1.0), n_canonical=jnp.asarray(n_can),
+        ee_frame=sc.kf_frame[2], ee_chain_idx=chain_idx)
+    a_prev = align.heading_angle(jnp.asarray(prev_last[3:7]))
+    cfg = pk.pack_selection_cfg(
+        path, a_prev, jnp.asarray(prev_last[:3]), jnp.asarray(0.0),
+        jnp.zeros(3), jnp.asarray(1.0), goal_pos, goal_dir,
+        jnp.asarray(travelled), kf_weight=1.0, dir_weight=0.8,
+        traj_active=1.0, traj_weight=1.0, root_offset=root_off,
+        ee_active=sc.kf_active[2], ee_weight=sc.kf_weight[2],
+        ee_target=sc.kf_pos[2], ee_mask=sc.kf_pos_mask[2])
+    table = pk.pack_path_table(path, root_offset=root_off)
+    errs_pk = np.asarray(pk.score_locomotion_candidates(
+        mop, samples[:, : st.k_s_max], table, cfg,
+        chain=jnp.asarray(chain_const), interpret=True))
+    np.testing.assert_allclose(errs_pk, errs_xla, atol=0.6, rtol=8e-3)
+    assert int(errs_pk.argmin()) == int(errs_xla.argmin())
+
+    # the ee contract predicate: slot-2-only passes, anything else fails
+    n_steps = 4
+    scs = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (n_steps,) + np.shape(x)),
+        sc_host)
+    ee_node = skel.index_of(joint)
+    assert compiled.step_scs_pallas_ee_only(scs, ee_node)
+    assert not compiled.step_scs_pallas_ee_only(scs, 0)  # wrong node
+    sc_bad = compiled.set_keyframe_constraint(
+        sc_host, 3, skel, joint, 0.0, position=np.zeros(3))
+    scs_bad = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (n_steps,) + np.shape(x)),
+        sc_bad)
+    assert not compiled.step_scs_pallas_ee_only(scs_bad, ee_node)
