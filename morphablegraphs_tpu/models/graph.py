@@ -54,6 +54,10 @@ class GraphNode:
     average_step_length: float = 0.0
     n_standard_transitions: int = 0
     cluster_tree: Optional[object] = None
+    # per-edge conditional-GMM transition models (the reference's GPM slot,
+    # motion_state_graph_node.py:232-271; see models/transition_model.py)
+    transition_models: Dict[Tuple[str, str], object] = dataclasses.field(
+        default_factory=dict)
 
     @property
     def action_name(self) -> str:
@@ -65,6 +69,20 @@ class GraphNode:
 
     def edges_of_type(self, transition_type: str) -> List[Tuple[str, str]]:
         return [k for k, t in self.outgoing_edges.items() if t == transition_type]
+
+    def has_transition_model(self, to_key) -> bool:
+        """reference motion_state_graph_node.py:232-233."""
+        return to_key in self.transition_models
+
+    def predict_gmm(self, to_key, current_parameters):
+        """Conditioned mixture over the next node's latent — falls back to
+        the target's unconditional mixture exactly like the reference
+        (motion_state_graph_node.py:255-271)."""
+        from . import transition_model as tm
+        if to_key in self.transition_models:
+            return tm.predict(self.transition_models[to_key],
+                              current_parameters)
+        raise KeyError(f"no transition model on edge {self.key} -> {to_key}")
 
 
 @dataclasses.dataclass
@@ -342,6 +360,22 @@ def build_graph_from_dict(graph_dict: dict, skeleton: Optional[Skeleton] = None,
                 if to_key is not None:
                     graph.add_transition(from_key, to_key)
 
+    # per-edge transition models: entries carry their own from/to keys
+    # (reference GPM slot, motion_state_graph_node.py:232-271)
+    for entry in graph_dict.get("transition_models", []):
+        from . import transition_model as tm_mod
+        split_key = ":" if ":" in entry["from"] else "_"
+        from_key = _resolve_node_key(entry["from"], split_key, graph.nodes)
+        to_key = _resolve_node_key(entry["to"], split_key, graph.nodes)
+        if from_key is None or to_key is None:
+            from ..utils.log import write_message_to_log
+            write_message_to_log(
+                f"skipping transition model {entry['from']} -> "
+                f"{entry['to']}: unknown node")
+            continue
+        graph.nodes[from_key].transition_models[to_key] = tm_mod.from_json(
+            entry["model"])
+
     if stats_key is None:
         stats_key = jax.random.PRNGKey(1234)
     # only recompute for nodes whose meta info carried no stats
@@ -455,6 +489,24 @@ def _read_zip_open(zf: zipfile.ZipFile) -> dict:
             if len(parts) > 1 and parts[0] == "hand_poses" and n.endswith(".bvh"):
                 info["skeletonStrings"][parts[1][:-4]] = zf.read(n).decode("utf-8")
         data["hand_pose_info"] = info
+
+    # optional transition-model section (the reference's transition_models/
+    # directory, zip_io.py:40 TRANSITION_MODEL_DIRECTORY — its .GPM blobs
+    # are pickled gaussian processes from an unshipped package and cannot
+    # be parsed; our conditional-GMM JSONs carry their own from/to keys)
+    tm_entries = []
+    for n in sorted(names):
+        if n.startswith("transition_models/") and n.endswith(".json"):
+            tm_entries.append(json.loads(zf.read(n).decode("utf-8")))
+        elif n.startswith("transition_models/") and n.endswith(".GPM"):
+            from ..utils.log import write_message_to_log
+            write_message_to_log(
+                f"skipping {n}: reference .GPM transition models are "
+                "pickled objects of an unshipped package (the reference "
+                "loader cannot load them either); retrain with "
+                "models/transition_model.fit_transition_model")
+    if tm_entries:
+        data["transition_models"] = tm_entries
 
     # optional PFNN section (reference zip_io.py:96-117; shared reader —
     # raises on a present-but-incomplete section instead of silently

@@ -26,13 +26,17 @@ def write_graph_zip(path: str, skeleton: Skeleton,
                     action_definitions: Optional[dict] = None,
                     format_version: float = 2.0,
                     hand_pose_info: Optional[dict] = None,
-                    pfnn_data: Optional[dict] = None):
+                    pfnn_data: Optional[dict] = None,
+                    transition_models: Optional[list] = None):
     """actions: {action_name: {"nodes": {mp_name: model_json},
                                "info": meta_info_dict,
                                "cluster_trees": {mp_name: tree_json}}}.
     transitions: {"action_mp": ["action2_mp2", ...]}.
     hand_pose_info / pfnn_data: optional sections in the reference layout
     (zip_io.py hand_poses/ + pfnn/weights|means float32 binaries).
+    transition_models: optional [{"from": "a_mp", "to": "a2_mp2",
+    "model": transition_model.to_json(...)}] — written under the
+    reference's transition_models/ directory (zip_io.py:40) as JSON.
     """
     if not path.endswith(".zip"):
         path += ".zip"
@@ -92,4 +96,9 @@ def write_graph_zip(path: str, skeleton: Skeleton,
             for k, v in pfnn_data.get("means", {}).items():
                 zf.writestr(f"pfnn/means/{k}.bin",
                             np.asarray(v, np.float32).tobytes())
+
+        for entry in transition_models or []:
+            zf.writestr(
+                f"transition_models/{entry['from']}_to_{entry['to']}.json",
+                json.dumps(entry))
     return path

@@ -230,13 +230,21 @@ def generate_constrained_sample_loco(key: jax.Array, skeleton: Skeleton,
                                      prim: MotionPrimitive,
                                      sc: compiled.StepConstraints,
                                      path, loco, loco_flags: tuple,
-                                     config: dict, cluster_tree=None):
+                                     config: dict, cluster_tree=None,
+                                     candidates=None):
     """generate_constrained_sample with deferred locomotion slots (see
     action_builder.build_step_constraints(defer_locomotion=True)).
 
     Returns (s, error, filled StepConstraints) as device values.
     """
     p = _selection_params(sc, config)
+    if candidates is not None:
+        p.pop("cluster_mode")
+        p.pop("n_samples")
+        return _loco_search_and_refine(
+            skeleton, prim, sc, jnp.asarray(candidates), path, loco,
+            p.pop("threshold"), p.pop("error_scale"), p.pop("quality_scale"),
+            loco_flags=loco_flags, **p)
     if p.pop("cluster_mode") and cluster_tree is not None:
         p.pop("n_samples")
         return _loco_search_and_refine(
@@ -252,16 +260,29 @@ def generate_constrained_sample_loco(key: jax.Array, skeleton: Skeleton,
 def generate_constrained_sample(key: jax.Array, skeleton: Skeleton,
                                 prim: MotionPrimitive,
                                 sc: compiled.StepConstraints,
-                                config: dict, cluster_tree=None):
+                                config: dict, cluster_tree=None,
+                                candidates=None):
     """Full per-step selection (reference
     motion_primitive_generator.py:126-178): cluster-tree search or best-of-N,
     then LM when the error exceeds the activation threshold and local
     optimization is enabled.  Selection and refinement run as a single
     device dispatch with no intermediate host pull.
 
+    candidates: optional explicit pool [N, L] — scored instead of sampling
+    the node's own mixture (the transition-model path, reference
+    motion_primitive_generator.py:195-198 `_get_best_fit_sample_using_gmm`
+    with a predicted gmm).
+
     Returns (s, error) as device arrays.
     """
     p = _selection_params(sc, config)
+    if candidates is not None:
+        p.pop("cluster_mode")
+        p.pop("n_samples")
+        return _search_and_refine(
+            skeleton, prim, sc, jnp.asarray(candidates),
+            p.pop("threshold"), p.pop("error_scale"), p.pop("quality_scale"),
+            **p)
     if p.pop("cluster_mode") and cluster_tree is not None:
         p.pop("n_samples")
         return _search_and_refine(

@@ -64,6 +64,10 @@ class MotionGenerator:
         self._start_transform = None  # (q_y, delta) used to place step one
         self._objective_evaluations = 0  # reference graph_walk.py:390-394 stat
         self._step_times: List[float] = []  # per-step solve wall-clock
+        # transition-model state (reference motion_primitive_generator.py:
+        # 195-214 use_transition_model path keys on the previous step)
+        self._prev_latent = None
+        self._prev_node_key = None
         from .grounding import SceneInterface
         self.scene_interface = SceneInterface()
 
@@ -78,6 +82,8 @@ class MotionGenerator:
                         scale_factor: float = 1.0) -> MotionResult:
         t_start = time.time()
         self._step_times = []
+        self._prev_latent = None  # fresh request: no transition context
+        self._prev_node_key = None
         parsed = read_input(mg_input,
                             activate_coordinate_transform=activate_coordinate_transform,
                             activate_joint_mapping=activate_joint_mapping,
@@ -289,6 +295,23 @@ class MotionGenerator:
         t_step = time.time()
         graph = self.graph
         prim = graph.nodes[node_key].primitive
+        # transition-model candidate pool: when enabled and the previous
+        # node's edge carries a conditional-GMM model, candidates come from
+        # the CONDITIONED mixture instead of the node's own (reference
+        # motion_primitive_generator.py:195-198 / generate_random_sample
+        # :209-214)
+        tm_candidates = None
+        if (self.config.get("use_transition_model")
+                and self._prev_latent is not None
+                and self._prev_node_key in graph.nodes
+                and graph.nodes[self._prev_node_key].has_transition_model(
+                    node_key)):
+            from ..models import transition_model as tm
+            model = graph.nodes[self._prev_node_key].transition_models[
+                node_key]
+            tm_candidates = tm.predict_parameters(
+                self._next_key(), model, jnp.asarray(self._prev_latent),
+                n=int(self.config.get("n_random_samples", 100)))
         if acs.root_trajectory is not None:
             # locomotion slots fill on device inside the selection kernel —
             # no goal-query host round-trip per step
@@ -298,7 +321,8 @@ class MotionGenerator:
             s, err, sc = generator.generate_constrained_sample_loco(
                 self._next_key(), graph.skeleton, prim, sc,
                 acs.root_trajectory, loco, loco_flags, self.config,
-                cluster_tree=graph.nodes[node_key].cluster_tree)
+                cluster_tree=graph.nodes[node_key].cluster_tree,
+                candidates=tm_candidates)
             err = float(err)
             self._count_constrained_step_evals()
         else:
@@ -314,13 +338,21 @@ class MotionGenerator:
             if has_constraints:
                 s, err = generator.generate_constrained_sample(
                     self._next_key(), graph.skeleton, prim, sc, self.config,
-                    cluster_tree=graph.nodes[node_key].cluster_tree)
+                    cluster_tree=graph.nodes[node_key].cluster_tree,
+                    candidates=tm_candidates)
                 err = float(err)
                 self._count_constrained_step_evals()
+            elif tm_candidates is not None:
+                # unconstrained step with a transition model: one predicted
+                # sample (reference generate_random_sample :209-214)
+                s = tm_candidates[0]
+                err = 0.0
             else:
                 s = prim_mod.sample_latent(self._next_key(), prim, 1)[0]
                 err = 0.0
         s_np = np.asarray(s)
+        self._prev_latent = s_np
+        self._prev_node_key = node_key
 
         use_traj = acs.root_trajectory is not None
         window = self.config["smoothing_settings"]["spatial_smoothing_window"]
