@@ -87,6 +87,64 @@ def probe_tpu(attempts: int = 3, timeout_s: int = 120) -> bool:
     return False
 
 
+_SOLVE_PROBE_CODE = """
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+from morphablegraphs_tpu.ops import lm as lm_ops
+from morphablegraphs_tpu.ops import pallas_kernels as pk
+rng = np.random.default_rng(0)
+c, k = 1024, 28
+j = rng.standard_normal((c, 45, k)).astype(np.float32)
+a = jnp.asarray(np.einsum("cri,crj->cij", j, j) + 0.1 * np.eye(k, dtype=np.float32))
+g = jnp.asarray(rng.standard_normal((c, k)).astype(np.float32))
+ref_fn = jax.jit(jax.vmap(lm_ops.chol_solve_unrolled))
+ref = ref_fn(a, g); jax.block_until_ready(ref)
+ours = pk.chol_solve_crowd(a, g); jax.block_until_ready(ours)
+err = float(jnp.max(jnp.abs(ours - ref)))
+assert err < 1e-2, f"parity {err}"
+def bench_fn(f):
+    outs = []
+    t0 = time.perf_counter()
+    for _ in range(30):
+        outs.append(f(a, g))
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / 30
+t_ref = bench_fn(ref_fn)
+t_pk = bench_fn(lambda a, g: pk.chol_solve_crowd(a, g))
+print(f"SOLVE_PROBE ok err={err:.2e} xla={t_ref*1e3:.2f}ms "
+      f"pallas={t_pk*1e3:.2f}ms speedup={t_ref/t_pk:.2f}x "
+      f"use={int(t_pk < t_ref)}")
+"""
+
+
+def preflight_lm_solve(timeout_s: int = 420) -> None:
+    """Decide MG_LM_PALLAS_SOLVE on TPU by compiling + A/B-timing the crowd
+    Cholesky kernel against the vmapped unrolled solve in a bounded
+    subprocess.  An unproven Mosaic kernel must never be able to take the
+    driver's bench run down (a compile failure inside the headline program
+    is unrecoverable), so the kernel is only enabled after it both passes
+    parity and measures faster; any failure leaves it off."""
+    if os.environ.get("MG_LM_PALLAS_SOLVE") is not None:
+        return
+    try:
+        p = subprocess.run([sys.executable, "-c", _SOLVE_PROBE_CODE],
+                           capture_output=True, text=True,
+                           timeout=timeout_s, cwd=os.path.dirname(
+                               os.path.abspath(__file__)))
+        line = next((ln for ln in p.stdout.splitlines()
+                     if ln.startswith("SOLVE_PROBE")), "")
+        if p.returncode == 0 and "use=1" in line:
+            os.environ["MG_LM_PALLAS_SOLVE"] = "1"
+        else:
+            os.environ["MG_LM_PALLAS_SOLVE"] = "0"
+        _log(f"# lm-solve preflight: {line or p.stderr.strip()[-200:]} -> "
+             f"MG_LM_PALLAS_SOLVE={os.environ['MG_LM_PALLAS_SOLVE']}")
+    except subprocess.TimeoutExpired:
+        os.environ["MG_LM_PALLAS_SOLVE"] = "0"
+        _log(f"# lm-solve preflight timed out ({timeout_s}s) -> disabled")
+
+
 def rand_path(rng, spline_path, granularity=256):
     pts = [[0.0, 0.0, 0.0]]
     x, z, h = 0.0, 0.0, rng.uniform(-0.6, 0.6)
@@ -272,6 +330,7 @@ def main() -> None:
     else:
         scale = dict(n_chars=1024, n_steps=8, n_samples=64, n_iters=5,
                      lm_iters=3)
+        preflight_lm_solve()
 
     res = run_config(config, on_tpu, **scale)
     out = {

@@ -18,12 +18,31 @@ import time
 import numpy as np
 
 import jax
+
+# the axon TPU plugin force-overrides jax_platforms at import, ignoring the
+# env var — honor JAX_PLATFORMS=cpu via the config API (tests/conftest.py
+# recipe) so CPU smoke runs actually run on CPU
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import jax.numpy as jnp
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 for _p in (_REPO, os.path.join(_REPO, "tests")):
     if _p not in sys.path:
         sys.path.insert(0, _p)
+
+
+def _max_step_frames() -> int:
+    """Per-step frame budget: ref-scale clips run ~130 canonical frames, so
+    the toy budget of 64 would truncate every clip mid-motion (measured as
+    ~19 cm/frame fake 'seam' jumps in config 2)."""
+    return 64 if os.environ.get("MG_BENCH_SCALE") == "toy" else 160
 
 
 def _setup():
@@ -51,14 +70,16 @@ def config1_unconstrained():
     from morphablegraphs_tpu.utils.synthetic import make_legacy_model_json
     from reference_oracle import OracleMotionPrimitive
 
-    data = make_legacy_model_json(seed=0)
+    from morphablegraphs_tpu.utils.synthetic import REF_SCALE
+    kw = {} if os.environ.get("MG_BENCH_SCALE") == "toy" else dict(REF_SCALE)
+    data = make_legacy_model_json(seed=0, **kw)
     prim = prim_mod.load_primitive_json(data)
     oracle = OracleMotionPrimitive(data)
     errs = []
     for seed in range(5):
         s = np.random.default_rng(seed).standard_normal(prim.n_latent) * 0.5
         frames, n, _ = prim_mod.back_project(prim, jnp.asarray(s, jnp.float32),
-                                             96, use_time=True)
+                                             _max_step_frames(), use_time=True)
         ref, _ = oracle.frames(s, use_time=True)
         errs.append(float(np.max(np.abs(np.asarray(frames)[: int(n)] - ref))))
     pose_err = max(errs)
@@ -71,7 +92,7 @@ def config2_graph_walk():
     graph, stacked = _setup()
     start = stacked.node_id(("walk", "beginLeftStance"))
     buf, n_valid, ids, _ = walk_mod.random_walk(
-        jax.random.PRNGKey(0), stacked, start, n_steps=6, max_step_frames=64)
+        jax.random.PRNGKey(0), stacked, start, n_steps=6, max_step_frames=_max_step_frames())
     frames = np.asarray(buf)[: int(n_valid)]
     root = frames[:, :3]
     max_jump = float(np.max(np.linalg.norm(np.diff(root, axis=0), axis=1)))
@@ -156,7 +177,7 @@ def config5_crowd():
     def crowd(g, keys):
         return jax.vmap(lambda k: walk_mod.random_walk_segments(
             k, g, jnp.asarray(start, jnp.int32), n_steps=n_steps,
-            max_step_frames=64))(keys)
+            max_step_frames=_max_step_frames()))(keys)
 
     keys = jax.random.split(jax.random.PRNGKey(0), n_chars)
     buf, n_valid, _, _ = crowd(stacked, keys)

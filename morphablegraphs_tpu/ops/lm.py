@@ -14,6 +14,8 @@ the locomotion objective) and the optimizer stalls rejecting every step.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -52,6 +54,52 @@ def chol_solve_unrolled(a: jax.Array, g: jax.Array) -> jax.Array:
             (y[..., i] - jnp.sum(c[..., i + 1:, i] * x[..., i + 1:], -1))
             / c[..., i, i])
     return x
+
+
+# ---------------------------------------------------------------------------
+# The solve under crowd vmap: one fused Pallas kernel instead of ~350 tiny ops
+# ---------------------------------------------------------------------------
+#
+# Inside vmap(constrained_walk_full) the unrolled Cholesky's column loop
+# lowers to hundreds of [C, <=k] HBM-bound ops per LM iteration — the class
+# of small vector ops the roofline breakdown attributes most of the LM wall
+# to.  custom_vmap swaps in ops/pallas_kernels.chol_solve_crowd (characters
+# on the lane axis, every intermediate VMEM-resident) exactly when the solve
+# is batched, leaving the single-character path untouched.  MG_LM_PALLAS_
+# SOLVE=0 opts out (and non-TPU backends without interpret fall back to the
+# vmapped unrolled form).
+
+_MIN_PALLAS_BATCH = 256  # below this the kernel's fixed cost isn't worth it
+
+
+def _chol_solve_batched(a: jax.Array, g: jax.Array) -> jax.Array:
+    use_pallas = (os.environ.get("MG_LM_PALLAS_SOLVE", "1") != "0"
+                  and a.ndim == 3
+                  and a.shape[0] >= _MIN_PALLAS_BATCH
+                  and jax.default_backend() == "tpu")
+    if use_pallas:
+        from . import pallas_kernels as pk
+        return pk.chol_solve_crowd(a, g)
+    fn = chol_solve_unrolled
+    for _ in range(a.ndim - 2):
+        fn = jax.vmap(fn)
+    return fn(a, g)
+
+
+@jax.custom_batching.custom_vmap
+def chol_solve(a: jax.Array, g: jax.Array) -> jax.Array:
+    """chol_solve_unrolled with a crowd-fused batching rule (see above)."""
+    return chol_solve_unrolled(a, g)
+
+
+@chol_solve.def_vmap
+def _chol_solve_vmap(axis_size, in_batched, a, g):
+    a_b, g_b = in_batched
+    if not a_b:
+        a = jnp.broadcast_to(a, (axis_size,) + a.shape)
+    if not g_b:
+        g = jnp.broadcast_to(g, (axis_size,) + g.shape)
+    return _chol_solve_batched(a, g), True
 
 
 def lm_minimize(residual_fn, s0: jax.Array, n_iters: int,
@@ -94,7 +142,7 @@ def lm_minimize(residual_fn, s0: jax.Array, n_iters: int,
         floor = jnp.maximum(1e-2 * jnp.max(dg), 1e-6)
         damp = jnp.diag(jnp.maximum(dg, floor))
         g = jnp.matmul(j.T, r, precision=jax.lax.Precision.HIGHEST)
-        delta = chol_solve_unrolled(jtj + lam * damp, g)
+        delta = chol_solve(jtj + lam * damp, g)
         nrm = jnp.linalg.norm(delta)
         delta = delta * jnp.minimum(1.0, radius / jnp.maximum(nrm, 1e-10))
         s_new = s - delta

@@ -694,3 +694,99 @@ def pack_selection_cfg(sp, a_prev, prev_pos, start_theta, start_delta,
             ee_mask[0], ee_mask[1], ee_mask[2]]
     cfg = jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
     return jnp.pad(cfg, (0, CFG_W - cfg.shape[0]))[None, :]
+
+
+# ---------------------------------------------------------------------------
+# Crowd Cholesky solve (the LM normal-equations bottleneck)
+# ---------------------------------------------------------------------------
+#
+# Inside vmap(constrained_walk_full) the LM solve lowers to ~350 tiny
+# [C, <=k] HBM-bound ops per iteration (the unrolled Cholesky's column loop
+# under batching; docs/architecture.md "Known limits" attributes ~86% of an
+# LM iteration to exactly this class of small vector ops).  Here the whole
+# factorization + both substitutions run as ONE kernel with characters on
+# the lane axis: every scalar of the per-character recurrence becomes an
+# [8, 128] tile op (8 sublanes x 128 lanes = 1024 characters per grid
+# step), and all k(k+1)/2 intermediate tiles stay VMEM-resident.
+
+CB_SUB = 8  # sublanes per char tile
+CB = CB_SUB * 128  # characters per grid step
+
+
+def _chol_solve_kernel(a_ref, g_ref, out_ref, *, k: int):
+    """a: [k*k*8, 128] — tile e=i*k+j at rows e*8..e*8+8 holds A[i,j] for
+    1024 chars; g: [k*8, 128]; out: [k*8, 128].  Static unroll of the
+    Cholesky recurrence (k is small: the latent dim, ~28)."""
+
+    def at(ref, e):
+        return ref[e * CB_SUB:(e + 1) * CB_SUB, :]
+
+    c = {}
+    inv_d = {}
+    for j in range(k):
+        s = at(a_ref, j * k + j)
+        for p in range(j):
+            s = s - c[(j, p)] * c[(j, p)]
+        d = jnp.sqrt(jnp.maximum(s, 1e-12))
+        c[(j, j)] = d
+        inv_d[j] = 1.0 / d
+        for i in range(j + 1, k):
+            v = at(a_ref, i * k + j)
+            for p in range(j):
+                v = v - c[(i, p)] * c[(j, p)]
+            c[(i, j)] = v * inv_d[j]
+    y = []
+    for i in range(k):
+        v = at(g_ref, i)
+        for p in range(i):
+            v = v - c[(i, p)] * y[p]
+        y.append(v * inv_d[i])
+    x = [None] * k
+    for i in reversed(range(k)):
+        v = y[i]
+        for p in range(i + 1, k):
+            v = v - c[(p, i)] * x[p]
+        x[i] = v * inv_d[i]
+    for i in range(k):
+        out_ref[i * CB_SUB:(i + 1) * CB_SUB, :] = x[i]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chol_solve_crowd(a: jax.Array, g: jax.Array,
+                     interpret: bool = False) -> jax.Array:
+    """Solve a[c] @ x[c] = g[c] for a whole crowd in one kernel.
+
+    a: [C, k, k] SPD (LM damped normal equations); g: [C, k] -> x [C, k].
+    Zero-padded characters solve the all-zero system to x = 0 (the sqrt
+    floor keeps the recurrence finite), so any C is accepted.
+    """
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    c, k = g.shape
+    nb = max(1, -(-c // CB))
+    cp = nb * CB
+    if cp != c:
+        a = jnp.pad(a, ((0, cp - c), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, cp - c), (0, 0)))
+    # layout: char index c = b*CB + s*128 + l -> row e*8+s, col b*128+l
+    a_t = (a.transpose(1, 2, 0).reshape(k * k, nb, CB_SUB, 128)
+           .transpose(0, 2, 1, 3).reshape(k * k * CB_SUB, nb * 128))
+    g_t = (g.transpose(1, 0).reshape(k, nb, CB_SUB, 128)
+           .transpose(0, 2, 1, 3).reshape(k * CB_SUB, nb * 128))
+    out = pl.pallas_call(
+        functools.partial(_chol_solve_kernel, k=k),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((k * k * CB_SUB, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * CB_SUB, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k * CB_SUB, 128), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k * CB_SUB, nb * 128), jnp.float32),
+        interpret=interpret,
+    )(a_t, g_t)
+    x = (out.reshape(k, CB_SUB, nb, 128).transpose(2, 1, 3, 0)
+         .reshape(cp, k))
+    return x[:c]

@@ -225,3 +225,47 @@ def test_score_ee_candidates_matches_stacked_error(scale):
         lambda x: np.broadcast_to(np.asarray(x), (n_steps,) + np.shape(x)),
         sc_bad)
     assert not compiled.step_scs_pallas_ee_only(scs_bad, ee_node)
+
+
+def _rand_spd_batch(rng, c, k):
+    j = rng.standard_normal((c, 40, k)).astype(np.float32)
+    a = np.einsum("cri,crj->cij", j, j) + 0.1 * np.eye(k, dtype=np.float32)
+    g = rng.standard_normal((c, k)).astype(np.float32)
+    return jnp.asarray(a), jnp.asarray(g)
+
+
+def test_chol_solve_crowd_matches_unrolled():
+    """The lane-major crowd solve kernel (interpret mode on CPU) matches the
+    vmapped unrolled Cholesky, including non-multiple-of-1024 batches
+    (zero-padded chars solve to 0)."""
+    from morphablegraphs_tpu.ops import lm as lm_ops
+    rng = np.random.default_rng(5)
+    for c, k in [(1024, 28), (300, 7)]:
+        a, g = _rand_spd_batch(rng, c, k)
+        ours = np.asarray(pk.chol_solve_crowd(a, g, interpret=True))
+        ref = np.asarray(jax.vmap(lm_ops.chol_solve_unrolled)(a, g))
+        np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_chol_solve_custom_vmap_plumbing():
+    """vmap(chol_solve) routes through the batched rule and matches the
+    per-character unrolled solve; unbatched calls are untouched."""
+    from morphablegraphs_tpu.ops import lm as lm_ops
+    rng = np.random.default_rng(6)
+    a, g = _rand_spd_batch(rng, 64, 9)
+    batched = np.asarray(jax.jit(jax.vmap(lm_ops.chol_solve))(a, g))
+    ref = np.asarray(jax.vmap(lm_ops.chol_solve_unrolled)(a, g))
+    np.testing.assert_allclose(batched, ref, atol=1e-5, rtol=1e-4)
+    one = np.asarray(lm_ops.chol_solve(a[0], g[0]))
+    np.testing.assert_allclose(one, ref[0], atol=1e-5, rtol=1e-4)
+    # inside a vmapped LM: same refined latents as the plain path
+    def resid_fn(target):
+        return lambda s: s * s - target
+    targets = jnp.asarray(rng.random((8, 5)), jnp.float32)
+    s0 = jnp.ones((8, 5))
+    out_v = jax.vmap(lambda t, s: lm_ops.lm_minimize(
+        lambda x: x * x - t, s, 4)[0])(targets, s0)
+    out_seq = jnp.stack([lm_ops.lm_minimize(resid_fn(t), s, 4)[0]
+                         for t, s in zip(targets, s0)])
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_seq),
+                               atol=1e-5, rtol=1e-4)
