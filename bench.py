@@ -59,7 +59,7 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def probe_tpu(attempts: int = 3, timeout_s: int = 120) -> bool:
+def probe_tpu(attempts: int = 2, timeout_s: int = 120) -> bool:
     """True when a subprocess can initialize the TPU backend and run one
     dispatch.  Bounded + retried: the axon plugin can either raise
     UNAVAILABLE (round-2 failure) or hang during init (round-3 session) —

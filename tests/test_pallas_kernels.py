@@ -269,3 +269,68 @@ def test_chol_solve_custom_vmap_plumbing():
                          for t, s in zip(targets, s0)])
     np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_seq),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_score_ee_fixed_joint_rest_rotation():
+    """A non-animated chain joint with a rest rotation: the kernel's chain
+    FK substitutes the constant rest quaternion from SMEM (its operator
+    rows are zero) and still matches the exact evaluator."""
+    from morphablegraphs_tpu.constraints import compiled
+    from morphablegraphs_tpu.models import primitive as prim_mod
+    from morphablegraphs_tpu.models.skeleton import load_skeleton_json
+    from morphablegraphs_tpu.ops import align, spline_path
+    from morphablegraphs_tpu.utils.synthetic import make_legacy_model_json
+
+    half = np.deg2rad(90) / 2
+    rot90z = [float(np.cos(half)), 0.0, 0.0, float(np.sin(half))]
+    skel = load_skeleton_json({
+        "root": "Hips", "animated_joints": ["Hips"],
+        "nodes": {
+            "Hips": {"offset": [0, 1, 0], "children": ["Fixed"]},
+            "Fixed": {"offset": [0, 10, 0], "children": ["Tip"],
+                      "rotation": rot90z},
+            "Tip": {"offset": [0, 5, 0], "children": []},
+        }})
+    prim = prim_mod.load_primitive_json(
+        make_legacy_model_json(seed=4, n_joints=1, n_canonical_frames=20,
+                               n_basis=6, k_s=4, k_t=2))
+    n_can = float(prim.n_canonical_frames)
+    prev_last = np.zeros(7, np.float32)
+    prev_last[3] = 1.0
+    prev_last[0], prev_last[2] = 2.0, 5.0
+    sc = compiled.empty_step_constraints(skel, 0)
+    sc = compiled.set_keyframe_constraint(
+        sc, 2, skel, "Tip", n_can - 1.0,
+        position=np.array([1.0, 12.0, 3.0], np.float32), weight=0.7)
+    sc = jax.tree.map(jnp.asarray, sc)
+    sc = sc.replace(n_canonical=jnp.asarray(n_can),
+                    has_prev=jnp.asarray(1.0),
+                    prev_last=jnp.asarray(prev_last))
+    samples = jax.random.normal(jax.random.PRNGKey(2), (128, prim.n_latent))
+    errs_xla = np.asarray(jax.vmap(lambda s: compiled.evaluate_error(
+        skel, prim, sc, s, use_traj=False, use_ca=False))(samples))
+
+    path = spline_path.build(np.array([[0.0, 0, 0], [0.0, 0, 10.0]]))
+    root_off = jnp.asarray(skel.offsets[0], jnp.float32)
+    chain_idx, chain_const = pk.pack_ee_chain(skel, "Tip")
+    assert list(chain_idx) == [0, -1, -1]  # Hips animated; Fixed/Tip not
+    mop = pk.selection_operator(
+        jnp.asarray(prim.eigen_s), jnp.asarray(prim.mean_s),
+        jnp.asarray(prim.knots_s), prim.n_basis, prim.n_dim,
+        goal_frame=jnp.asarray(n_can - 1.0), dir_frame=jnp.asarray(0.0),
+        n_canonical=jnp.asarray(n_can), ee_frame=sc.kf_frame[2],
+        ee_chain_idx=chain_idx)
+    a_prev = align.heading_angle(jnp.asarray(prev_last[3:7]))
+    cfg = pk.pack_selection_cfg(
+        path, a_prev, jnp.asarray(prev_last[:3]), jnp.asarray(0.0),
+        jnp.zeros(3), jnp.asarray(1.0), jnp.zeros(3),
+        jnp.asarray([0.0, 1.0]), jnp.asarray(0.0),
+        kf_active=0.0, dir_active=0.0, traj_active=0.0,
+        root_offset=root_off,
+        ee_active=sc.kf_active[2], ee_weight=sc.kf_weight[2],
+        ee_target=sc.kf_pos[2], ee_mask=sc.kf_pos_mask[2])
+    table = pk.pack_path_table(path, root_offset=root_off)
+    errs_pk = np.asarray(pk.score_locomotion_candidates(
+        mop, samples[:, : prim.n_spatial], table, cfg,
+        chain=jnp.asarray(chain_const), interpret=True))
+    np.testing.assert_allclose(errs_pk, errs_xla, atol=2e-3, rtol=1e-3)
