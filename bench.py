@@ -32,7 +32,8 @@ of the compiled crowd program vs the chip's nominal peak).
 
 Env knobs: MG_BENCH_CONFIG=ref|toy|ee (default ref), MG_BENCH_PLATFORM=
 tpu|cpu (skip probing), MG_BENCH_LM_FROZEN=1 (frozen-correspondence LM),
-MG_BENCH_EXTRAS=0 (skip the ee extras run).
+MG_BENCH_EXTRAS=0 (skip the ee extras run), MG_LM_PALLAS_SOLVE=0|1 (crowd
+Cholesky kernel; unset = decided by an on-TPU preflight A/B).
 """
 
 import json

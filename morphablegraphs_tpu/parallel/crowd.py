@@ -75,3 +75,57 @@ def crowd_walk_sharded(mesh: Mesh, g: StackedGraph, key, start_id: int,
     keys, start_ids = shard_crowd_inputs(mesh, keys, start_ids)
     g = replicate_model(mesh, g)
     return _crowd_step(g, keys, start_ids, n_steps, max_step_frames)
+
+
+def constrained_crowd_sharded(mesh: Mesh, skeleton, g: StackedGraph, paths,
+                              key, start_ids, n_steps: int,
+                              step_scs=None, axis: str = "dp", **walk_kw):
+    """Full-constraint crowd synthesis sharded over a device mesh.
+
+    The flagship `constrained_walk_full` vmapped over characters, with
+    per-character inputs (PRNG keys, paths, start nodes) sharded along
+    `axis` and the stacked graph + constraint pytree replicated — the same
+    layout `__graft_entry__.dryrun_multichip` validates on a virtual mesh.
+    Character counts that do not divide the mesh are padded (repeating the
+    first character) and the padding is sliced back off the outputs.
+
+    paths: a stacked PathSpline pytree with a leading [n_chars] axis;
+    start_ids: [n_chars] int32.  Returns (segments, n_frames, node_ids,
+    errors) exactly like `constrained_walk_full_crowd`.
+    """
+    from ..synthesis import constrained_walk as cw
+
+    start_ids = jnp.asarray(start_ids, jnp.int32)
+    n_chars = start_ids.shape[0]
+    n_dev = mesh.devices.size
+    pad = (-n_chars) % n_dev
+    keys = jax.random.split(key, n_chars + pad)
+    if pad:
+        start_ids = jnp.concatenate(
+            [start_ids, jnp.broadcast_to(start_ids[:1], (pad,))])
+        paths = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])]), paths)
+    if step_scs is None:
+        step_scs = cw.default_step_scs(skeleton, n_steps)
+
+    dp = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    keys, start_ids = (jax.device_put(keys, dp),
+                       jax.device_put(start_ids, dp))
+    paths = jax.device_put(paths, dp)
+    g = jax.device_put(g, repl)
+    step_scs = jax.device_put(step_scs, repl)
+
+    @jax.jit
+    def crowd_step(gg, ks, ps, sids, scs):
+        return jax.vmap(lambda k, p, s: cw.constrained_walk_full(
+            skeleton, k, gg, p, s, n_steps=n_steps, step_scs=scs,
+            **walk_kw))(ks, ps, sids)
+
+    segs, n_frames, node_ids, errors = crowd_step(g, keys, paths, start_ids,
+                                                  step_scs)
+    if pad:
+        segs, n_frames = segs[:n_chars], n_frames[:n_chars]
+        node_ids, errors = node_ids[:n_chars], errors[:n_chars]
+    return segs, n_frames, node_ids, errors

@@ -168,15 +168,30 @@ class BatchedGenerator:
             # locomotion-only constraints touch just the root joint: skip
             # the FK chain inside the LM residuals (static shortcut)
             root_only = compiled.step_scs_root_only(step_scs)
-            segs, n_frames, node_ids, errors = jax.vmap(
-                lambda k, p, s: cw.constrained_walk_full(
-                    skel, k, self.stacked, p, s, n_steps=self.n_steps,
-                    step_scs=step_scs,
-                    max_step_frames=self.max_step_frames,
-                    n_samples=n_samples, lm_iters=self.lm_iters,
-                    pallas_selection=use_pallas,
-                    root_only=root_only))(
-                        keys, stacked_paths, start_arr)
+            if len(jax.devices()) > 1:
+                # multi-device host: shard the request batch over the full
+                # mesh (requests are the crowd's character axis — pure dp,
+                # zero cross-request collectives; parallel/crowd.py)
+                from .. import parallel
+                mesh = parallel.make_mesh()
+                segs, n_frames, node_ids, errors = \
+                    parallel.constrained_crowd_sharded(
+                        mesh, skel, self.stacked, stacked_paths,
+                        jax.random.PRNGKey(seed), start_arr,
+                        n_steps=self.n_steps, step_scs=step_scs,
+                        max_step_frames=self.max_step_frames,
+                        n_samples=n_samples, lm_iters=self.lm_iters,
+                        pallas_selection=use_pallas, root_only=root_only)
+            else:
+                segs, n_frames, node_ids, errors = jax.vmap(
+                    lambda k, p, s: cw.constrained_walk_full(
+                        skel, k, self.stacked, p, s, n_steps=self.n_steps,
+                        step_scs=step_scs,
+                        max_step_frames=self.max_step_frames,
+                        n_samples=n_samples, lm_iters=self.lm_iters,
+                        pallas_selection=use_pallas,
+                        root_only=root_only))(
+                            keys, stacked_paths, start_arr)
         else:
             segs, n_frames, node_ids, errors = jax.vmap(
                 lambda k, p, s: cw.constrained_walk(

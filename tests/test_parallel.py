@@ -78,3 +78,41 @@ def test_generate_walk_constraints():
     err = compiled.evaluate_error(skel, prim, sc,
                                   jnp.zeros(prim.n_latent), use_traj=False)
     assert np.isfinite(float(err))
+
+
+def test_constrained_crowd_sharded_matches_single_device(stacked):
+    """The sharded full-constraint crowd (serving's multi-device path and
+    the driver dryrun) matches unsharded execution, including the
+    pad-to-mesh path for character counts that do not divide the mesh."""
+    from morphablegraphs_tpu.ops import spline_path
+    from morphablegraphs_tpu.synthesis import constrained_walk as cw
+    skel, _ = sk.load_bvh(TEST_BVH)
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    n_chars = 8
+    paths = cw.stack_paths([spline_path.build(
+        np.array([[0.0, 0, 0], [5.0 * i, 0, 60], [0.0, 0, 120]], np.float32),
+        unconstrained_dims=(1,)) for i in range(n_chars)])
+    kw = dict(n_steps=3, max_step_frames=32, n_samples=8, lm_iters=2)
+    keys = jax.random.split(jax.random.PRNGKey(3), n_chars)
+    scs = cw.default_step_scs(skel, 3)
+    single = jax.vmap(lambda k, p, s: cw.constrained_walk_full(
+        skel, k, stacked, p, s, step_scs=scs, **kw))(
+            keys, paths, jnp.full((n_chars,), start, jnp.int32))
+    mesh = parallel.make_mesh(8)
+    sharded = parallel.constrained_crowd_sharded(
+        mesh, skel, stacked, paths, jax.random.PRNGKey(3),
+        jnp.full((n_chars,), start, jnp.int32), **kw)
+    # partitioned compilation tiles the LM matmuls differently -> f32
+    # noise (measured max 2.4e-3 on ~90-unit channels); node choices and
+    # frame shapes must be identical
+    np.testing.assert_allclose(np.asarray(single[0]), np.asarray(sharded[0]),
+                               atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(single[2]),
+                                  np.asarray(sharded[2]))
+    # non-divisible char count: padded to the mesh, outputs sliced back
+    paths5 = jax.tree.map(lambda x: x[:5], paths)
+    segs5, nf5, ids5, errs5 = parallel.constrained_crowd_sharded(
+        mesh, skel, stacked, paths5, jax.random.PRNGKey(3),
+        jnp.full((5,), start, jnp.int32), **kw)
+    assert segs5.shape[0] == 5 and errs5.shape[0] == 5
+    assert not np.any(np.isnan(np.asarray(segs5)))
