@@ -518,6 +518,23 @@ def step_scs_root_only(step_scs, root_node: int = 0) -> bool:
                 or any_active(step_scs.ts_active))
 
 
+def _non_kf_families_inactive(step_scs) -> bool:
+    """Every constraint family OUTSIDE the keyframe slots is inactive.
+    Shared by the Pallas-selection contract predicates below: a family
+    added to StepConstraints must be added HERE once, or the kernels would
+    silently ignore it and mis-rank candidates."""
+
+    def any_active(a):
+        return bool(np.any(np.asarray(a) > 0))
+
+    return not (any_active(step_scs.la_active)
+                or any_active(step_scs.rt_active)
+                or any_active(step_scs.jr_active)
+                or any_active(step_scs.pose_active)
+                or any_active(step_scs.ca_active)
+                or any_active(step_scs.ts_active))
+
+
 def step_scs_locomotion_only(step_scs) -> bool:
     """Host-side check: True when a (numpy-leaf) StepConstraints pytree
     carries NO user constraint slots beyond the locomotion family — i.e.
@@ -527,22 +544,9 @@ def step_scs_locomotion_only(step_scs) -> bool:
     silently ignoring user slots would systematically pick
     constraint-violating winners, so callers must verify this before
     enabling `pallas_selection`."""
-
-    def any_active(a):
-        return bool(np.any(np.asarray(a) > 0))
-
     kf_act = np.asarray(step_scs.kf_active) > 0
-    if kf_act.ndim == 1:
-        user_kf = kf_act[2:]
-    else:  # stacked [n_steps, K]
-        user_kf = kf_act[:, 2:]
-    return not (bool(np.any(user_kf))
-                or any_active(step_scs.la_active)
-                or any_active(step_scs.rt_active)
-                or any_active(step_scs.jr_active)
-                or any_active(step_scs.pose_active)
-                or any_active(step_scs.ca_active)
-                or any_active(step_scs.ts_active))
+    user_kf = kf_act[..., 2:]
+    return not bool(np.any(user_kf)) and _non_kf_families_inactive(step_scs)
 
 
 def step_scs_pallas_ee_only(step_scs, ee_node: int) -> bool:
@@ -552,10 +556,6 @@ def step_scs_pallas_ee_only(step_scs, ee_node: int) -> bool:
     end-effector target per step, motion_primitive_constraints_builder.py:
     218-230).  Slots 0/1 are the walk's own locomotion goals; anything else
     would be silently ignored by the kernel and mis-rank candidates."""
-
-    def any_active(a):
-        return bool(np.any(np.asarray(a) > 0))
-
     kf_act = np.asarray(step_scs.kf_active) > 0
     kf_act2 = np.atleast_2d(kf_act)  # [n_steps?, K]
     if np.any(kf_act2[:, 3:]):
@@ -568,12 +568,7 @@ def step_scs_pallas_ee_only(step_scs, ee_node: int) -> bool:
             return False
         if np.any(slot2 & (has_q > 0)):
             return False
-    return not (any_active(step_scs.la_active)
-                or any_active(step_scs.rt_active)
-                or any_active(step_scs.jr_active)
-                or any_active(step_scs.pose_active)
-                or any_active(step_scs.ca_active)
-                or any_active(step_scs.ts_active))
+    return _non_kf_families_inactive(step_scs)
 
 
 def active_mask(sc: StepConstraints) -> jax.Array:

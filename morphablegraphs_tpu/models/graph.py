@@ -75,14 +75,15 @@ class GraphNode:
         return to_key in self.transition_models
 
     def predict_gmm(self, to_key, current_parameters):
-        """Conditioned mixture over the next node's latent — falls back to
-        the target's unconditional mixture exactly like the reference
-        (motion_state_graph_node.py:255-271)."""
+        """Conditioned mixture over the next node's latent; without a model
+        on the edge, falls back to THIS node's unconditional mixture exactly
+        like the reference (motion_state_graph_node.py:269-271 returns
+        `self.get_gaussian_mixture_model()`)."""
         from . import transition_model as tm
         if to_key in self.transition_models:
             return tm.predict(self.transition_models[to_key],
                               current_parameters)
-        raise KeyError(f"no transition model on edge {self.key} -> {to_key}")
+        return self.primitive.gmm
 
 
 @dataclasses.dataclass

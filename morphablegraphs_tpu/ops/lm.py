@@ -65,15 +65,34 @@ def chol_solve_unrolled(a: jax.Array, g: jax.Array) -> jax.Array:
 # of small vector ops the roofline breakdown attributes most of the LM wall
 # to.  custom_vmap swaps in ops/pallas_kernels.chol_solve_crowd (characters
 # on the lane axis, every intermediate VMEM-resident) exactly when the solve
-# is batched, leaving the single-character path untouched.  MG_LM_PALLAS_
-# SOLVE=0 opts out (and non-TPU backends without interpret fall back to the
-# vmapped unrolled form).
+# is batched, leaving the single-character path untouched.
+#
+# OPT-IN: MG_LM_PALLAS_SOLVE=1 enables the kernel (bench.py sets it after
+# its on-TPU preflight proves parity AND a measured win; until then the
+# default stays the vmapped unrolled solve, so an unproven Mosaic kernel
+# can never reach production paths by default).  The decision is read at
+# TRACE time; `pallas_solve_disabled()` forces it off for programs that
+# must stay free of Mosaic ops (GSPMD-sharded crowds — no partitioning
+# rule exists for Pallas custom calls).
 
-_MIN_PALLAS_BATCH = 256  # below this the kernel's fixed cost isn't worth it
+_MIN_PALLAS_BATCH = 256  # below this the kernel's pad-to-1024 cost bites
+_PALLAS_SOLVE_DISABLED = [False]
+
+
+class pallas_solve_disabled:
+    """Context manager: trace with the crowd solve kernel forced OFF."""
+
+    def __enter__(self):
+        self._prev = _PALLAS_SOLVE_DISABLED[0]
+        _PALLAS_SOLVE_DISABLED[0] = True
+
+    def __exit__(self, *exc):
+        _PALLAS_SOLVE_DISABLED[0] = self._prev
 
 
 def _chol_solve_batched(a: jax.Array, g: jax.Array) -> jax.Array:
-    use_pallas = (os.environ.get("MG_LM_PALLAS_SOLVE", "1") != "0"
+    use_pallas = (os.environ.get("MG_LM_PALLAS_SOLVE", "0") == "1"
+                  and not _PALLAS_SOLVE_DISABLED[0]
                   and a.ndim == 3
                   and a.shape[0] >= _MIN_PALLAS_BATCH
                   and jax.default_backend() == "tpu")

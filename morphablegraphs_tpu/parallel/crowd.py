@@ -77,6 +77,33 @@ def crowd_walk_sharded(mesh: Mesh, g: StackedGraph, key, start_id: int,
     return _crowd_step(g, keys, start_ids, n_steps, max_step_frames)
 
 
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("n_steps", "walk_kw",
+                                    "disable_pallas_solve"))
+def _constrained_crowd_step(skeleton, g: StackedGraph, keys, paths,
+                            start_ids, step_scs, n_steps: int,
+                            walk_kw: tuple, disable_pallas_solve: bool):
+    """Module-level jit so the sharded serving path reuses ONE compiled
+    program across requests (a per-call @jax.jit closure would retrace and
+    recompile the ~2-minute crowd program on every batch).
+
+    disable_pallas_solve is STATIC and applied during tracing: multi-device
+    meshes must trace a program with no Mosaic ops (no GSPMD partitioning
+    rule), and keying on the flag keeps the 1-device and sharded variants
+    from sharing a cached jaxpr."""
+    import contextlib
+
+    from ..ops import lm as lm_ops
+    from ..synthesis import constrained_walk as cw
+    kw = dict(walk_kw)
+    ctx = (lm_ops.pallas_solve_disabled() if disable_pallas_solve
+           else contextlib.nullcontext())
+    with ctx:  # trace-time: gates the custom_vmap rule's kernel choice
+        return jax.vmap(lambda k, p, s: cw.constrained_walk_full(
+            skeleton, k, g, p, s, n_steps=n_steps, step_scs=step_scs,
+            **kw))(keys, paths, start_ids)
+
+
 def constrained_crowd_sharded(mesh: Mesh, skeleton, g: StackedGraph, paths,
                               key, start_ids, n_steps: int,
                               step_scs=None, axis: str = "dp", **walk_kw):
@@ -89,6 +116,12 @@ def constrained_crowd_sharded(mesh: Mesh, skeleton, g: StackedGraph, paths,
     Character counts that do not divide the mesh are padded (repeating the
     first character) and the padding is sliced back off the outputs.
 
+    Pallas caveat: Mosaic kernels have no GSPMD partitioning rule, so on a
+    mesh of MORE than one device this path must not carry Pallas ops —
+    `pallas_selection` is rejected, and the crowd Cholesky solve kernel is
+    disabled during tracing (the vmapped unrolled solve runs instead; both
+    are XLA-partitionable).  A 1-device mesh keeps the kernels.
+
     paths: a stacked PathSpline pytree with a leading [n_chars] axis;
     start_ids: [n_chars] int32.  Returns (segments, n_frames, node_ids,
     errors) exactly like `constrained_walk_full_crowd`.
@@ -98,6 +131,11 @@ def constrained_crowd_sharded(mesh: Mesh, skeleton, g: StackedGraph, paths,
     start_ids = jnp.asarray(start_ids, jnp.int32)
     n_chars = start_ids.shape[0]
     n_dev = mesh.devices.size
+    if n_dev > 1 and walk_kw.get("pallas_selection"):
+        raise ValueError(
+            "pallas_selection under a multi-device mesh: Mosaic kernels "
+            "are not GSPMD-partitionable — use the XLA selection path for "
+            "sharded crowds (1-device meshes may keep the kernel)")
     pad = (-n_chars) % n_dev
     keys = jax.random.split(key, n_chars + pad)
     if pad:
@@ -117,14 +155,11 @@ def constrained_crowd_sharded(mesh: Mesh, skeleton, g: StackedGraph, paths,
     g = jax.device_put(g, repl)
     step_scs = jax.device_put(step_scs, repl)
 
-    @jax.jit
-    def crowd_step(gg, ks, ps, sids, scs):
-        return jax.vmap(lambda k, p, s: cw.constrained_walk_full(
-            skeleton, k, gg, p, s, n_steps=n_steps, step_scs=scs,
-            **walk_kw))(ks, ps, sids)
-
-    segs, n_frames, node_ids, errors = crowd_step(g, keys, paths, start_ids,
-                                                  step_scs)
+    # statics passed as KEYWORDS: jit's static_argnames only binds kwargs
+    kw_static = tuple(sorted(walk_kw.items()))
+    segs, n_frames, node_ids, errors = _constrained_crowd_step(
+        skeleton, g, keys, paths, start_ids, step_scs, n_steps=n_steps,
+        walk_kw=kw_static, disable_pallas_solve=n_dev > 1)
     if pad:
         segs, n_frames = segs[:n_chars], n_frames[:n_chars]
         node_ids, errors = node_ids[:n_chars], errors[:n_chars]

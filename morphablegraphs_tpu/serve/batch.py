@@ -149,17 +149,24 @@ class BatchedGenerator:
                 unconstrained_dims=traj.unconstrained_dims))
             start_ids.append(self._start_id(a.name))
         stacked_paths = cw.stack_paths(paths)
-        keys = jax.random.split(jax.random.PRNGKey(seed), len(mg_inputs))
         start_arr = jnp.asarray(start_ids, jnp.int32)
         if self.full_constraints:
+            from .. import parallel
             from ..constraints import compiled
             skel = self.graph.skeleton
             step_scs = cw.default_step_scs(skel, self.n_steps)
-            # the fused selection kernel ranks on the locomotion family only;
-            # verify host-side that no user slots would be silently ignored
-            # (today step_scs is always default/empty here, but a future
-            # batch path adding user slots must fall back to XLA selection)
+            # the request batch IS the crowd's character axis: one shared
+            # library path for 1-device hosts and meshes alike (pure dp,
+            # zero cross-request collectives; parallel/crowd.py).  On a
+            # 1-device mesh the program is identical to a plain vmap.
+            mesh = parallel.make_mesh()
+            # the fused selection kernel ranks on the locomotion family
+            # only, and Mosaic kernels are not GSPMD-partitionable — TPU +
+            # single device + no user slots (today step_scs is always
+            # default/empty here, but a future batch path adding user slots
+            # must fall back to XLA selection)
             use_pallas = (jax.default_backend() == "tpu"
+                          and mesh.devices.size == 1
                           and compiled.step_scs_locomotion_only(step_scs))
             n_samples = self.n_samples
             if use_pallas:
@@ -168,31 +175,17 @@ class BatchedGenerator:
             # locomotion-only constraints touch just the root joint: skip
             # the FK chain inside the LM residuals (static shortcut)
             root_only = compiled.step_scs_root_only(step_scs)
-            if len(jax.devices()) > 1:
-                # multi-device host: shard the request batch over the full
-                # mesh (requests are the crowd's character axis — pure dp,
-                # zero cross-request collectives; parallel/crowd.py)
-                from .. import parallel
-                mesh = parallel.make_mesh()
-                segs, n_frames, node_ids, errors = \
-                    parallel.constrained_crowd_sharded(
-                        mesh, skel, self.stacked, stacked_paths,
-                        jax.random.PRNGKey(seed), start_arr,
-                        n_steps=self.n_steps, step_scs=step_scs,
-                        max_step_frames=self.max_step_frames,
-                        n_samples=n_samples, lm_iters=self.lm_iters,
-                        pallas_selection=use_pallas, root_only=root_only)
-            else:
-                segs, n_frames, node_ids, errors = jax.vmap(
-                    lambda k, p, s: cw.constrained_walk_full(
-                        skel, k, self.stacked, p, s, n_steps=self.n_steps,
-                        step_scs=step_scs,
-                        max_step_frames=self.max_step_frames,
-                        n_samples=n_samples, lm_iters=self.lm_iters,
-                        pallas_selection=use_pallas,
-                        root_only=root_only))(
-                            keys, stacked_paths, start_arr)
+            segs, n_frames, node_ids, errors = \
+                parallel.constrained_crowd_sharded(
+                    mesh, skel, self.stacked, stacked_paths,
+                    jax.random.PRNGKey(seed), start_arr,
+                    n_steps=self.n_steps, step_scs=step_scs,
+                    max_step_frames=self.max_step_frames,
+                    n_samples=n_samples, lm_iters=self.lm_iters,
+                    pallas_selection=use_pallas, root_only=root_only)
         else:
+            keys = jax.random.split(jax.random.PRNGKey(seed),
+                                    len(mg_inputs))
             segs, n_frames, node_ids, errors = jax.vmap(
                 lambda k, p, s: cw.constrained_walk(
                     k, self.stacked, p, s, n_steps=self.n_steps,

@@ -299,19 +299,26 @@ class MotionGenerator:
         # node's edge carries a conditional-GMM model, candidates come from
         # the CONDITIONED mixture instead of the node's own (reference
         # motion_primitive_generator.py:195-198 / generate_random_sample
-        # :209-214)
-        tm_candidates = None
+        # :209-214).  Lazy: the constrained branches draw the full pool,
+        # the unconstrained branch draws exactly one (reference parity —
+        # and 100x less sampling on the streaming path).
+        tm_model = None
         if (self.config.get("use_transition_model")
                 and self._prev_latent is not None
                 and self._prev_node_key in graph.nodes
                 and graph.nodes[self._prev_node_key].has_transition_model(
                     node_key)):
-            from ..models import transition_model as tm
-            model = graph.nodes[self._prev_node_key].transition_models[
+            tm_model = graph.nodes[self._prev_node_key].transition_models[
                 node_key]
-            tm_candidates = tm.predict_parameters(
-                self._next_key(), model, jnp.asarray(self._prev_latent),
-                n=int(self.config.get("n_random_samples", 100)))
+
+        def tm_candidates(n=None):
+            from ..models import transition_model as tm
+            if n is None:
+                n = int(self.config.get("n_random_samples", 100))
+            return tm.predict_parameters(
+                self._next_key(), tm_model, jnp.asarray(self._prev_latent),
+                n=n)
+
         if acs.root_trajectory is not None:
             # locomotion slots fill on device inside the selection kernel —
             # no goal-query host round-trip per step
@@ -322,7 +329,7 @@ class MotionGenerator:
                 self._next_key(), graph.skeleton, prim, sc,
                 acs.root_trajectory, loco, loco_flags, self.config,
                 cluster_tree=graph.nodes[node_key].cluster_tree,
-                candidates=tm_candidates)
+                candidates=tm_candidates() if tm_model is not None else None)
             err = float(err)
             self._count_constrained_step_evals()
         else:
@@ -339,13 +346,14 @@ class MotionGenerator:
                 s, err = generator.generate_constrained_sample(
                     self._next_key(), graph.skeleton, prim, sc, self.config,
                     cluster_tree=graph.nodes[node_key].cluster_tree,
-                    candidates=tm_candidates)
+                    candidates=(tm_candidates() if tm_model is not None
+                                else None))
                 err = float(err)
                 self._count_constrained_step_evals()
-            elif tm_candidates is not None:
+            elif tm_model is not None:
                 # unconstrained step with a transition model: one predicted
                 # sample (reference generate_random_sample :209-214)
-                s = tm_candidates[0]
+                s = tm_candidates(n=1)[0]
                 err = 0.0
             else:
                 s = prim_mod.sample_latent(self._next_key(), prim, 1)[0]

@@ -117,8 +117,10 @@ class MGStateQueue:
         return MotionState(frames=aligned, frame_time=self.frame_time)
 
     def add_state(self, node_key: tuple, node_type: str, frames: np.ndarray,
-                  pose_buffer: Optional[List[np.ndarray]]):
-        state = self.build_state(frames, pose_buffer)
+                  pose_buffer: Optional[List[np.ndarray]],
+                  ignore_rotation: bool = False):
+        state = self.build_state(frames, pose_buffer,
+                                 ignore_rotation=ignore_rotation)
         new_buffer = (list(pose_buffer) if pose_buffer else []) + list(state.frames)
         new_buffer = new_buffer[-self.buffer_size:]
         entry = StateQueueEntry(node_key, node_type, state, new_buffer)
@@ -168,13 +170,8 @@ class MGStateQueue:
         ignore_rotation mirrors the reference's `ignore_idle_rotation`
         setting: idle clips keep their own heading (translation-only
         alignment)."""
-        state = self.build_state(idle_frames, pose_buffer,
-                                 ignore_rotation=ignore_rotation)
-        new_buffer = ((list(pose_buffer) if pose_buffer else [])
-                      + list(state.frames))[-self.buffer_size:]
-        entry = StateQueueEntry(node_key, "idle", state, new_buffer)
-        self.append(entry)
-        return entry
+        return self.add_state(node_key, "idle", idle_frames, pose_buffer,
+                              ignore_rotation=ignore_rotation)
 
     # -- end-target corrections on the NEWEST queued state (reference
     #    apply_end_pos_correction :228-253 / apply_end_orientation_by_
