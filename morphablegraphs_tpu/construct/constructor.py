@@ -81,7 +81,13 @@ def align_frames_temporally(skeleton: Skeleton,
         lengths = {k: len(m) for k, m in motions.items()}
         mean = np.mean(list(lengths.values()))
         mean_key = min(lengths, key=lambda k: abs(lengths[k] - mean))
-    results = dtw_mod.find_optimal_dtw(point_clouds, mean_key)
+    # offline training auto-shards the pairwise grids over every visible
+    # device (the reference spreads the same loop over a process pool)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from .. import parallel
+        mesh = parallel.make_mesh()
+    results = dtw_mod.find_optimal_dtw(point_clouds, mean_key, mesh=mesh)
     warped, warps = {}, {}
     for key, m in motions.items():
         wf = dtw_mod.get_warping_function(results[key])

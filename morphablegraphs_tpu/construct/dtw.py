@@ -152,20 +152,88 @@ def warp_motion(frames: np.ndarray, warping_function) -> np.ndarray:
     return np.asarray([frames[idx] for idx in warping_function])
 
 
-def find_optimal_dtw(point_clouds: Dict, mean_key=None) -> Dict:
+def _pad_clouds(point_clouds: Dict):
+    """Stack ragged per-motion clouds [T_i, J, 3] into one padded array
+    [K, T_max, J, 3] + true lengths (padding rows repeat the last frame so
+    they produce finite distances; the DP only reads the valid block)."""
+    keys = list(point_clouds.keys())
+    lengths = [int(np.shape(point_clouds[k])[0]) for k in keys]
+    t_max = max(lengths)
+    j = np.shape(point_clouds[keys[0]])[1]
+    arr = np.zeros((len(keys), t_max, j, 3), np.float32)
+    for i, k in enumerate(keys):
+        c = np.asarray(point_clouds[k], np.float32)
+        arr[i, : len(c)] = c
+        arr[i, len(c):] = c[-1]
+    return keys, arr, np.asarray(lengths)
+
+
+@jax.jit
+def _pair_grids(clouds: jax.Array, a_idx: jax.Array,
+                b_idx: jax.Array) -> jax.Array:
+    """Distance grids for index pairs: clouds [K, T, J, 3] -> [P, T, T]."""
+    return jax.vmap(lambda a, b: distance_grid(clouds[a], clouds[b]))(
+        a_idx, b_idx)
+
+
+def find_optimal_dtw(point_clouds: Dict, mean_key=None, mesh=None) -> Dict:
     """DTW of every motion against a reference (reference
     find_optimal_dtw_async, dtw.py:175-197: when mean_key is given only that
     reference is tried; otherwise the reference minimizing total path cost
-    wins).  Returns {key: path}."""
+    wins).  Returns {key: path}.
+
+    All pairwise distance grids — the training hot loop the reference
+    spreads over a ProcessPoolExecutor — compute in ONE padded device
+    launch (K^2 ragged per-pair dispatches would also mean K^2 XLA
+    compiles); only the tiny sequential DP runs per pair on the host.
+    Pass a `jax.sharding.Mesh` to shard the pair axis across devices
+    (clouds replicate, pairs split — zero collectives)."""
     keys = list(point_clouds.keys())
     ref_keys = [mean_key] if mean_key in point_clouds else keys
+    keys_p, clouds, lengths = _pad_clouds(point_clouds)
+    idx_of = {k: i for i, k in enumerate(keys_p)}
+    pairs = [(idx_of[rk], idx_of[k]) for rk in ref_keys for k in keys]
+    a_idx = np.asarray([p[0] for p in pairs], np.int32)
+    b_idx = np.asarray([p[1] for p in pairs], np.int32)
+    n_pairs = len(pairs)
+    clouds_j = jnp.asarray(clouds)
+    n_dev = mesh.devices.size if mesh is not None else 1
+    # chunk the pair axis: one fixed shape (= one compile) regardless of
+    # K^2, and grids stream back instead of materializing [K^2, T, T]
+    chunk = max(n_dev, min(256 // max(n_dev, 1) * n_dev, n_pairs))
+    chunk = ((chunk + n_dev - 1) // n_dev) * n_dev
+    if mesh is not None and n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = NamedSharding(mesh, P(mesh.axis_names[0]))
+        clouds_j = jax.device_put(clouds_j, NamedSharding(mesh, P()))
+    else:
+        dp = None
+    grid_chunks = []
+    for c0 in range(0, n_pairs, chunk):
+        a_c = a_idx[c0: c0 + chunk]
+        b_c = b_idx[c0: c0 + chunk]
+        pad = chunk - len(a_c)
+        if pad:
+            a_c = np.concatenate([a_c, np.zeros(pad, np.int32)])
+            b_c = np.concatenate([b_c, np.zeros(pad, np.int32)])
+        a_j, b_j = jnp.asarray(a_c), jnp.asarray(b_c)
+        if dp is not None:
+            a_j, b_j = jax.device_put(a_j, dp), jax.device_put(b_j, dp)
+        g = np.asarray(_pair_grids(clouds_j, a_j, b_j))
+        grid_chunks.append(g[: chunk - pad])
+    grids = np.concatenate(grid_chunks) if len(grid_chunks) > 1 \
+        else grid_chunks[0]
+
     best_key, best_cost, best_results = None, np.inf, None
+    p = 0
     for rk in ref_keys:
         results = {}
         cost = 0.0
         for k in keys:
-            path, d = run_dtw(point_clouds[rk], point_clouds[k])
-            results[k] = path
+            g = grids[p][: lengths[idx_of[rk]], : lengths[idx_of[k]]]
+            p += 1
+            d = accumulate(g)
+            results[k] = find_path(d)
             # total path cost IS the final accumulated-DP cell; summing the
             # cumulative grid along the path grows ~quadratically with path
             # length and penalizes long references superlinearly

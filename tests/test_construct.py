@@ -410,3 +410,45 @@ def test_split_walk_motion_stance_label(monkeypatch):
     assert sections[0]["stance_foot"] == "right"  # right released at 30
     assert sections[1]["stance_foot"] == "left"   # left released at 60
     assert sections[2]["stance_foot"] == "both"   # trailing segment
+
+
+def test_find_optimal_dtw_batched_matches_per_pair():
+    """The single-launch padded/chunked find_optimal_dtw (and its
+    mesh-sharded variant) produces exactly the per-pair run_dtw results —
+    same chosen paths for every (reference, motion) combination, ragged
+    lengths included."""
+    import jax
+    from morphablegraphs_tpu import parallel
+    rng = np.random.default_rng(11)
+    clouds = {}
+    for i, t in enumerate([14, 19, 25]):
+        base = rng.standard_normal((1, 4, 3)) * 5
+        walkline = np.linspace(0, 10, t)[:, None, None]
+        clouds[f"m{i}"] = (base + walkline
+                           + 0.2 * rng.standard_normal((t, 4, 3)))
+
+    # oracle: the original per-pair formulation
+    keys = list(clouds)
+    best_cost, expect = np.inf, None
+    for rk in keys:
+        results, cost = {}, 0.0
+        for k in keys:
+            path, d = dtw.run_dtw(clouds[rk], clouds[k])
+            results[k] = path
+            cost += float(d[-1, -1])
+        if cost < best_cost:
+            best_cost, expect = cost, results
+
+    got = dtw.find_optimal_dtw(clouds)
+    assert set(got) == set(expect)
+    for k in keys:
+        assert got[k] == expect[k], k
+
+    got_sharded = dtw.find_optimal_dtw(clouds, mesh=parallel.make_mesh(8))
+    for k in keys:
+        assert got_sharded[k] == expect[k], k
+
+    # mean_key restriction still honored
+    got_mean = dtw.find_optimal_dtw(clouds, mean_key="m1")
+    path, _ = dtw.run_dtw(clouds["m1"], clouds["m2"])
+    assert got_mean["m2"] == path
