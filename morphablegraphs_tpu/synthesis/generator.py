@@ -17,6 +17,7 @@ Replaces the reference's `MotionPrimitiveGenerator`
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -293,3 +294,188 @@ def generate_constrained_sample(key: jax.Array, skeleton: Skeleton,
         skeleton, key, prim, sc,
         p.pop("threshold"), p.pop("error_scale"), p.pop("quality_scale"),
         **p)
+
+
+# ---------------------------------------------------------------------------
+# Fused step: selection + refinement + epilogue in ONE device dispatch
+# ---------------------------------------------------------------------------
+#
+# The host-loop generator previously paid two dispatches + two host pulls
+# per step (select/refine, then the back-project/align/arc epilogue); on a
+# remote-attached TPU each extra round-trip is ~30 ms of p50 step latency.
+# These entry points return everything the host loop needs from one jitted
+# program, pulled with one device_get.
+#
+# The fusion is a DISPATCH-latency trade: on CPU, interleaved 10-run A/Bs
+# measured fused == split within noise (both ~9-10 ms p50 step on the toy
+# walk), while off-CPU the saved round-trip is pure win, so fused is the
+# default everywhere.  MG_FUSED_STEP=0 keeps the two-program split as an
+# escape hatch (and the split entry points remain first-class APIs).
+
+
+def use_fused_step() -> bool:
+    """Whether host-loop steps run as one fused dispatch (default yes;
+    MG_FUSED_STEP=0 selects the split two-program path)."""
+    return os.environ.get("MG_FUSED_STEP", "1") != "0"
+
+
+def _finalize_core(prim, s, sc, path, travelled, max_frames: int,
+                   window: int, use_traj: bool):
+    """Step epilogue: back-project the winner, align to the motion so far
+    (or place at the start pose), advance the travelled arc (the former
+    motion_generator epilogue — alignment state rides in `sc`
+    exactly as constraint evaluation used it, so the emitted frames match
+    what the constraints scored)."""
+    from ..models import primitive as prim_mod
+    from ..ops import align, spline_path
+    frames, n_frames, _ = prim_mod.back_project(prim, s, max_frames,
+                                                use_time=False)
+    aligned_prev = align.align_clip(sc.prev_last, frames, window)
+    placed_start = align.transform_frames(frames, sc.start_q, sc.start_delta)
+    frames = jnp.where(sc.has_prev > 0, aligned_prev, placed_start)
+    if use_traj:
+        last = frames[jnp.maximum(n_frames - 1, 0)]
+        _, travelled, _ = spline_path.closest_point(path, last[:3],
+                                                    jnp.asarray(travelled))
+    return frames, n_frames, travelled
+
+
+@functools.partial(jax.jit, static_argnames=("max_frames", "window",
+                                             "use_traj"))
+def finalize_step(prim, s, sc, path, travelled, max_frames: int,
+                  window: int, use_traj: bool):
+    """Standalone jitted step epilogue (the split-dispatch path and the
+    transition-model branch use it; the fused entry points inline the same
+    body)."""
+    return _finalize_core(prim, s, sc, path, travelled, max_frames, window,
+                          use_traj)
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("n_samples", "n_iters", "do_refine",
+                                    "use_traj", "use_ca", "use_ts",
+                                    "loco_flags", "max_frames", "window",
+                                    "use_candidates"))
+def _loco_step_fused(skeleton, key, prim, sc, candidates, path, loco,
+                     travelled, threshold, error_scale, quality_scale,
+                     n_samples: int, n_iters: int, do_refine: bool,
+                     use_traj: bool, use_ca: bool, use_ts: bool,
+                     loco_flags: tuple, max_frames: int, window: int,
+                     use_candidates: bool):
+    sc = compiled.fill_locomotion_slots(sc, path, loco, *loco_flags)
+    if use_candidates:
+        s, err = _search_and_refine(
+            skeleton, prim, sc, candidates, threshold, error_scale,
+            quality_scale, n_iters=n_iters, do_refine=do_refine,
+            use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
+    else:
+        s, err = _sample_and_refine(
+            skeleton, key, prim, sc, threshold, error_scale, quality_scale,
+            n_samples=n_samples, n_iters=n_iters, do_refine=do_refine,
+            use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
+    frames, n_frames, travelled = _finalize_core(
+        prim, s, sc, path, travelled, max_frames, window, use_traj=True)
+    return s, err, sc, frames, n_frames, travelled
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("n_samples", "n_iters", "do_refine",
+                                    "use_traj", "use_ca", "use_ts",
+                                    "max_frames", "window",
+                                    "use_candidates"))
+def _step_fused(skeleton, key, prim, sc, candidates, path, travelled,
+                threshold, error_scale, quality_scale,
+                n_samples: int, n_iters: int, do_refine: bool,
+                use_traj: bool, use_ca: bool, use_ts: bool,
+                max_frames: int, window: int, use_candidates: bool):
+    if use_candidates:
+        s, err = _search_and_refine(
+            skeleton, prim, sc, candidates, threshold, error_scale,
+            quality_scale, n_iters=n_iters, do_refine=do_refine,
+            use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
+    else:
+        s, err = _sample_and_refine(
+            skeleton, key, prim, sc, threshold, error_scale, quality_scale,
+            n_samples=n_samples, n_iters=n_iters, do_refine=do_refine,
+            use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
+    frames, n_frames, travelled = _finalize_core(
+        prim, s, sc, path, travelled, max_frames, window, use_traj=use_traj)
+    return s, err, sc, frames, n_frames, travelled
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("max_frames", "window"))
+def _unconstrained_step_fused(skeleton, key, prim, sc, path, travelled,
+                              max_frames: int, window: int):
+    s = sample_latent(key, prim, 1)[0]
+    frames, n_frames, travelled = _finalize_core(
+        prim, s, sc, path, travelled, max_frames, window, use_traj=False)
+    return s, frames, n_frames, travelled
+
+
+def unconstrained_step(skeleton, key, prim, sc, path, travelled,
+                       max_frames: int, window: int):
+    """Unconstrained step (one GMM sample + epilogue); fused or split per
+    use_fused_step, same contract as generate_step minus err/sc."""
+    if use_fused_step():
+        return _unconstrained_step_fused(skeleton, key, prim, sc, path,
+                                         travelled, max_frames=max_frames,
+                                         window=window)
+    s = sample_latent(key, prim, 1)[0]
+    frames, n_frames, new_arc = finalize_step(
+        prim, s, sc, path, travelled, max_frames=max_frames, window=window,
+        use_traj=False)
+    return s, frames, n_frames, new_arc
+
+
+def generate_step(key, skeleton: Skeleton, prim: MotionPrimitive,
+                  sc: compiled.StepConstraints, config: dict,
+                  travelled, max_frames: int, window: int,
+                  path=None, loco=None, loco_flags=None,
+                  cluster_tree=None, candidates=None):
+    """Constrained step: selection (+ optional LM) + epilogue.
+
+    With `loco`/`loco_flags`, the locomotion slots fill on device first
+    (deferred-slot flow).  candidates > cluster_tree > GMM sampling pick
+    the pool, mirroring generate_constrained_sample{,_loco}.
+    Returns (s, err, filled_sc, frames, n_frames, new_travelled) as device
+    values — pull with ONE jax.device_get.
+
+    Runs as ONE fused dispatch by default (dispatch round-trips dominate on
+    remote-attached TPUs; CPU measured parity) — MG_FUSED_STEP=0 selects the
+    two-program split (see use_fused_step)."""
+    if not use_fused_step():
+        if loco is not None:
+            s, err, sc = generate_constrained_sample_loco(
+                key, skeleton, prim, sc, path, loco, loco_flags, config,
+                cluster_tree=cluster_tree, candidates=candidates)
+            fin_path, fin_traj = path, True
+        else:
+            s, err = generate_constrained_sample(
+                key, skeleton, prim, sc, config,
+                cluster_tree=cluster_tree, candidates=candidates)
+            fin_path, fin_traj = sc.traj, False
+        frames, n_frames, new_arc = finalize_step(
+            prim, s, sc, fin_path, travelled, max_frames=max_frames,
+            window=window, use_traj=fin_traj)
+        return s, err, sc, frames, n_frames, new_arc
+    p = _selection_params(sc, config)
+    cluster_mode = p.pop("cluster_mode")
+    pool = candidates
+    if pool is None and cluster_mode and cluster_tree is not None:
+        pool = cluster_tree.data
+    use_candidates = pool is not None
+    pool_arr = (jnp.asarray(pool) if use_candidates
+                else jnp.zeros((1, 1), jnp.float32))
+    common = dict(threshold=p.pop("threshold"),
+                  error_scale=p.pop("error_scale"),
+                  quality_scale=p.pop("quality_scale"),
+                  max_frames=max_frames, window=window,
+                  use_candidates=use_candidates, **p)
+    if loco is not None:
+        return _loco_step_fused(skeleton, key, prim, sc, pool_arr, path,
+                                loco, travelled,
+                                loco_flags=tuple(loco_flags), **common)
+    dummy = path if path is not None else sc.traj
+    return _step_fused(skeleton, key, prim, sc, pool_arr, dummy, travelled,
+                       **common)

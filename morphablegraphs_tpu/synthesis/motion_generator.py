@@ -25,7 +25,7 @@ from ..constraints.input_reader import read_input
 from ..models import primitive as prim_mod
 from ..models.graph import (MotionStateGraph, NODE_TYPE_END, NODE_TYPE_SINGLE,
                             NODE_TYPE_STANDARD, NODE_TYPE_CYCLE_END)
-from ..ops import align, spline_path, timewarp
+from ..ops import align, timewarp
 from ..utils.config import default_config
 from . import action_builder, generator
 
@@ -319,18 +319,27 @@ class MotionGenerator:
                 self._next_key(), tm_model, jnp.asarray(self._prev_latent),
                 n=n)
 
+        use_traj = acs.root_trajectory is not None
+        window = self.config["smoothing_settings"]["spatial_smoothing_window"]
+        max_frames = _pad_frames(prim.n_canonical_frames)
         if acs.root_trajectory is not None:
             # locomotion slots fill on device inside the selection kernel —
-            # no goal-query host round-trip per step
+            # no goal-query host round-trip per step; selection + LM +
+            # epilogue run as ONE dispatch pulled with ONE transfer (each
+            # extra round-trip is ~30 ms p50 on remote-attached TPUs;
+            # MG_FUSED_STEP=0 selects the split path, generator.use_fused_step)
             sc, loco, loco_flags = action_builder.build_step_constraints(
                 graph, acs, node_key, travelled, frames, is_last_step,
                 self.config, defer_locomotion=True)
-            s, err, sc = generator.generate_constrained_sample_loco(
-                self._next_key(), graph.skeleton, prim, sc,
-                acs.root_trajectory, loco, loco_flags, self.config,
-                cluster_tree=graph.nodes[node_key].cluster_tree,
-                candidates=tm_candidates() if tm_model is not None else None)
-            err = float(err)
+            s, err, sc, new_frames, n_frames, new_arc = \
+                generator.generate_step(
+                    self._next_key(), graph.skeleton, prim, sc, self.config,
+                    travelled, max_frames, window,
+                    path=acs.root_trajectory, loco=loco,
+                    loco_flags=loco_flags,
+                    cluster_tree=graph.nodes[node_key].cluster_tree,
+                    candidates=(tm_candidates() if tm_model is not None
+                                else None))
             self._count_constrained_step_evals()
         else:
             sc = action_builder.build_step_constraints(
@@ -343,33 +352,34 @@ class MotionGenerator:
                                + float(np.asarray(sc.ts_active))
                                + float(np.asarray(sc.pose_active))) > 0
             if has_constraints:
-                s, err = generator.generate_constrained_sample(
-                    self._next_key(), graph.skeleton, prim, sc, self.config,
-                    cluster_tree=graph.nodes[node_key].cluster_tree,
-                    candidates=(tm_candidates() if tm_model is not None
-                                else None))
-                err = float(err)
+                s, err, sc, new_frames, n_frames, new_arc = \
+                    generator.generate_step(
+                        self._next_key(), graph.skeleton, prim, sc,
+                        self.config, travelled, max_frames, window,
+                        cluster_tree=graph.nodes[node_key].cluster_tree,
+                        candidates=(tm_candidates() if tm_model is not None
+                                    else None))
                 self._count_constrained_step_evals()
             elif tm_model is not None:
                 # unconstrained step with a transition model: one predicted
                 # sample (reference generate_random_sample :209-214)
                 s = tm_candidates(n=1)[0]
                 err = 0.0
+                new_frames, n_frames, new_arc = generator.finalize_step(
+                    prim, s, sc, sc.traj, travelled, max_frames=max_frames,
+                    window=window, use_traj=False)
             else:
-                s = prim_mod.sample_latent(self._next_key(), prim, 1)[0]
+                s, new_frames, n_frames, new_arc = \
+                    generator.unconstrained_step(
+                        graph.skeleton, self._next_key(), prim, sc, sc.traj,
+                        travelled, max_frames=max_frames, window=window)
                 err = 0.0
-        s_np = np.asarray(s)
+        # ONE transfer for everything the host loop needs
+        s_np, err, new_frames, n_frames, new_arc = jax.device_get(
+            (s, err, new_frames, n_frames, new_arc))
+        err = float(err)
         self._prev_latent = s_np
         self._prev_node_key = node_key
-
-        use_traj = acs.root_trajectory is not None
-        window = self.config["smoothing_settings"]["spatial_smoothing_window"]
-        path = acs.root_trajectory if use_traj else sc.traj
-        # one transfer for the whole epilogue (frames + counts + arc)
-        new_frames, n_frames, new_arc = jax.device_get(_finalize_step(
-            prim, s, sc, path, travelled,
-            max_frames=_pad_frames(prim.n_canonical_frames),
-            window=window, use_traj=use_traj))
         new_frames = new_frames[: int(n_frames)]
         if use_traj:
             travelled = float(new_arc)
@@ -561,26 +571,3 @@ def _pad_frames(n: int, multiple: int = 32) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
-@functools.partial(jax.jit, static_argnames=("max_frames", "window",
-                                             "use_traj"))
-def _finalize_step(prim, s, sc, path, travelled, max_frames: int,
-                   window: int, use_traj: bool):
-    """Fused step epilogue: back-project the winning latent, align the clip
-    to the motion so far (or place it at the start pose), and advance the
-    travelled arc length — one device dispatch + one host pull instead of
-    three (back_project / align_clip / closest_point round-trips dominate
-    p50 step latency on remote-attached TPUs).
-
-    Alignment state rides in `sc` exactly as constraint evaluation uses it
-    (has_prev selects seam alignment vs the start-pose transform), so the
-    emitted frames match what the constraints scored."""
-    frames, n_frames, _ = prim_mod.back_project(prim, s, max_frames,
-                                                use_time=False)
-    aligned_prev = align.align_clip(sc.prev_last, frames, window)
-    placed_start = align.transform_frames(frames, sc.start_q, sc.start_delta)
-    frames = jnp.where(sc.has_prev > 0, aligned_prev, placed_start)
-    if use_traj:
-        last = frames[jnp.maximum(n_frames - 1, 0)]
-        _, travelled, _ = spline_path.closest_point(path, last[:3],
-                                                    jnp.asarray(travelled))
-    return frames, n_frames, travelled

@@ -143,3 +143,20 @@ def test_end_state_conditions(graph):
                              0.0, 0, 0.0, 3)
     assert not gen._is_end_state(graph_mod.NODE_TYPE_STANDARD, acs, None,
                                  0.0, 0, 0.0, 1)
+
+
+def test_split_dispatch_matches_fused(graph, result, monkeypatch):
+    """MG_FUSED_STEP=0 (two-program split, generator.use_fused_step) must
+    produce bitwise-identical walks to the fused one-dispatch default: the
+    same selection, LM, and epilogue math merely regrouped into separate
+    XLA programs."""
+    monkeypatch.setenv("MG_FUSED_STEP", "0")
+    cfg = default_config()
+    cfg["n_random_samples"] = 30
+    cfg["lm_iterations"] = 5
+    gen = MotionGenerator(graph, cfg, seed=0)
+    res = gen.generate_motion(WALK_INPUT, activate_coordinate_transform=False)
+    assert res.stats["n_steps"] == result.stats["n_steps"]
+    np.testing.assert_allclose(res.frames, result.frames, atol=1e-4)
+    assert np.isclose(res.stats["average_error"],
+                      result.stats["average_error"], atol=1e-3)
