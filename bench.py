@@ -314,6 +314,7 @@ def main() -> None:
     config = os.environ.get("MG_BENCH_CONFIG", "ref")
 
     platform = os.environ.get("MG_BENCH_PLATFORM")
+    cpu_requested = platform == "cpu"
     if platform is None:
         platform = "tpu" if probe_tpu() else "cpu"
     on_tpu = platform == "tpu"
@@ -324,8 +325,9 @@ def main() -> None:
         # pin CPU before any dispatch (the axon plugin overrides
         # jax_platforms at import; config wins over env) + persistent
         # compile cache so the fallback doesn't spend its budget in XLA-CPU
-        _log("# tpu-unavailable: falling back to reduced-scale CPU parity "
-             "run (marker in JSON line)")
+        _log("# cpu run requested via MG_BENCH_PLATFORM" if cpu_requested
+             else "# tpu-unavailable: falling back to reduced-scale CPU "
+                  "parity run (marker in JSON line)")
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/jax_cache_mg_bench")
@@ -346,9 +348,16 @@ def main() -> None:
         "vs_baseline": round(res["fps"] / 10000.0, 3),
     }
     if not on_tpu:
-        out["fallback"] = "cpu-tpu-unavailable"
-        out["note"] = (f"TPU backend init failed/hung after probing; "
-                       f"reduced scale {scale['n_chars']} chars on CPU")
+        if cpu_requested:
+            # an operator-requested CPU run is not a tunnel outage; keep
+            # the driver record accurate
+            out["fallback"] = "cpu-requested"
+            out["note"] = (f"MG_BENCH_PLATFORM=cpu set; reduced scale "
+                           f"{scale['n_chars']} chars on CPU")
+        else:
+            out["fallback"] = "cpu-tpu-unavailable"
+            out["note"] = (f"TPU backend init failed/hung after probing; "
+                           f"reduced scale {scale['n_chars']} chars on CPU")
     # the headline JSON prints BEFORE the extras runs: a driver timeout
     # mid-extras must never cost the round its recorded number
     print(json.dumps(out), flush=True)

@@ -192,6 +192,18 @@ def from_json(data: dict) -> ConditionalGMM:
         cond_prec_chol=f32(_prec_chol(cond_chol)))
 
 
+@jax.jit
+def _match_boundary_poses(xe: jax.Array, yst: jax.Array) -> jax.Array:
+    """argmin_j ||xe_i - yst_j||^2 via the matmul expansion — one [N, N]
+    grid instead of an eagerly materialized [N, N, C] broadcast difference
+    (~1.2 GB at the n_pairs=2000 default on reference-scale channels), and
+    jitted so the whole pairing is one dispatch per edge."""
+    d = (jnp.sum(xe * xe, axis=1)[:, None]
+         + jnp.sum(yst * yst, axis=1)[None, :]
+         - 2.0 * xe @ yst.T)
+    return jnp.argmin(d, axis=1)
+
+
 def fit_transition_models_for_graph(graph, n_pairs: int = 2000,
                                     n_components: int = 4, seed: int = 0,
                                     window: int = 20):
@@ -224,10 +236,7 @@ def fit_transition_models_for_graph(graph, n_pairs: int = 2000,
             y_start = jax.vmap(lambda s: prim_mod.evaluate_at(
                 to_node.primitive, s, jnp.asarray([0.0]))[0])(ys)
             # compare pose shape only (root-relative channels)
-            xe = x_end[:, 3:]
-            yst = y_start[:, 3:]
-            d = jnp.sum((xe[:, None, :] - yst[None, :, :]) ** 2, axis=-1)
-            match = jnp.argmin(d, axis=1)  # [n_pairs]
+            match = _match_boundary_poses(x_end[:, 3:], y_start[:, 3:])
             node.transition_models[to_key] = fit_transition_model(
                 np.asarray(xs), np.asarray(ys)[np.asarray(match)],
                 n_components=n_components, seed=seed)

@@ -146,6 +146,11 @@ def constrained_crowd_sharded(mesh: Mesh, skeleton, g: StackedGraph, paths,
                 [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])]), paths)
     if step_scs is None:
         step_scs = cw.default_step_scs(skeleton, n_steps)
+    if walk_kw.get("pallas_selection"):
+        # same host-side contract check as constrained_walk_full_crowd: the
+        # kernel would silently mis-rank any user slot it doesn't score
+        cw.check_pallas_selection_contract(skeleton, step_scs,
+                                           walk_kw.get("pallas_ee"))
 
     dp = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())

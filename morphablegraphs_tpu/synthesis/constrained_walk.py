@@ -537,6 +537,29 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
     return segments, n_frames, node_ids, errors
 
 
+def check_pallas_selection_contract(skeleton, step_scs, pallas_ee=None):
+    """Host-side guard every pallas_selection consumer must run: the kernel
+    ranks candidates on the locomotion family (plus, with pallas_ee, ONE
+    position-only keyframe in slot 2) and would silently mis-rank any other
+    user slot.  step_scs is traced inside constrained_walk_full, so the
+    check can only happen at the crowd/serving boundary — raising here (not
+    assert: must survive python -O) keeps every wrapper honest."""
+    from ..constraints import compiled
+    if pallas_ee is not None:
+        if not compiled.step_scs_pallas_ee_only(
+                step_scs, skeleton.index_of(pallas_ee)):
+            raise ValueError(
+                "pallas_selection+pallas_ee ranks candidates on the "
+                "locomotion family plus ONE position-only keyframe on "
+                f"'{pallas_ee}' in slot 2; step_scs carries other user "
+                "slots that would be ignored — use the XLA selection path")
+    elif not compiled.step_scs_locomotion_only(step_scs):
+        raise ValueError(
+            "pallas_selection ranks candidates on the locomotion family "
+            "only; step_scs carries user constraint slots that would be "
+            "ignored — use the XLA selection path for this workload")
+
+
 def constrained_walk_full_crowd(skeleton, key: jax.Array, g: StackedGraph,
                                 paths: spline_path.PathSpline, start_id,
                                 n_chars: int, n_steps: int, **kw):
@@ -547,21 +570,8 @@ def constrained_walk_full_crowd(skeleton, key: jax.Array, g: StackedGraph,
     if kw.get("step_scs") is None:
         kw["step_scs"] = default_step_scs(skeleton, n_steps)
     if kw.get("pallas_selection"):
-        from ..constraints import compiled
-        ee = kw.get("pallas_ee")
-        if ee is not None:
-            if not compiled.step_scs_pallas_ee_only(
-                    kw["step_scs"], skeleton.index_of(ee)):
-                raise ValueError(
-                    "pallas_selection+pallas_ee ranks candidates on the "
-                    "locomotion family plus ONE position-only keyframe on "
-                    f"'{ee}' in slot 2; step_scs carries other user slots "
-                    "that would be ignored — use the XLA selection path")
-        elif not compiled.step_scs_locomotion_only(kw["step_scs"]):
-            raise ValueError(
-                "pallas_selection ranks candidates on the locomotion family "
-                "only; step_scs carries user constraint slots that would be "
-                "ignored — use the XLA selection path for this workload")
+        check_pallas_selection_contract(skeleton, kw["step_scs"],
+                                        kw.get("pallas_ee"))
     # n_steps as a keyword: jit static_argnames only binds keyword args
     return jax.vmap(lambda k, p, s: constrained_walk_full(
         skeleton, k, g, p, s, n_steps=n_steps, **kw))(keys, paths, start_ids)

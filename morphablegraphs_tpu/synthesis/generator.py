@@ -351,6 +351,24 @@ def finalize_step(prim, s, sc, path, travelled, max_frames: int,
                           use_traj)
 
 
+def _select_core(skeleton, key, prim, sc, candidates, threshold, error_scale,
+                 quality_scale, n_samples: int, n_iters: int, do_refine: bool,
+                 use_traj: bool, use_ca: bool, use_ts: bool,
+                 use_candidates: bool):
+    """Shared selection body of the fused steps: candidate-pool search or
+    best-of-N GMM sampling, then threshold-gated LM (one definition so a
+    fix to the select flow cannot miss one of the fused wrappers)."""
+    if use_candidates:
+        return _search_and_refine(
+            skeleton, prim, sc, candidates, threshold, error_scale,
+            quality_scale, n_iters=n_iters, do_refine=do_refine,
+            use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
+    return _sample_and_refine(
+        skeleton, key, prim, sc, threshold, error_scale, quality_scale,
+        n_samples=n_samples, n_iters=n_iters, do_refine=do_refine,
+        use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
+
+
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("n_samples", "n_iters", "do_refine",
                                     "use_traj", "use_ca", "use_ts",
@@ -363,16 +381,9 @@ def _loco_step_fused(skeleton, key, prim, sc, candidates, path, loco,
                      loco_flags: tuple, max_frames: int, window: int,
                      use_candidates: bool):
     sc = compiled.fill_locomotion_slots(sc, path, loco, *loco_flags)
-    if use_candidates:
-        s, err = _search_and_refine(
-            skeleton, prim, sc, candidates, threshold, error_scale,
-            quality_scale, n_iters=n_iters, do_refine=do_refine,
-            use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
-    else:
-        s, err = _sample_and_refine(
-            skeleton, key, prim, sc, threshold, error_scale, quality_scale,
-            n_samples=n_samples, n_iters=n_iters, do_refine=do_refine,
-            use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
+    s, err = _select_core(skeleton, key, prim, sc, candidates, threshold,
+                          error_scale, quality_scale, n_samples, n_iters,
+                          do_refine, use_traj, use_ca, use_ts, use_candidates)
     frames, n_frames, travelled = _finalize_core(
         prim, s, sc, path, travelled, max_frames, window, use_traj=True)
     return s, err, sc, frames, n_frames, travelled
@@ -388,18 +399,14 @@ def _step_fused(skeleton, key, prim, sc, candidates, path, travelled,
                 n_samples: int, n_iters: int, do_refine: bool,
                 use_traj: bool, use_ca: bool, use_ts: bool,
                 max_frames: int, window: int, use_candidates: bool):
-    if use_candidates:
-        s, err = _search_and_refine(
-            skeleton, prim, sc, candidates, threshold, error_scale,
-            quality_scale, n_iters=n_iters, do_refine=do_refine,
-            use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
-    else:
-        s, err = _sample_and_refine(
-            skeleton, key, prim, sc, threshold, error_scale, quality_scale,
-            n_samples=n_samples, n_iters=n_iters, do_refine=do_refine,
-            use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
+    s, err = _select_core(skeleton, key, prim, sc, candidates, threshold,
+                          error_scale, quality_scale, n_samples, n_iters,
+                          do_refine, use_traj, use_ca, use_ts, use_candidates)
+    # non-loco steps never advance the travelled arc (split path contract:
+    # generate_step's MG_FUSED_STEP=0 branch finalizes with use_traj=False;
+    # use_traj above only selects the constraint-residual terms)
     frames, n_frames, travelled = _finalize_core(
-        prim, s, sc, path, travelled, max_frames, window, use_traj=use_traj)
+        prim, s, sc, path, travelled, max_frames, window, use_traj=False)
     return s, err, sc, frames, n_frames, travelled
 
 
@@ -476,6 +483,8 @@ def generate_step(key, skeleton: Skeleton, prim: MotionPrimitive,
         return _loco_step_fused(skeleton, key, prim, sc, pool_arr, path,
                                 loco, travelled,
                                 loco_flags=tuple(loco_flags), **common)
-    dummy = path if path is not None else sc.traj
-    return _step_fused(skeleton, key, prim, sc, pool_arr, dummy, travelled,
-                       **common)
+    # non-loco steps finalize with use_traj=False, so the path operand is
+    # only a tracing placeholder (sc.traj keeps the pytree shape stable)
+    placeholder = path if path is not None else sc.traj
+    return _step_fused(skeleton, key, prim, sc, pool_arr, placeholder,
+                       travelled, **common)

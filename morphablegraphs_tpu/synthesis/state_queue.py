@@ -134,8 +134,11 @@ class MGStateQueue:
         """Slerp-blend the root orientation toward a target heading over the
         final `window` frames."""
         frames = np.asarray(frames, np.float32).copy()
-        window = window or self.blend_window
         n = len(frames)
+        # clamp to the state's frame count (reference :206 blend_range =
+        # min(end_target_blend_range, n_frames)) — an unclamped window
+        # would shift frame 0 and pop the seam with the previous state
+        window = min(window or self.blend_window, n)
         target_angle = float(np.arctan2(target_dir_xz[0], target_dir_xz[1]))
         for i in range(max(n - window, 0), n):
             t = (i - (n - window)) / max(window - 1, 1)
@@ -153,8 +156,9 @@ class MGStateQueue:
         """Linear-blend the root XZ position toward a target over the final
         window (reference :228-260)."""
         frames = np.asarray(frames, np.float32).copy()
-        window = window or self.blend_window
         n = len(frames)
+        # reference :238: blend_range = min(end_target_blend_range, n_frames)
+        window = min(window or self.blend_window, n)
         delta = np.asarray(target_pos, np.float32) - frames[-1, :3]
         delta[1] = 0.0
         for i in range(max(n - window, 0), n):
@@ -189,31 +193,36 @@ class MGStateQueue:
                                    window: Optional[int] = None) -> bool:
         """Linear-blend the newest state's root XZ toward `target_pos` over
         the final `window` frames (reference apply_end_pos_correction;
-        window <= 0 snaps only the last frame)."""
-        entry = self.get_last_state()
-        if entry is None:
-            return False
-        frames = np.asarray(entry.state.frames, np.float32).copy()
-        if window is not None and window <= 0:
-            delta = np.asarray(target_pos, np.float32) - frames[-1, :3]
-            delta[1] = 0.0
-            frames[-1, :3] += delta
-        else:
-            frames = self.apply_end_pos_correction(frames, target_pos,
-                                                   window=window)
-        self._refresh_last_entry(entry, frames)
+        window <= 0 snaps only the last frame).  The fetch-edit-write runs
+        under the queue mutex so the consumer thread can never stream a
+        half-corrected state."""
+        with self._mutex:
+            if not self._queue:
+                return False
+            entry = self._queue[-1]
+            frames = np.asarray(entry.state.frames, np.float32).copy()
+            if window is not None and window <= 0:
+                delta = np.asarray(target_pos, np.float32) - frames[-1, :3]
+                delta[1] = 0.0
+                frames[-1, :3] += delta
+            else:
+                frames = self.apply_end_pos_correction(frames, target_pos,
+                                                       window=window)
+            self._refresh_last_entry(entry, frames)
         return True
 
     def correct_last_state_end_dir(self, target_dir_xz,
                                    window: Optional[int] = None) -> bool:
         """Slerp the newest state's root heading toward the XZ direction
         over the final `window` frames (reference
-        apply_end_orientation_by_direction -> correction)."""
-        entry = self.get_last_state()
-        if entry is None:
-            return False
-        frames = np.asarray(entry.state.frames, np.float32).copy()
-        frames = self.apply_end_orientation_correction(frames, target_dir_xz,
-                                                       window=window)
-        self._refresh_last_entry(entry, frames)
+        apply_end_orientation_by_direction -> correction).  Mutex-held like
+        correct_last_state_end_pos."""
+        with self._mutex:
+            if not self._queue:
+                return False
+            entry = self._queue[-1]
+            frames = np.asarray(entry.state.frames, np.float32).copy()
+            frames = self.apply_end_orientation_correction(
+                frames, target_dir_xz, window=window)
+            self._refresh_last_entry(entry, frames)
         return True

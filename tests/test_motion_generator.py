@@ -160,3 +160,45 @@ def test_split_dispatch_matches_fused(graph, result, monkeypatch):
     np.testing.assert_allclose(res.frames, result.frames, atol=1e-4)
     assert np.isclose(res.stats["average_error"],
                       result.stats["average_error"], atol=1e-3)
+
+
+def test_nonloco_traj_step_fused_matches_split(graph, monkeypatch):
+    """A non-locomotion step whose constraint set carries an active
+    trajectory slot must NOT advance the travelled arc, and the fused
+    one-dispatch path must match the MG_FUSED_STEP=0 split exactly (the
+    fused path once advanced travelled through its placeholder path
+    operand, diverging from the split contract)."""
+    import jax
+    import jax.numpy as jnp
+    from morphablegraphs_tpu.constraints import compiled
+    from morphablegraphs_tpu.ops import spline_path
+    from morphablegraphs_tpu.synthesis import generator
+
+    skel = graph.skeleton
+    prim = graph.nodes[("walk", "beginLeftStance")].primitive
+    path = spline_path.build(
+        np.array([[0.0, 0, 0], [5.0, 0, 40], [10.0, 0, 80]], np.float32),
+        unconstrained_dims=(1,))
+    sc = jax.tree.map(jnp.asarray, compiled.empty_step_constraints(
+        skel, int(prim.n_canonical_frames)))
+    sc = sc.replace(traj=path, traj_active=jnp.asarray(1.0),
+                    traj_node=jnp.asarray(0, jnp.int32),
+                    traj_min_arc=jnp.asarray(0.0))
+    cfg = default_config()
+    cfg["n_random_samples"] = 8
+    cfg["lm_iterations"] = 2
+    key = jax.random.PRNGKey(5)
+    travelled = 7.5
+    outs = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("MG_FUSED_STEP", mode)
+        outs[mode] = jax.device_get(generator.generate_step(
+            key, skel, prim, sc, cfg, travelled, 64, 5))
+    s_f, e_f, _, frames_f, n_f, arc_f = outs["1"]
+    s_s, e_s, _, frames_s, n_s, arc_s = outs["0"]
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(frames_f), np.asarray(frames_s),
+                               atol=1e-4)
+    assert int(n_f) == int(n_s)
+    assert float(arc_f) == pytest.approx(float(arc_s))
+    assert float(arc_f) == pytest.approx(travelled)

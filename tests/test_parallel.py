@@ -116,3 +116,30 @@ def test_constrained_crowd_sharded_matches_single_device(stacked):
         jnp.full((5,), start, jnp.int32), **kw)
     assert segs5.shape[0] == 5 and errs5.shape[0] == 5
     assert not np.any(np.isnan(np.asarray(segs5)))
+
+
+def test_constrained_crowd_sharded_rejects_unscored_slots(stacked):
+    """pallas_selection through the public sharded API must hit the same
+    host-side contract guard as constrained_walk_full_crowd: the kernel
+    scores the locomotion family only, so a step_scs carrying a user
+    keyframe slot would be silently mis-ranked."""
+    from morphablegraphs_tpu.constraints import compiled
+    from morphablegraphs_tpu.ops import spline_path
+    from morphablegraphs_tpu.synthesis import constrained_walk as cw
+    skel, _ = sk.load_bvh(TEST_BVH)
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    paths = cw.stack_paths([spline_path.build(
+        np.array([[0.0, 0, 0], [5.0, 0, 60], [0.0, 0, 120]], np.float32),
+        unconstrained_dims=(1,))])
+    base = compiled.empty_step_constraints(skel, 0)
+    base = compiled.set_keyframe_constraint(
+        base, 2, skel, "Head", 10.0, position=[1.0, 2.0, 3.0])
+    scs = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (2,) + np.shape(x)), base)
+    mesh = parallel.make_mesh(1)
+    with pytest.raises(ValueError, match="locomotion family"):
+        parallel.constrained_crowd_sharded(
+            mesh, skel, stacked, paths, jax.random.PRNGKey(0),
+            jnp.full((1,), start, jnp.int32), n_steps=2, step_scs=scs,
+            max_step_frames=32, n_samples=128, lm_iters=2,
+            pallas_selection=True)

@@ -666,3 +666,19 @@ def test_cli_train_plain_json_output_not_overwritten(tmp_path, graph):
     prim = prim_mod.load_primitive(out)
     assert prim.n_spatial > 0
     assert os.path.exists(str(tmp_path / "plain_sample.bvh"))
+
+
+def test_end_correction_window_clamps_to_state_length(graph):
+    """A blend window larger than the state (reference :206/:238 clamps
+    blend_range to n_frames) must leave frame 0 untouched — an unclamped
+    ramp would displace the first frame and pop the seam with the previous
+    queued state."""
+    q = MGStateQueue(graph.skeleton, 1 / 30)
+    frames = _frames(30)
+    target = np.array([10.0, 0, 40.0])
+    corrected = q.apply_end_pos_correction(frames, target, window=50)
+    np.testing.assert_allclose(corrected[0], frames[0], atol=1e-6)
+    np.testing.assert_allclose(corrected[-1][:3], target, atol=0.5)
+    rotated = q.apply_end_orientation_correction(frames, np.array([1.0, 0.0]),
+                                                 window=50)
+    np.testing.assert_allclose(rotated[0], frames[0], atol=1e-6)

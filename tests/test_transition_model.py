@@ -180,3 +180,16 @@ def test_motion_generator_uses_transition_model(graph_with_models):
     assert res.frames is not None and np.all(np.isfinite(res.frames))
     # the first step has no previous latent; every later step predicts
     assert len(calls) >= 1 and all(n == 16 for n in calls)
+
+
+def test_match_boundary_poses_matches_bruteforce():
+    """The matmul-expansion pairing (one [N, N] grid) must equal the naive
+    per-pair squared-distance argmin."""
+    rng = np.random.default_rng(3)
+    xe = rng.normal(size=(40, 7)).astype(np.float32)
+    yst = rng.normal(size=(50, 7)).astype(np.float32)
+    got = np.asarray(tm._match_boundary_poses(jnp.asarray(xe),
+                                              jnp.asarray(yst)))
+    want = np.argmin(
+        ((xe[:, None, :] - yst[None, :, :]) ** 2).sum(-1), axis=1)
+    np.testing.assert_array_equal(got, want)
