@@ -87,6 +87,14 @@ def build_action_constraints(graph: MotionStateGraph, mg_input: MGInput,
     root_joint = _aligning_joint(skeleton)
     out = []
     names = [a.name for a in mg_input.actions]
+    unknown = sorted({n for n in names if n not in graph.node_groups})
+    if unknown:
+        # validate at the input boundary: a bare KeyError from deep inside
+        # the step loop names the action but not the fix
+        from ..utils.exceptions import ConstraintError
+        raise ConstraintError(
+            f"unknown elementary action(s) {unknown}; this graph defines "
+            f"{sorted(graph.node_groups)}", bad_constraints=unknown)
     for idx, spec in enumerate(mg_input.actions):
         acs = ActionConstraintSet(action_name=spec.name)
         acs.annotations = dict(spec.annotations)

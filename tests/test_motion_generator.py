@@ -202,3 +202,14 @@ def test_nonloco_traj_step_fused_matches_split(graph, monkeypatch):
     assert int(n_f) == int(n_s)
     assert float(arc_f) == pytest.approx(float(arc_s))
     assert float(arc_f) == pytest.approx(travelled)
+
+
+def test_unknown_action_raises_constraint_error(graph):
+    """An action the graph does not define must fail at the input boundary
+    with a typed, self-describing error (REST maps ValueError to a 400),
+    not a bare KeyError from deep inside the step loop."""
+    from morphablegraphs_tpu.utils.exceptions import ConstraintError
+    gen = MotionGenerator(graph, default_config(), seed=0)
+    bad = {"elementaryActions": [{"action": "no_such_action"}]}
+    with pytest.raises(ConstraintError, match="no_such_action"):
+        gen.generate_motion(bad, activate_coordinate_transform=False)
