@@ -30,7 +30,10 @@ for _l, _r in [("LeftShoulder", "RightShoulder"), ("LeftArm", "RightArm"),
     STANDARD_MIRROR_MAP[_r] = _l
 
 # Swing/twist rotation limits per joint in degrees (a pragmatic subset of the
-# anim_utils JOINT_CONSTRAINTS table, used to clamp IK results)
+# anim_utils JOINT_CONSTRAINTS table, used to clamp IK results).  Consumed by
+# `build_limit_table` + `ops/ik.apply_joint_limits` after look-at/spine IK
+# edits (reference mg_state_planner.py:814 apply_joint_constraints; the limit
+# source is skeleton_model["joint_constraints"] or this default, :262-266).
 JOINT_CONSTRAINTS: Dict[str, dict] = {
     "LeftLeg": {"axis": (1, 0, 0), "min_angle": 0.0, "max_angle": 150.0},
     "RightLeg": {"axis": (1, 0, 0), "min_angle": 0.0, "max_angle": 150.0},
@@ -38,6 +41,31 @@ JOINT_CONSTRAINTS: Dict[str, dict] = {
     "RightForeArm": {"axis": (0, 1, 0), "min_angle": -150.0, "max_angle": 0.0},
     "Head": {"axis": (0, 1, 0), "min_angle": -80.0, "max_angle": 80.0},
 }
+
+
+def build_limit_table(skel: Skeleton, constraints: Dict[str, dict] = None):
+    """Compile a joint-limit dict into the array form
+    `ops/ik.apply_joint_limits` consumes: (axes [J,3] unit local-frame limit
+    axes, mins [J], maxs [J] in RADIANS, mask [J]) over the skeleton's
+    animated joints.  Unlisted joints get mask 0 (and (-2pi, 2pi) bounds so a
+    stray unmasked use is a no-op)."""
+    if constraints is None:
+        constraints = JOINT_CONSTRAINTS
+    j = skel.n_animated
+    axes = np.tile(np.array([0.0, 1.0, 0.0], np.float32), (j, 1))
+    mins = np.full(j, -2.0 * np.pi, np.float32)
+    maxs = np.full(j, 2.0 * np.pi, np.float32)
+    mask = np.zeros(j, np.float32)
+    for name, spec in constraints.items():
+        if name not in skel.animated_joints:
+            continue
+        i = skel.animated_index_of(name)
+        a = np.asarray(spec["axis"], np.float32)
+        axes[i] = a / max(float(np.linalg.norm(a)), 1e-10)
+        mins[i] = np.deg2rad(float(spec["min_angle"]))
+        maxs[i] = np.deg2rad(float(spec["max_angle"]))
+        mask[i] = 1.0
+    return axes, mins, maxs, mask
 
 
 def mirror_frames(skeleton: Skeleton, frames: np.ndarray) -> np.ndarray:

@@ -152,3 +152,50 @@ def look_at(skel: Skeleton, head_joint_idx: int, frame: jax.Array,
     cur_dir = quat.rotate_vec(ori[node_idx], jnp.asarray(local_dir))
     return _rotate_joint_toward(skel, frame, ori, head_joint_idx, node_idx,
                                 cur_dir, target - pos[node_idx])
+
+
+@jax.jit
+def apply_joint_limits(frames: jax.Array, axes: jax.Array, mins: jax.Array,
+                       maxs: jax.Array, mask: jax.Array) -> jax.Array:
+    """Clamp each constrained joint's TWIST about its limit axis, per frame.
+
+    The reference runs `MotionEditing.apply_joint_constraints(new_frames,
+    look_start, look_end)` after its look-at/spine IK edits
+    (mg_state_planner.py:814) with per-joint limit specs from
+    `skeleton.skeleton_model["joint_constraints"]` or the anim_utils
+    JOINT_CONSTRAINTS default (:262-266).  TPU-native form: the limit table
+    is four arrays over the animated joints and the clamp is one closed-form
+    swing-twist pass over ALL frames x joints at once (no per-joint Python).
+
+    frames: [..., 3 + 4J]; axes: [J, 3] unit limit axes in each joint's
+    local frame; mins/maxs: [J] twist bounds in radians; mask: [J] 1 where
+    the joint is constrained.  Swing (rotation perpendicular to the axis)
+    is preserved exactly; only the twist angle is clipped:
+
+        q = swing x twist,  twist = [cos(t/2), sin(t/2) a],
+        t = 2 atan2(<q_xyz, a>, q_w)  (q canonicalized to q_w >= 0 first,
+        so t is the wrapped representative in (-pi, pi])
+    """
+    lead = frames.shape[:-1]
+    j = axes.shape[0]
+    quats = frames[..., 3:].reshape(*lead, j, 4)
+    # double cover: q and -q are one rotation; pick w >= 0 so the twist
+    # angle branch is stable
+    q = jnp.where(quats[..., :1] < 0, -quats, quats)
+    p = jnp.sum(q[..., 1:] * axes, axis=-1)  # [..., J] signed projection
+    theta = 2.0 * jnp.arctan2(p, q[..., 0])
+    half = theta * 0.5
+    twist = jnp.concatenate(
+        [jnp.cos(half)[..., None], jnp.sin(half)[..., None] * axes], axis=-1)
+    swing = quat.multiply(q, quat.conjugate(twist))
+    theta_c = jnp.clip(theta, mins, maxs)
+    half_c = theta_c * 0.5
+    twist_c = jnp.concatenate(
+        [jnp.cos(half_c)[..., None], jnp.sin(half_c)[..., None] * axes],
+        axis=-1)
+    clamped = quat.multiply(swing, twist_c)
+    # untouched joints (and in-range twists) keep their exact input values
+    active = (mask > 0) & (theta_c != theta)
+    out = jnp.where(active[..., None], clamped, quats)
+    return jnp.concatenate([frames[..., :3], out.reshape(*lead, 4 * j)],
+                           axis=-1)

@@ -73,6 +73,9 @@ class MGStatePlanningSettings:
     look_at_window: int = 40
     orient_spine: bool = False
     n_max_ik_iter: int = 10
+    # clamp joint twists to the skeleton's limit table after look-at/spine
+    # edits (reference :230 activate_joint_constraints=True, applied :814)
+    activate_joint_constraints: bool = True
     # PFNN locomotion (reference mg_state_planner.py:219-224)
     pfnn_blend_bias: float = 0.5  # forwarded to the controller's trajectory
     min_pfnn_target_distance: float = 8.0
@@ -135,6 +138,19 @@ class MGStatePlanner:
         self._np_rng = np.random.default_rng(seed)
         self.stop_thread = False
         self._thread: Optional[threading.Thread] = None
+        # joint-limit source for post-IK clamping (reference :262-266:
+        # skeleton_model["joint_constraints"] else the shared default table);
+        # override before use, the array table compiles lazily
+        from ..models import skeleton_models
+        self.joint_constraints = skeleton_models.JOINT_CONSTRAINTS
+        self._limit_table = None
+
+    def _joint_limit_table(self):
+        if self._limit_table is None:
+            from ..models import skeleton_models
+            self._limit_table = skeleton_models.build_limit_table(
+                self.graph.skeleton, self.joint_constraints)
+        return self._limit_table
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -321,6 +337,13 @@ class MGStatePlanner:
                         jnp.asarray(frames[lo:]))
                     frames[lo:] = np.asarray(edited)
                     break
+        if self.settings.activate_joint_constraints:
+            # clamp twists the edits may have pushed past the limit table
+            # (reference apply_joint_constraints over the look-at range, :814)
+            axes, mins, maxs, mask = self._joint_limit_table()
+            frames[lo:] = np.asarray(ik.apply_joint_limits(
+                jnp.asarray(frames[lo:]), jnp.asarray(axes),
+                jnp.asarray(mins), jnp.asarray(maxs), jnp.asarray(mask)))
         return frames
 
     # -- CCD collision avoidance (reference handle_collision :1135) ------

@@ -218,3 +218,115 @@ def test_ground_step_on_slope_uses_per_anchor_heights(skel):
     # end anchors ground BOTH feet near the slope height at x=50 (10 units)
     end_y = pos_end[skel.index_of("LeftFoot")][1]
     assert abs(end_y - 0.2 * 50.0) < 3.0, end_y
+
+
+# -- joint-limit clamp (reference MotionEditing.apply_joint_constraints,
+#    mg_state_planner.py:814, limit specs :262-266) ------------------------
+
+def _np_quat_mul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ])
+
+
+def _np_axis_quat(axis, deg):
+    half = np.deg2rad(deg) * 0.5
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    return np.concatenate([[np.cos(half)], np.sin(half) * axis])
+
+
+def _limit_frame(skel, joint, q):
+    f = _rest_frame(skel)
+    f[skel.quat_slice(joint)] = q
+    return f
+
+
+def _twist_angle_deg(q, axis):
+    q = np.asarray(q, np.float64)
+    if q[0] < 0:
+        q = -q
+    p = float(np.dot(q[1:], axis))
+    return np.rad2deg(2.0 * np.arctan2(p, q[0]))
+
+
+def test_apply_joint_limits_in_range_untouched(skel):
+    from morphablegraphs_tpu.models import skeleton_models as sm
+
+    axes, mins, maxs, mask = sm.build_limit_table(skel)
+    frame = _limit_frame(skel, "Head", _np_axis_quat((0, 1, 0), 45.0))
+    out = np.asarray(ik_ops.apply_joint_limits(
+        jnp.asarray(frame), jnp.asarray(axes), jnp.asarray(mins),
+        jnp.asarray(maxs), jnp.asarray(mask)))
+    np.testing.assert_allclose(out, frame, atol=0)  # bit-exact passthrough
+
+
+def test_apply_joint_limits_clamps_pure_twist(skel):
+    from morphablegraphs_tpu.models import skeleton_models as sm
+
+    axes, mins, maxs, mask = sm.build_limit_table(skel)
+    frame = _limit_frame(skel, "Head", _np_axis_quat((0, 1, 0), 120.0))
+    out = np.asarray(ik_ops.apply_joint_limits(
+        jnp.asarray(frame), jnp.asarray(axes), jnp.asarray(mins),
+        jnp.asarray(maxs), jnp.asarray(mask)))
+    got = out[skel.quat_slice("Head")]
+    assert abs(_twist_angle_deg(got, np.array([0, 1, 0.0])) - 80.0) < 1e-3
+    # other joints untouched
+    other = np.ones(len(frame), bool)
+    other[skel.quat_slice("Head")] = False
+    np.testing.assert_allclose(out[other], frame[other], atol=0)
+
+
+def test_apply_joint_limits_preserves_swing(skel):
+    from morphablegraphs_tpu.models import skeleton_models as sm
+
+    axes, mins, maxs, mask = sm.build_limit_table(skel)
+    swing = _np_axis_quat((1, 0, 0), 30.0)  # perpendicular to the y limit axis
+    twist = _np_axis_quat((0, 1, 0), -120.0)
+    frame = _limit_frame(skel, "Head", _np_quat_mul(swing, twist))
+    out = np.asarray(ik_ops.apply_joint_limits(
+        jnp.asarray(frame), jnp.asarray(axes), jnp.asarray(mins),
+        jnp.asarray(maxs), jnp.asarray(mask)))
+    want = _np_quat_mul(swing, _np_axis_quat((0, 1, 0), -80.0))
+    got = out[skel.quat_slice("Head")]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_apply_joint_limits_double_cover(skel):
+    """q and -q are the same rotation and must clamp to the same result."""
+    from morphablegraphs_tpu.models import skeleton_models as sm
+
+    axes, mins, maxs, mask = sm.build_limit_table(skel)
+    q = _np_quat_mul(_np_axis_quat((1, 0, 0), 20.0),
+                     _np_axis_quat((0, 1, 0), 150.0))
+    f_pos = _limit_frame(skel, "Head", q)
+    f_neg = _limit_frame(skel, "Head", -q)
+    args = (jnp.asarray(axes), jnp.asarray(mins), jnp.asarray(maxs),
+            jnp.asarray(mask))
+    out_pos = np.asarray(ik_ops.apply_joint_limits(jnp.asarray(f_pos), *args))
+    out_neg = np.asarray(ik_ops.apply_joint_limits(jnp.asarray(f_neg), *args))
+    sl = skel.quat_slice("Head")
+    np.testing.assert_allclose(out_pos[sl], out_neg[sl], atol=1e-5)
+    assert abs(_twist_angle_deg(out_pos[sl], np.array([0, 1, 0.0])) - 80.0) < 1e-3
+
+
+def test_apply_joint_limits_batched_frames(skel):
+    from morphablegraphs_tpu.models import skeleton_models as sm
+
+    axes, mins, maxs, mask = sm.build_limit_table(skel)
+    frames = np.stack([
+        _limit_frame(skel, "Head", _np_axis_quat((0, 1, 0), d))
+        for d in (-120.0, 0.0, 60.0, 170.0)])
+    out = np.asarray(ik_ops.apply_joint_limits(
+        jnp.asarray(frames), jnp.asarray(axes), jnp.asarray(mins),
+        jnp.asarray(maxs), jnp.asarray(mask)))
+    sl = skel.quat_slice("Head")
+    got = [_twist_angle_deg(q, np.array([0, 1, 0.0])) for q in out[:, sl]]
+    np.testing.assert_allclose(got, [-80.0, 0.0, 60.0, 80.0], atol=1e-3)
+    # root channels pass through
+    np.testing.assert_allclose(out[:, :3], frames[:, :3], atol=0)

@@ -347,6 +347,44 @@ def test_apply_body_orientation_targets(graph):
     np.testing.assert_allclose(same, frames)
 
 
+def test_look_at_respects_joint_limits(graph):
+    """A target far BEHIND the character would need ~180 deg of head yaw;
+    with joint constraints active (reference :814 apply_joint_constraints
+    after the look-at edit) the head twist clamps to the table's 80 deg."""
+    from morphablegraphs_tpu.models import skeleton_models as sm
+
+    skel = graph.skeleton
+
+    def head_twist_deg(frames_out):
+        q = np.asarray(frames_out[-1][skel.quat_slice("Head")], np.float64)
+        if q[0] < 0:
+            q = -q
+        return abs(np.rad2deg(2.0 * np.arctan2(q[2], q[0])))
+
+    frames = _frames(10)
+    target = np.array([-5.0, 105.0, -500.0])  # behind, slightly to the side
+    free = MGStatePlanner(graph, MGStatePlanningSettings(
+        look_at_window=50, activate_joint_constraints=False))
+    unclamped = head_twist_deg(
+        free.apply_body_orientation_targets(frames, None, (target, None)))
+    assert unclamped > 90.0, unclamped  # sanity: the edit wants to overturn
+
+    limited = MGStatePlanner(graph, MGStatePlanningSettings(look_at_window=50))
+    assert limited.settings.activate_joint_constraints  # reference default
+    clamped = head_twist_deg(
+        limited.apply_body_orientation_targets(frames, None, (target, None)))
+    assert clamped <= 80.0 + 1e-3, clamped
+    # the limit source is overridable per skeleton model (reference :262-264)
+    custom = MGStatePlanner(graph, MGStatePlanningSettings(look_at_window=50))
+    custom.joint_constraints = dict(sm.JOINT_CONSTRAINTS,
+                                    Head={"axis": (0, 1, 0),
+                                          "min_angle": -30.0,
+                                          "max_angle": 30.0})
+    tight = head_twist_deg(
+        custom.apply_body_orientation_targets(frames, None, (target, None)))
+    assert tight <= 30.0 + 1e-3, tight
+
+
 def test_handle_collision_ccd(graph):
     """A collision report moves the boundary joint away along the normal via
     the CCD edit (reference handle_collision :1135-1157)."""
