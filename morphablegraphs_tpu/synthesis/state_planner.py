@@ -76,6 +76,12 @@ class MGStatePlanningSettings:
     # clamp joint twists to the skeleton's limit table after look-at/spine
     # edits (reference :230 activate_joint_constraints=True, applied :814)
     activate_joint_constraints: bool = True
+    # gesture-parameter edits on the upper-body overlay (reference :228-229
+    # enable_gesture_parameters/gesture_ik_max_iter, consumed :683-697):
+    # noise/distance-to-head modulation of the wrist trajectory, reproduced
+    # with a bounded CCD chain up to the shoulder
+    enable_gesture_parameters: bool = False
+    gesture_ik_max_iter: int = 1
     # PFNN locomotion (reference mg_state_planner.py:219-224)
     pfnn_blend_bias: float = 0.5  # forwarded to the controller's trajectory
     min_pfnn_target_distance: float = 8.0
@@ -256,7 +262,11 @@ class MGStatePlanner:
         overlay state (reference generate_upper_body_state :680-704):
         {"frames": [T, D], "frame_idx": int}.
 
-        gesture_desc: {"action": name, "primitive": optional name}."""
+        gesture_desc: {"action": name, "primitive": optional name,
+        "velocityFactor": playback speed (resamples the canonical spline on
+        a uniform grid, reference sample.get_motion_vector(velocity_factor)
+        :677), "noiseFactor"/"distanceToHeadFactor": wrist-trajectory
+        modulation when `enable_gesture_parameters` is set (:683-697)."""
         action = gesture_desc["action"]
         group = self.graph.node_groups.get(action)
         if group is None:
@@ -267,9 +277,67 @@ class MGStatePlanner:
             mp = keys[0][1]
         prim = self.graph.nodes[(action, mp)].primitive
         s = prim_mod.sample_latent(self._next_key(), prim, 1)[0]
-        frames, n, _ = prim_mod.back_project(
-            prim, s, max_frames=_pad(prim.n_canonical_frames), use_time=False)
-        return {"frames": np.asarray(frames)[: int(n)], "frame_idx": 0}
+        velocity_factor = max(float(gesture_desc.get("velocityFactor", 1.0)),
+                              0.0)
+        if velocity_factor > 0 and velocity_factor != 1.0:
+            # uniform canonical resampling: > 1 plays faster (fewer frames)
+            n_out = max(int(round(prim.n_canonical_frames / velocity_factor)),
+                        2)
+            t = jnp.linspace(0.0, prim.n_canonical_frames - 1.0, n_out)
+            frames = np.asarray(prim_mod.evaluate_at(prim, s, t))
+        else:
+            frames, n, _ = prim_mod.back_project(
+                prim, s, max_frames=_pad(prim.n_canonical_frames),
+                use_time=False)
+            frames = np.asarray(frames)[: int(n)]
+        noise = max(float(gesture_desc.get("noiseFactor", 0.0)), 0.0)
+        dist = max(float(gesture_desc.get("distanceToHeadFactor", 0.0)), 0.0)
+        if (self.settings.enable_gesture_parameters
+                and len(frames) > 0 and (noise > 0 or dist > 0)):
+            frames = self._apply_gesture_parameters(frames, noise, dist)
+        return {"frames": frames, "frame_idx": 0}
+
+    def _apply_gesture_parameters(self, frames, noise_factor: float,
+                                  distance_factor: float):
+        """Gesture modulation (reference :683-697): take the right wrist's
+        FK trajectory, (1) jitter each point by velocity-scaled noise
+        (get_joint_trajectory :131-147: p_i + rand(3) * noise * |p_i -
+        p_{i-1}|, a per-frame perturbation — no recurrence, so one batched
+        FK + one vectorized update), (2) push it away from the neck along
+        the wrist-neck direction by `distance_factor` (move_distance_to_head
+        :178-188), then reproduce the new trajectory with a CCD chain
+        bounded at the shoulder (reproduce_trajectory :149-156), vmapped
+        over frames."""
+        from ..models.skeleton import fk_positions
+        from ..ops import ik
+
+        skel = self.graph.skeleton
+        wrist, shoulder, neck = "RightHand", "RightArm", "Neck"
+        if (wrist not in skel.animated_joints
+                or shoulder not in skel.animated_joints):
+            return frames
+        frames = np.asarray(frames, np.float32)
+        pos = np.asarray(fk_positions(skel, jnp.asarray(frames)))
+        wrist_node = skel.index_of(wrist)
+        traj = pos[:, wrist_node].astype(np.float64).copy()
+        if noise_factor > 0 and len(traj) > 1:
+            delta = np.diff(traj, axis=0)
+            mag = np.linalg.norm(delta, axis=-1, keepdims=True)
+            traj[1:] += self._np_rng.random(delta.shape) * noise_factor * mag
+        if distance_factor > 0 and neck in skel.node_names:
+            dirs = pos[:, wrist_node] - pos[:, skel.index_of(neck)]
+            norms = np.maximum(
+                np.linalg.norm(dirs, axis=-1, keepdims=True), 1e-10)
+            traj += dirs / norms * distance_factor
+        chain = _ccd_chain(skel, wrist, max_len=8, stop_at=shoulder)
+        if not chain:
+            return frames
+        edited = jax.vmap(
+            lambda f, t: ik.run_ccd(
+                skel, chain, wrist_node, f, t,
+                n_iters=self.settings.gesture_ik_max_iter))(
+            jnp.asarray(frames), jnp.asarray(traj, jnp.float32))
+        return np.asarray(edited)
 
     def combine_frames_with_upper_body(self, frames, upper_body_state):
         """Splice upper-body joint quats from the cycling gesture state
@@ -762,14 +830,19 @@ def _pad(n: int, multiple: int = 32) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
-def _ccd_chain(skel, joint_name: str, max_len: int = 3) -> tuple:
+def _ccd_chain(skel, joint_name: str, max_len: int = 3,
+               stop_at: str = None) -> tuple:
     """Animated-joint chain child -> root for CCD, ending before the root
-    (reference edit_motion_using_ccd walks the parent chain)."""
+    (reference edit_motion_using_ccd walks the parent chain).  `stop_at`
+    bounds the chain at a named ancestor inclusively (the reference's
+    chain_end_joint, e.g. the shoulder for gesture wrist edits)."""
     chain = []
     idx = skel.index_of(joint_name)
     while idx >= 0 and len(chain) < max_len:
         name = skel.node_names[idx]
         if name in skel.animated_joints and name != skel.animated_joints[0]:
             chain.append(skel.animated_index_of(name))
+        if stop_at is not None and name == stop_at:
+            break
         idx = skel.parents[idx]
     return tuple(chain)

@@ -23,6 +23,16 @@ def graph():
     return g
 
 
+@pytest.fixture(scope="module")
+def ref_graph():
+    from morphablegraphs_tpu.utils.synthetic import (
+        REF_BVH, make_reference_scale_graph_dict)
+    g = graph_mod.build_graph_from_dict(make_reference_scale_graph_dict())
+    skel, _ = sk.load_bvh(REF_BVH)
+    g.skeleton = skel
+    return g
+
+
 # ---------------------------------------------------------------------------
 # state queue
 # ---------------------------------------------------------------------------
@@ -383,6 +393,70 @@ def test_look_at_respects_joint_limits(graph):
     tight = head_twist_deg(
         custom.apply_body_orientation_targets(frames, None, (target, None)))
     assert tight <= 30.0 + 1e-3, tight
+
+
+def test_gesture_parameters_modulate_wrist(ref_graph):
+    """Gesture-parameter edits (reference :683-697): velocityFactor
+    resamples the overlay, distanceToHeadFactor pushes the wrist trajectory
+    away from the neck and reproduces it with a shoulder-bounded CCD chain,
+    noiseFactor jitters it; joints outside the arm chain stay untouched."""
+    from morphablegraphs_tpu.models.skeleton import fk_positions
+    import jax.numpy as jnp
+
+    skel = ref_graph.skeleton
+    wrist = skel.index_of("RightHand")
+    neck = skel.index_of("Neck")
+
+    base = MGStatePlanner(ref_graph, seed=3)
+    plain = base.generate_upper_body_state({"action": "walk"})
+    assert plain is not None and len(plain["frames"]) > 2
+
+    # velocityFactor=2 -> roughly half the canonical frames
+    fast = MGStatePlanner(ref_graph, seed=3).generate_upper_body_state(
+        {"action": "walk", "velocityFactor": 2.0})
+    assert abs(len(fast["frames"]) - len(plain["frames"]) / 2) <= 1
+
+    # distance factor pushes the wrist away from the neck (setting gated:
+    # same desc without enable_gesture_parameters must change nothing)
+    off = MGStatePlanner(ref_graph, seed=3).generate_upper_body_state(
+        {"action": "walk", "distanceToHeadFactor": 10.0})
+    np.testing.assert_allclose(off["frames"], plain["frames"], atol=1e-6)
+    # the CCD reproduction assumes unit quats (as trained models emit; the
+    # synthetic fixture's raw samples are far from unit norm, which scales
+    # FK) — drive the helper on a normalized copy of the sampled overlay
+    frames_plain = plain["frames"].copy()
+    for j in skel.animated_joints:
+        sl = skel.quat_slice(j)
+        frames_plain[:, sl] /= np.linalg.norm(frames_plain[:, sl], axis=-1,
+                                              keepdims=True)
+    p_on = MGStatePlanner(ref_graph, MGStatePlanningSettings(
+        enable_gesture_parameters=True, gesture_ik_max_iter=5), seed=3)
+    frames_on = p_on._apply_gesture_parameters(frames_plain, 0.0, 10.0)
+    assert not np.isnan(frames_on).any()
+    pos_on = np.asarray(fk_positions(skel, jnp.asarray(frames_on)))
+    pos_plain = np.asarray(fk_positions(skel, jnp.asarray(frames_plain)))
+    # the modified trajectory the CCD reproduces: original wrist pushed away
+    # from the neck by the distance factor (move_distance_to_head :178-188)
+    dirs = pos_plain[:, wrist] - pos_plain[:, neck]
+    dirs /= np.maximum(np.linalg.norm(dirs, axis=-1, keepdims=True), 1e-10)
+    target_traj = pos_plain[:, wrist] + dirs * 10.0
+    d_on = np.linalg.norm(pos_on[:, wrist] - target_traj, axis=-1)
+    d_plain = np.linalg.norm(pos_plain[:, wrist] - target_traj, axis=-1)
+    # CCD pulled the wrist toward the pushed-out trajectory (d_plain = 10)
+    assert float(np.median(d_on)) < float(np.median(d_plain)), (
+        np.median(d_on), np.median(d_plain))
+    # the CCD chain is bounded at the shoulder: legs and root unchanged
+    for j in ("Hips", "Spine", "LeftUpLeg", "RightFoot"):
+        sl = skel.quat_slice(j)
+        np.testing.assert_allclose(frames_on[:, sl], frames_plain[:, sl],
+                                   atol=1e-6)
+    np.testing.assert_allclose(frames_on[:, :3], frames_plain[:, :3],
+                               atol=1e-6)
+
+    # noise jitters the wrist trajectory (seeded rng -> deterministic)
+    noisy = p_on._apply_gesture_parameters(frames_plain, 1.0, 0.0)
+    assert not np.isnan(noisy).any()
+    assert float(np.max(np.abs(noisy - frames_plain))) > 1e-4
 
 
 def test_handle_collision_ccd(graph):
