@@ -266,8 +266,12 @@ class MGStatePlanner:
         "velocityFactor": playback speed (resamples the canonical spline on
         a uniform grid, reference sample.get_motion_vector(velocity_factor)
         :677), "noiseFactor"/"distanceToHeadFactor": wrist-trajectory
-        modulation when `enable_gesture_parameters` is set (:683-697)."""
-        action = gesture_desc["action"]
+        modulation when `enable_gesture_parameters` is set (:683-697).
+        The action key is "action" (native) or "name" (the reference's
+        upperBodyGesture message format, :655)."""
+        action = gesture_desc.get("action", gesture_desc.get("name"))
+        if action is None:
+            return None
         group = self.graph.node_groups.get(action)
         if group is None:
             return None

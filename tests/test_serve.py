@@ -411,9 +411,10 @@ def test_gesture_parameters_modulate_wrist(ref_graph):
     plain = base.generate_upper_body_state({"action": "walk"})
     assert plain is not None and len(plain["frames"]) > 2
 
-    # velocityFactor=2 -> roughly half the canonical frames
+    # velocityFactor=2 -> roughly half the canonical frames; the reference's
+    # upperBodyGesture message keys the action as "name" (:655)
     fast = MGStatePlanner(ref_graph, seed=3).generate_upper_body_state(
-        {"action": "walk", "velocityFactor": 2.0})
+        {"name": "walk", "velocityFactor": 2.0})
     assert abs(len(fast["frames"]) - len(plain["frames"]) / 2) <= 1
 
     # distance factor pushes the wrist away from the neck (setting gated:
