@@ -768,10 +768,28 @@ class MGStatePlanner:
                     a["action"], np.asarray(a["controlPoints"], np.float32),
                     pose_buffer, end_direction=a.get("endDirection"),
                     body_orientation_targets=body_targets,
-                    upper_body_gesture=a.get("upperBodyGesture"))
+                    upper_body_gesture=a.get(
+                        "upperBodyGesture", a.get("upper_body_gesture")))
             else:
-                n_steps = int(a.get("nSteps", 1))
+                # direction walk (reference generate_locomotion_from_motion_
+                # primitives_using_direction :612-653): carries the same
+                # overlay/orientation edits as the control-point branch
+                n_steps = int(a.get("nSteps", a.get("n_steps", 1)))
                 direction = a.get("direction")
+                if direction is not None:
+                    # the message direction is a 3D world vector (reference
+                    # :615); the constraint slot takes the ground-plane form
+                    direction = np.asarray(direction, np.float32)
+                    if direction.shape[-1] == 3:
+                        direction = direction[[0, 2]]
+                body_targets = None
+                if "lookAtTarget" in a or "spineTarget" in a:
+                    body_targets = (a.get("lookAtTarget"),
+                                    a.get("spineTarget"))
+                gesture = a.get("upperBodyGesture",
+                                a.get("upper_body_gesture"))
+                upper_body_state = (self.generate_upper_body_state(gesture)
+                                    if gesture is not None else None)
                 node_key = None
                 node_type = NODE_TYPE_IDLE
                 for _ in range(n_steps):
@@ -779,8 +797,11 @@ class MGStatePlanner:
                     node_key = self._pick_node(node_key, node_type, a["action"])
                     if node_key is None:
                         break
-                    entry = self.generate_step(node_key, pose_buffer,
-                                               target_dir=direction)
+                    entry = self.generate_step(
+                        node_key, pose_buffer, target_dir=direction,
+                        upper_body_state=upper_body_state,
+                        body_orientation_targets=body_targets,
+                        action=a["action"])
                     pose_buffer = entry.pose_buffer
                     node_type = self.graph.nodes[node_key].node_type
         return pose_buffer

@@ -137,6 +137,36 @@ def test_state_planner_locomotion(graph):
         prev_end = e.state.frames[-1][:3]
 
 
+def test_direction_walk_carries_overlay_and_look_at(graph):
+    """The direction branch of the action sequence supports the same
+    upper-body gesture + look-at edits as the control-point branch
+    (reference generate_locomotion_from_motion_primitives_using_direction
+    :612-653 reads upper_body_gesture / body_orientation_targets too)."""
+    settings = MGStatePlanningSettings(n_samples=6)
+    p = MGStatePlanner(graph, settings)
+    seen = {}
+    orig = p.generate_step
+
+    def spy(node_key, pose_buffer, **kw):
+        seen["upper_body_state"] = kw.get("upper_body_state")
+        seen["body_orientation_targets"] = kw.get("body_orientation_targets")
+        return orig(node_key, pose_buffer, **kw)
+
+    p.generate_step = spy
+    p.generate_motion_states_from_action_sequence(
+        [{"action": "walk", "direction": [0.0, 0.0, 1.0], "n_steps": 2,
+          "upper_body_gesture": {"name": "walk"},
+          "lookAtTarget": [0.0, 100.0, 50.0]}])
+    assert len(p.state_queue) > 0
+    assert seen["upper_body_state"] is not None
+    assert seen["body_orientation_targets"][0] == [0.0, 100.0, 50.0]
+    while True:
+        e = p.state_queue.pop()
+        if e is None:
+            break
+        assert not np.any(np.isnan(e.state.frames))
+
+
 def test_direction_extraction_target_switching(graph):
     """reference get_direction_from_control_points :706-770: reached targets
     pop, the steering vector points at the current target, and the step
