@@ -82,6 +82,10 @@ class MGStatePlanningSettings:
     # with a bounded CCD chain up to the shoulder
     enable_gesture_parameters: bool = False
     gesture_ik_max_iter: int = 1
+    # blend frame-constrained actions back to their start position when the
+    # sequence ends (reference :224 prevent_action_drift=True, applied
+    # :405-408 after generate_action_from_motion_primitives)
+    prevent_action_drift: bool = True
     # PFNN locomotion (reference mg_state_planner.py:219-224)
     pfnn_blend_bias: float = 0.5  # forwarded to the controller's trajectory
     min_pfnn_target_distance: float = 8.0
@@ -192,11 +196,19 @@ class MGStatePlanner:
     # -- step generation (reference generate_locomotion_step :772) ------
     def generate_step(self, node_key, pose_buffer, target_pos=None,
                       target_dir=None, upper_body_state=None,
-                      body_orientation_targets=None, action=None):
+                      body_orientation_targets=None, action=None,
+                      keyframe_constraints=None):
         """One constrained step toward a position and/or heading, with the
         in-loop edits of reference generate_locomotion_step (:772-816):
         upper-body gesture splice, look-at/spine orientation edit, CCD
-        collision avoidance.  Returns the aligned state-queue entry."""
+        collision avoidance.  Returns the aligned state-queue entry.
+
+        keyframe_constraints: optional frame-constraint descs for this node
+        (the streaming action path, reference generate_constrained_frames
+        :500-535 via ConstraintBuilder): dicts with `joint`, `position`
+        [3] (NaN = unconstrained component), optional `orientation` [4]
+        wxyz, optional `weight`, and either `keyframe` (canonical index)
+        or `keyframeLabel` resolved through the node group's meta info."""
         skel = self.graph.skeleton
         prim = self.graph.nodes[node_key].primitive
         sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
@@ -208,6 +220,23 @@ class MGStatePlanner:
                 sc, slot, skel, skel.animated_joints[0],
                 prim.n_canonical_frames - 1, position=pos_c,
                 weight=self.settings.position_constraint_weight)
+            slot += 1
+        for c in keyframe_constraints or []:
+            if slot >= compiled.MAX_KF:
+                break
+            kf = c.get("keyframe")
+            if kf is None:
+                group = self.graph.node_groups.get(node_key[0])
+                label = c.get("keyframeLabel", "end")
+                kf = (group.map_label_to_keyframe(
+                    node_key[1], label, prim.n_canonical_frames)
+                    if group is not None else None)
+                if kf is None:
+                    kf = prim.n_canonical_frames - 1
+            sc = compiled.set_keyframe_constraint(
+                sc, slot, skel, c["joint"], kf,
+                position=c.get("position"), quat_wxyz=c.get("orientation"),
+                weight=float(c.get("weight", 1.0)))
             slot += 1
         if target_dir is not None:
             sc = compiled.set_direction_constraint(
@@ -227,7 +256,8 @@ class MGStatePlanner:
         else:
             sc = compiled.set_alignment_from_start_pose(sc, np.zeros(3), 0.0)
 
-        unconstrained = target_pos is None and target_dir is None
+        unconstrained = (target_pos is None and target_dir is None
+                         and not keyframe_constraints)
         if unconstrained or not self.settings.use_constrained_sampling:
             # reference :1003-1012: use_constrained_sampling=False always
             # takes a plain GMM sample
@@ -754,56 +784,181 @@ class MGStatePlanner:
                 pose_buffer = last.pose_buffer
         return pose_buffer
 
+    @staticmethod
+    def _normalize_action_desc(a: dict) -> dict:
+        """Accept the reference's snake_case message keys alongside the
+        native camelCase ones (reference action_desc schema :319/:337/:354:
+        action_name, control_points, end_direction, n_steps,
+        upper_body_gesture, frame_constraints, n_cycles,
+        body_orientation_targets)."""
+        a = dict(a)
+        for ref_key, key in (("action_name", "action"),
+                             ("control_points", "controlPoints"),
+                             ("end_direction", "endDirection"),
+                             ("n_steps", "nSteps"),
+                             ("upper_body_gesture", "upperBodyGesture"),
+                             ("frame_constraints", "frameConstraints"),
+                             ("n_cycles", "nCycles")):
+            if ref_key in a and key not in a:
+                a[key] = a[ref_key]
+        bt = a.get("body_orientation_targets")
+        if bt is not None and "lookAtTarget" not in a and len(bt) == 2:
+            a["lookAtTarget"], a["spineTarget"] = bt[0], bt[1]
+        return a
+
     def generate_motion_states_from_action_sequence(self, actions: List[dict],
                                                     pose_buffer=None):
-        """reference :316-350: [{action, controlPoints|direction, nSteps}]."""
+        """reference :316-350: locomotion per desc (control points or
+        direction + n_steps), then non-walk actions play their
+        action-definition node sequence with frame constraints."""
         for a in actions:
             if self.stop_thread:
                 break
-            if "controlPoints" in a:
-                body_targets = None
-                if "lookAtTarget" in a or "spineTarget" in a:
-                    body_targets = (a.get("lookAtTarget"), a.get("spineTarget"))
+            a = self._normalize_action_desc(a)
+            name = a["action"]
+            body_targets = None
+            if "lookAtTarget" in a or "spineTarget" in a:
+                body_targets = (a.get("lookAtTarget"), a.get("spineTarget"))
+            # the reference gates on len > 1 (:337) because its engine always
+            # sends the current position as point 0; a single target is a
+            # valid native request, so only an EMPTY list falls through
+            if a.get("controlPoints") is not None and len(a["controlPoints"]) > 0:
                 pose_buffer = self.generate_locomotion(
-                    a["action"], np.asarray(a["controlPoints"], np.float32),
+                    name, np.asarray(a["controlPoints"], np.float32),
                     pose_buffer, end_direction=a.get("endDirection"),
                     body_orientation_targets=body_targets,
-                    upper_body_gesture=a.get(
-                        "upperBodyGesture", a.get("upper_body_gesture")))
-            else:
+                    upper_body_gesture=a.get("upperBodyGesture"))
+            elif a.get("direction") is not None:
                 # direction walk (reference generate_locomotion_from_motion_
                 # primitives_using_direction :612-653): carries the same
                 # overlay/orientation edits as the control-point branch
-                n_steps = int(a.get("nSteps", a.get("n_steps", 1)))
-                direction = a.get("direction")
-                if direction is not None:
-                    # the message direction is a 3D world vector (reference
-                    # :615); the constraint slot takes the ground-plane form
-                    direction = np.asarray(direction, np.float32)
-                    if direction.shape[-1] == 3:
-                        direction = direction[[0, 2]]
-                body_targets = None
-                if "lookAtTarget" in a or "spineTarget" in a:
-                    body_targets = (a.get("lookAtTarget"),
-                                    a.get("spineTarget"))
-                gesture = a.get("upperBodyGesture",
-                                a.get("upper_body_gesture"))
+                n_steps = int(a.get("nSteps", 1))
+                # the message direction is a 3D world vector (reference
+                # :615); the constraint slot takes the ground-plane form
+                direction = np.asarray(a["direction"], np.float32)
+                if direction.shape[-1] == 3:
+                    direction = direction[[0, 2]]
+                gesture = a.get("upperBodyGesture")
                 upper_body_state = (self.generate_upper_body_state(gesture)
                                     if gesture is not None else None)
                 node_key = None
                 node_type = NODE_TYPE_IDLE
                 for _ in range(n_steps):
                     node_type = self.get_next_node_type(node_type, False)
-                    node_key = self._pick_node(node_key, node_type, a["action"])
+                    node_key = self._pick_node(node_key, node_type, name)
                     if node_key is None:
                         break
                     entry = self.generate_step(
                         node_key, pose_buffer, target_dir=direction,
                         upper_body_state=upper_body_state,
                         body_orientation_targets=body_targets,
-                        action=a["action"])
+                        action=name)
                     pose_buffer = entry.pose_buffer
                     node_type = self.graph.nodes[node_key].node_type
+            if (name != "walk"
+                    and name in self.graph.action_definitions
+                    and not self.stop_thread):
+                # non-walk actions play their node sequence with frame
+                # constraints (reference generate_motion_states_from_action
+                # :340-342 -> generate_action_motion)
+                pose_buffer = self.generate_action_motion(a, pose_buffer)
+        return pose_buffer
+
+    # -- streaming non-walk actions (reference generate_action_motion
+    #    :384-520) -------------------------------------------------------
+    def generate_action_node_queue(self, action: str, start_node_key=None,
+                                   start_node_type: str = NODE_TYPE_IDLE,
+                                   n_cycles: int = 0) -> List[tuple]:
+        """Node playback queue from the graph's action definitions
+        (reference :410-421 / cycles variant :446-464): finish a walk in
+        progress first, then the node_sequence (or cycle_start/cycle_node/
+        cycle_end for cyclic actions), then an idle tail."""
+        defs = self.graph.action_definitions.get(action, {})
+        queue: List[tuple] = []
+        walk_end = ("walk", "endRightStance")  # reference WALK_END_STATE :75
+        if (start_node_key is not None and start_node_key[0] == "walk"
+                and walk_end in self.graph.nodes
+                and start_node_type not in (NODE_TYPE_IDLE, NODE_TYPE_END)):
+            queue.append((walk_end, NODE_TYPE_END))
+        if n_cycles > 0 and "cycle_start" in defs:
+            name, ntype = defs["cycle_start"]
+            queue.append(((action, name), ntype))
+            for _ in range(max(n_cycles - 2, 0)):
+                name, ntype = defs["cycle_node"]
+                queue.append(((action, name), ntype))
+            if n_cycles > 1 and "cycle_end" in defs:
+                name, ntype = defs["cycle_end"]
+                queue.append(((action, name), ntype))
+        else:
+            for name, ntype in defs.get("node_sequence", []):
+                queue.append(((action, name), ntype))
+        if action != "idle":
+            idle = self.graph.start_node
+            if idle is not None and idle in self.graph.nodes:
+                queue.append((idle, NODE_TYPE_IDLE))
+        return queue
+
+    @staticmethod
+    def map_frame_constraints_to_nodes(frame_constraints) -> dict:
+        """Group constraint descs by (node primitive name, cycle)
+        (reference map_frame_constraints_to_nodes :423-443)."""
+        node_constraints: dict = {}
+        for c in frame_constraints or []:
+            key = (c.get("node"), int(c.get("cycle", 0)))
+            node_constraints.setdefault(key, []).append(c)
+        return node_constraints
+
+    def generate_action_motion(self, action_desc: dict, pose_buffer=None):
+        """Play a non-walk action's node sequence with per-node frame
+        constraints (reference generate_action_motion :384-408 +
+        generate_action_from_motion_primitives :467-498): resolve the node
+        queue, attach each constraint to its (node, cycle), generate the
+        steps, and optionally correct end drift back to the action's start
+        pose (prevent_action_drift)."""
+        a = self._normalize_action_desc(action_desc)
+        action = a["action"]
+        last = self.state_queue.get_last_state()
+        start_key = last.node_key if last is not None else None
+        start_type = last.node_type if last is not None else NODE_TYPE_IDLE
+        if last is not None:
+            pose_buffer = last.pose_buffer
+        n_cycles = int(a.get("nCycles", 0))
+        queue = self.generate_action_node_queue(action, start_key, start_type,
+                                                n_cycles)
+        node_constraints = self.map_frame_constraints_to_nodes(
+            a.get("frameConstraints"))
+        body_targets = None
+        if "lookAtTarget" in a or "spineTarget" in a:
+            body_targets = (a.get("lookAtTarget"), a.get("spineTarget"))
+        start_pos = (np.asarray(pose_buffer[-1][:3], np.float32).copy()
+                     if pose_buffer else None)
+        cycle_count = 0
+        cycle_nodes = self.graph.action_definitions.get(action, {}).get(
+            "cycle_nodes", ())
+        for node_key, node_type in queue:
+            if self.stop_thread:
+                break
+            constraints = node_constraints.get((node_key[1], cycle_count), [])
+            # look-at constraints aim the head at the frame-constraint
+            # target (reference :438-442)
+            targets = body_targets
+            if constraints and a.get("lookAtConstraints") and targets is None:
+                targets = (np.asarray(constraints[0]["position"], np.float32),
+                           None)
+            entry = self.generate_step(node_key, pose_buffer,
+                                       body_orientation_targets=targets,
+                                       action=action,
+                                       keyframe_constraints=constraints)
+            pose_buffer = entry.pose_buffer
+            if node_key[1] in cycle_nodes:
+                cycle_count += 1
+        if self.settings.prevent_action_drift and start_pos is not None:
+            # blend the newest state's root back to the action's start
+            # position (reference :405-408)
+            self.state_queue.correct_last_state_end_pos(start_pos)
+            last = self.state_queue.get_last_state()
+            if last is not None:
+                pose_buffer = last.pose_buffer
         return pose_buffer
 
     def start(self, actions: List[dict]):

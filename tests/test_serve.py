@@ -167,6 +167,65 @@ def test_direction_walk_carries_overlay_and_look_at(graph):
         assert not np.any(np.isnan(e.state.frames))
 
 
+def test_action_sequence_plays_non_walk_action_with_frame_constraints():
+    """Non-walk actions in the streaming sequence play their action
+    definition's node sequence with per-node frame constraints (reference
+    generate_action_motion :384-408): the constraint reaches generate_step,
+    the queue gets the action node, and prevent_action_drift blends the
+    end back toward the action's start position."""
+    from morphablegraphs_tpu.utils.synthetic import make_multi_action_graph_dict
+
+    g = graph_mod.build_graph_from_dict(make_multi_action_graph_dict())
+    skel, _ = sk.load_bvh(TEST_BVH)
+    g.skeleton = skel
+    g.action_definitions = {
+        "pickRight": {"node_sequence": [["reach", "standard"]]}}
+
+    p = MGStatePlanner(g, MGStatePlanningSettings(n_samples=6))
+    seen = {}
+    orig = p.generate_step
+
+    def spy(node_key, pose_buffer, **kw):
+        if kw.get("keyframe_constraints"):
+            seen[node_key] = kw["keyframe_constraints"]
+        return orig(node_key, pose_buffer, **kw)
+
+    p.generate_step = spy
+    p.generate_motion_states_from_action_sequence([
+        {"action": "walk", "controlPoints": [[0, 0, 30], [0, 0, 60]]},
+        {"action": "pickRight",
+         "frame_constraints": [{"node": "reach", "joint": "Head",
+                                "position": [10.0, np.nan, 40.0],
+                                "keyframeLabel": "start_contact"}]}])
+    played = []
+    while True:
+        e = p.state_queue.pop()
+        if e is None:
+            break
+        assert not np.any(np.isnan(e.state.frames))
+        played.append(e.node_key)
+    assert ("pickRight", "reach") in played, played
+    assert ("pickRight", "reach") in seen
+    assert seen[("pickRight", "reach")][0]["joint"] == "Head"
+
+
+def test_action_node_queue_cycles():
+    """Cyclic actions expand cycle_start/cycle_node/cycle_end n_cycles
+    times (reference generate_action_node_queue_with_cycles :446-464)."""
+    from morphablegraphs_tpu.utils.synthetic import make_multi_action_graph_dict
+
+    g = graph_mod.build_graph_from_dict(make_multi_action_graph_dict())
+    skel, _ = sk.load_bvh(TEST_BVH)
+    g.skeleton = skel
+    g.action_definitions = {
+        "screw": {"cycle_start": ["a", "start"], "cycle_node": ["b", "standard"],
+                  "cycle_end": ["c", "end"], "cycle_nodes": ["b"]}}
+    p = MGStatePlanner(g)
+    q = p.generate_action_node_queue("screw", n_cycles=4)
+    names = [k[1] for k, t in q if k[0] == "screw"]
+    assert names == ["a", "b", "b", "c"], names
+
+
 def test_direction_extraction_target_switching(graph):
     """reference get_direction_from_control_points :706-770: reached targets
     pop, the steering vector points at the current target, and the step
