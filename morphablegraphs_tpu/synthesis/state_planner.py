@@ -86,6 +86,10 @@ class MGStatePlanningSettings:
     # sequence ends (reference :224 prevent_action_drift=True, applied
     # :405-408 after generate_action_from_motion_primitives)
     prevent_action_drift: bool = True
+    # exact IK enforcement of streaming frame constraints after generation
+    # (reference :213 activate_ik=True, applied via apply_ik_constraints
+    # :1023-1060 when the step carries frame constraints)
+    activate_ik: bool = True
     # PFNN locomotion (reference mg_state_planner.py:219-224)
     pfnn_blend_bias: float = 0.5  # forwarded to the controller's trajectory
     min_pfnn_target_distance: float = 8.0
@@ -221,6 +225,7 @@ class MGStatePlanner:
                 prim.n_canonical_frames - 1, position=pos_c,
                 weight=self.settings.position_constraint_weight)
             slot += 1
+        resolved_kf = []
         for c in keyframe_constraints or []:
             if slot >= compiled.MAX_KF:
                 break
@@ -237,6 +242,7 @@ class MGStatePlanner:
                 sc, slot, skel, c["joint"], kf,
                 position=c.get("position"), quat_wxyz=c.get("orientation"),
                 weight=float(c.get("weight", 1.0)))
+            resolved_kf.append((c["joint"], int(kf), c.get("position")))
             slot += 1
         if target_dir is not None:
             sc = compiled.set_direction_constraint(
@@ -276,6 +282,13 @@ class MGStatePlanner:
         if body_orientation_targets is not None:
             frames = self.apply_body_orientation_targets(
                 frames, pose_buffer, body_orientation_targets)
+        if resolved_kf and self.settings.activate_ik:
+            # exact IK enforcement of the frame constraints on the generated
+            # frames (reference generate_constrained_frames :513-519 ->
+            # apply_ik_constraints :1023-1060: the latent solve gets close,
+            # the IK snap hits the target)
+            frames = self._snap_keyframe_constraints(frames, pose_buffer,
+                                                     resolved_kf)
         if self.hand_collision_boundary is not None:
             frames = self.handle_collision(frames, action or node_key[0])
         node_type = self.graph.nodes[node_key].node_type
@@ -389,6 +402,46 @@ class MGStatePlanner:
             idx = (idx + 1) % len(gesture)
         upper_body_state["frame_idx"] = idx
         return out
+
+    def _snap_keyframe_constraints(self, frames, pose_buffer, resolved_kf):
+        """IK-snap each (joint, canonical keyframe, world position) triple
+        on the still-primitive-local frames (reference apply_ik_constraints
+        :1023-1060; the blend reuses postprocess.apply_ik_constraints).
+        World targets transform by the inverse aligning transform — a
+        y-rotation + ground translation, so NaN (unconstrained) y
+        components survive the transform exactly and are filled from the
+        joint's current position inside the solver."""
+        from ..ops import align as align_ops
+        from ..ops import quat as quat_ops
+        from . import postprocess
+
+        skel = self.graph.skeleton
+        if pose_buffer:
+            q_y, delta = align_ops.node_aligning_2d_transform(
+                jnp.asarray(pose_buffer[-1], jnp.float32),
+                jnp.asarray(frames[0], jnp.float32))
+            q_inv = quat_ops.conjugate(q_y)
+        else:
+            q_inv, delta = jnp.asarray([1.0, 0, 0, 0]), jnp.zeros(3)
+        iks = []
+        for joint, kf, position in resolved_kf:
+            if position is None or joint not in skel.node_names:
+                continue
+            p = np.asarray(position, np.float64)
+            nan = np.isnan(p)
+            w = np.where(nan, 0.0, p)
+            local = np.asarray(quat_ops.rotate_vec(
+                q_inv, jnp.asarray(w, jnp.float32) - delta), np.float64)
+            local[nan] = np.nan
+            iks.append(postprocess.IKConstraint(frame_idx=kf, joint=joint,
+                                                position=local))
+        if not iks:
+            return frames
+        window = min(self.settings.blend_window * 2, len(frames))
+        return postprocess.apply_ik_constraints(
+            skel, np.asarray(frames, np.float32), iks,
+            interpolation_window=window,
+            n_iters=self.settings.n_max_ik_iter)
 
     # -- look-at / spine edits (reference :795-815 + apply_ik_constraints
     #    :1023-1060) ----------------------------------------------------

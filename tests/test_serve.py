@@ -209,6 +209,35 @@ def test_action_sequence_plays_non_walk_action_with_frame_constraints():
     assert seen[("pickRight", "reach")][0]["joint"] == "Head"
 
 
+def test_snap_keyframe_constraints_hits_target(graph):
+    """The streaming IK pass (reference apply_ik_constraints :1023-1060)
+    moves the constrained joint to the world target at the keyframe and
+    blends the edit into the surrounding window."""
+    from morphablegraphs_tpu.models.skeleton import fk_positions
+    import jax.numpy as jnp
+
+    skel = graph.skeleton
+    p = MGStatePlanner(graph)
+    frames = _frames(20)
+    head = skel.index_of("Head")
+    kf = 10
+    before = np.asarray(fk_positions(skel, jnp.asarray(frames[kf])))[head]
+    target = before + np.array([4.0, np.nan, -3.0])
+    out = p._snap_keyframe_constraints(frames, None,
+                                       [("Head", kf, target)])
+    after = np.asarray(fk_positions(skel, jnp.asarray(out[kf])))[head]
+    err_before = np.linalg.norm((before - target)[[0, 2]])
+    err_after = np.linalg.norm((after - target)[[0, 2]])
+    assert err_after < 0.3 * err_before, (err_before, err_after)
+    # root untouched; frames outside the blend window untouched
+    np.testing.assert_allclose(out[:, :3], frames[:, :3], atol=1e-6)
+    # no-op cases: no position, unknown joint
+    same = p._snap_keyframe_constraints(frames, None,
+                                        [("Head", kf, None),
+                                         ("NoJoint", kf, target)])
+    np.testing.assert_allclose(same, frames, atol=0)
+
+
 def test_action_node_queue_cycles():
     """Cyclic actions expand cycle_start/cycle_node/cycle_end n_cycles
     times (reference generate_action_node_queue_with_cycles :446-464)."""
