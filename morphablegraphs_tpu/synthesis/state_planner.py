@@ -226,6 +226,8 @@ class MGStatePlanner:
                 weight=self.settings.position_constraint_weight)
             slot += 1
         resolved_kf = []
+        step_events: dict = {}
+        hold_frames: set = set()
         for c in keyframe_constraints or []:
             if slot >= compiled.MAX_KF:
                 break
@@ -243,6 +245,13 @@ class MGStatePlanner:
                 position=c.get("position"), quat_wxyz=c.get("orientation"),
                 weight=float(c.get("weight", 1.0)))
             resolved_kf.append((c["joint"], int(kf), c.get("position")))
+            # engine-facing metadata (reference generate_constrained_frames
+            # :528-535): keyframe events grouped by frame, hold flags
+            if c.get("keyframeEvents"):
+                step_events.setdefault(int(kf), []).extend(
+                    c["keyframeEvents"])
+            if c.get("holdFrame"):
+                hold_frames.add(int(kf))
             slot += 1
         if target_dir is not None:
             sc = compiled.set_direction_constraint(
@@ -297,7 +306,9 @@ class MGStatePlanner:
             # reference ignore_idle_rotation)
             return self.state_queue.generate_idle_state(
                 frames, pose_buffer, node_key=node_key, ignore_rotation=True)
-        return self.state_queue.add_state(node_key, node_type, frames, pose_buffer)
+        return self.state_queue.add_state(node_key, node_type, frames,
+                                          pose_buffer, events=step_events,
+                                          hold_frames=sorted(hold_frames))
 
     # -- upper-body gesture overlay (reference :568-604 + :817-828) ------
     def generate_upper_body_state(self, gesture_desc):

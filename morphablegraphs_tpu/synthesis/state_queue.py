@@ -42,12 +42,18 @@ class MotionState:
 
 @dataclasses.dataclass
 class StateQueueEntry:
-    """reference mg_state_queue.py:48-58."""
+    """reference mg_state_queue.py:48-58.
+
+    events / hold_frames carry engine-facing metadata from streaming frame
+    constraints (reference generate_constrained_frames :528-535: keyframe
+    events grouped by frame index, plus the frames a held joint pins)."""
 
     node_key: tuple
     node_type: str
     state: MotionState
     pose_buffer: List[np.ndarray]
+    events: dict = dataclasses.field(default_factory=dict)
+    hold_frames: tuple = ()
 
 
 class MGStateQueue:
@@ -118,12 +124,15 @@ class MGStateQueue:
 
     def add_state(self, node_key: tuple, node_type: str, frames: np.ndarray,
                   pose_buffer: Optional[List[np.ndarray]],
-                  ignore_rotation: bool = False):
+                  ignore_rotation: bool = False, events: Optional[dict] = None,
+                  hold_frames: tuple = ()):
         state = self.build_state(frames, pose_buffer,
                                  ignore_rotation=ignore_rotation)
         new_buffer = (list(pose_buffer) if pose_buffer else []) + list(state.frames)
         new_buffer = new_buffer[-self.buffer_size:]
-        entry = StateQueueEntry(node_key, node_type, state, new_buffer)
+        entry = StateQueueEntry(node_key, node_type, state, new_buffer,
+                                events=dict(events or {}),
+                                hold_frames=tuple(hold_frames))
         self.append(entry)
         return entry
 

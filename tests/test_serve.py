@@ -196,17 +196,27 @@ def test_action_sequence_plays_non_walk_action_with_frame_constraints():
         {"action": "pickRight",
          "frame_constraints": [{"node": "reach", "joint": "Head",
                                 "position": [10.0, np.nan, 40.0],
-                                "keyframeLabel": "start_contact"}]}])
-    played = []
+                                "keyframeLabel": "start_contact",
+                                "keyframeEvents": [{"event": "attach",
+                                                    "parameters": {}}],
+                                "holdFrame": True}]}])
+    played, entries = [], {}
     while True:
         e = p.state_queue.pop()
         if e is None:
             break
         assert not np.any(np.isnan(e.state.frames))
         played.append(e.node_key)
+        entries[e.node_key] = e
     assert ("pickRight", "reach") in played, played
     assert ("pickRight", "reach") in seen
     assert seen[("pickRight", "reach")][0]["joint"] == "Head"
+    # events + hold frames ride the state entry (reference
+    # generate_constrained_frames :528-535)
+    pick = entries[("pickRight", "reach")]
+    (kf, events), = pick.events.items()
+    assert events[0]["event"] == "attach"
+    assert pick.hold_frames == (kf,)
 
 
 def test_snap_keyframe_constraints_hits_target(graph):
