@@ -972,6 +972,45 @@ class MGStatePlanner:
             node_constraints.setdefault(key, []).append(c)
         return node_constraints
 
+    def resolve_engine_frame_constraints(self, action: str,
+                                         descs: List[dict]) -> List[dict]:
+        """Engine (Unity) constraint descs -> planner frame-constraint
+        dicts (reference ConstraintBuilder.generate_frame_constraint
+        :288-345): the desc names a keyframe LABEL; the action definition's
+        constraint_slots[label] resolves the target node (per-cycle via
+        cycle_nodes) and a default joint; coordinates convert handedness
+        like server_builder.parse_unity_constraints (x negated; orientation
+        w,x negated)."""
+        slots = self.graph.action_definitions.get(action, {}).get(
+            "constraint_slots", {})
+        out = []
+        for d in descs:
+            label = d.get("keyframe", d.get("keyframeLabel"))
+            slot = slots.get(label, {})
+            cycle = int(d.get("cycle", 0))
+            if "cycle_nodes" in slot:
+                nodes = slot["cycle_nodes"]
+                mp = nodes[cycle] if cycle < len(nodes) else nodes[-1]
+            else:
+                mp = slot.get("node", d.get("node"))
+            joint = d.get("joint") or slot.get("joint")
+            pos = d.get("position")
+            if isinstance(pos, dict):
+                pos = [-float(pos["x"]), float(pos["y"]), float(pos["z"])]
+            ori = (d.get("orientation")
+                   if d.get("constrainOrientation", "orientation" in d)
+                   else None)
+            if isinstance(ori, dict):
+                ori = [-float(ori["w"]), -float(ori["x"]),
+                       float(ori["y"]), float(ori["z"])]
+            out.append({"node": mp, "cycle": cycle, "joint": joint,
+                        "position": pos, "orientation": ori,
+                        "keyframeLabel": label,
+                        "holdFrame": bool(d.get("hold",
+                                                d.get("holdFrame", False))),
+                        "keyframeEvents": d.get("keyframeEvents", [])})
+        return out
+
     def generate_action_motion(self, action_desc: dict, pose_buffer=None):
         """Play a non-walk action's node sequence with per-node frame
         constraints (reference generate_action_motion :384-408 +
@@ -989,8 +1028,13 @@ class MGStatePlanner:
         n_cycles = int(a.get("nCycles", 0))
         queue = self.generate_action_node_queue(action, start_key, start_type,
                                                 n_cycles)
-        node_constraints = self.map_frame_constraints_to_nodes(
-            a.get("frameConstraints"))
+        fcs = a.get("frameConstraints") or []
+        if any("node" not in c or isinstance(c.get("position"), dict)
+               for c in fcs):
+            # engine-format descs name a keyframe label only; resolve them
+            # through the action definition's constraint_slots
+            fcs = self.resolve_engine_frame_constraints(action, fcs)
+        node_constraints = self.map_frame_constraints_to_nodes(fcs)
         body_targets = None
         if "lookAtTarget" in a or "spineTarget" in a:
             body_targets = (a.get("lookAtTarget"), a.get("spineTarget"))

@@ -248,6 +248,34 @@ def test_snap_keyframe_constraints_hits_target(graph):
     np.testing.assert_allclose(same, frames, atol=0)
 
 
+def test_engine_frame_constraints_resolve_through_constraint_slots():
+    """Engine (Unity) constraint descs name only a keyframe label; the
+    action definition's constraint_slots resolve node + default joint, and
+    coordinates flip handedness (reference generate_frame_constraint
+    :288-345)."""
+    from morphablegraphs_tpu.utils.synthetic import make_multi_action_graph_dict
+
+    g = graph_mod.build_graph_from_dict(make_multi_action_graph_dict())
+    skel, _ = sk.load_bvh(TEST_BVH)
+    g.skeleton = skel
+    g.action_definitions = {
+        "screw": {"constraint_slots": {
+            "start_contact": {"cycle_nodes": ["a", "b"], "joint": "Head"}}}}
+    p = MGStatePlanner(g)
+    out = p.resolve_engine_frame_constraints("screw", [
+        {"keyframe": "start_contact", "cycle": 1,
+         "position": {"x": 1.0, "y": 2.0, "z": 3.0},
+         "orientation": {"w": 1.0, "x": 0.0, "y": 0.0, "z": 0.0},
+         "constrainOrientation": True, "hold": True,
+         "keyframeEvents": [{"event": "attach"}]},
+        {"keyframe": "start_contact", "cycle": 5, "position": [0, 0, 0]}])
+    assert out[0]["node"] == "b" and out[0]["joint"] == "Head"
+    assert out[0]["position"] == [-1.0, 2.0, 3.0]
+    assert out[0]["orientation"] == [-1.0, -0.0, 0.0, 0.0]
+    assert out[0]["holdFrame"] and out[0]["keyframeEvents"]
+    assert out[1]["node"] == "b"  # cycle beyond list clamps to last
+
+
 def test_action_node_queue_cycles():
     """Cyclic actions expand cycle_start/cycle_node/cycle_end n_cycles
     times (reference generate_action_node_queue_with_cycles :446-464)."""
