@@ -34,8 +34,9 @@ UPPER_BODY_JOINTS = ("Spine", "Spine1", "Spine2", "Neck", "Head",
 
 @dataclasses.dataclass
 class MGStatePlanningSettings:
-    """Tunable subset of the reference's ~45 settings
-    (mg_state_planner.py:191-235)."""
+    """The reference's planner settings (mg_state_planner.py:191-235).
+    Every behavior-relevant knob is implemented or explicitly dispositioned
+    — see PARITY.md's per-setting table for the full 44-knob accounting."""
 
     blend_window: int = 20
     buffer_size: int = 100  # reference default (look_back_range reads it)
