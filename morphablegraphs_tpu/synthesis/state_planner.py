@@ -241,6 +241,17 @@ class MGStatePlanner:
                     if group is not None else None)
                 if kf is None:
                     kf = prim.n_canonical_frames - 1
+            rel = c.get("relativeJoint", c.get("relative_joint_name"))
+            if rel and rel in skel.node_names:
+                # keepOffsetBetweenBones: constrain the joint at an offset
+                # in the relative bone's space via the rt slot (reference
+                # :339 relativeBoneName -> RelativeTransformConstraint,
+                # constraint_builder.py:160)
+                sc = compiled.set_relative_transform_constraint(
+                    sc, skel, c["joint"], rel,
+                    c.get("position") or (0.0, 0.0, 0.0), kf,
+                    weight=float(c.get("weight", 1.0)))
+                continue
             sc = compiled.set_keyframe_constraint(
                 sc, slot, skel, c["joint"], kf,
                 position=c.get("position"), quat_wxyz=c.get("orientation"),
@@ -1009,7 +1020,11 @@ class MGStatePlanner:
                         "keyframeLabel": label,
                         "holdFrame": bool(d.get("hold",
                                                 d.get("holdFrame", False))),
-                        "keyframeEvents": d.get("keyframeEvents", [])})
+                        "keyframeEvents": d.get("keyframeEvents", []),
+                        # keepOffsetBetweenBones (reference :338-339)
+                        "relativeJoint": (d.get("relativeBoneName")
+                                          if d.get("keepOffsetBetweenBones")
+                                          else d.get("relativeJoint"))})
         return out
 
     def generate_action_motion(self, action_desc: dict, pose_buffer=None):

@@ -276,6 +276,32 @@ def test_engine_frame_constraints_resolve_through_constraint_slots():
     assert out[1]["node"] == "b"  # cycle beyond list clamps to last
 
 
+def test_relative_frame_constraint_uses_rt_slot(graph, monkeypatch):
+    """A frame constraint with a relative joint fills the relative-transform
+    slot instead of a keyframe slot (reference :339 relativeBoneName ->
+    RelativeTransformConstraint, constraint_builder.py:160)."""
+    from morphablegraphs_tpu.constraints import compiled as cmp
+    from morphablegraphs_tpu.synthesis import state_planner as sp_mod
+
+    p = MGStatePlanner(graph, MGStatePlanningSettings(n_samples=6))
+    calls = {}
+    orig = cmp.set_relative_transform_constraint
+
+    def spy(sc, skel, joint, parent, offset, kf, weight=1.0):
+        calls["args"] = (joint, parent, tuple(np.asarray(offset)))
+        return orig(sc, skel, joint, parent, offset, kf, weight=weight)
+
+    monkeypatch.setattr(sp_mod.compiled,
+                        "set_relative_transform_constraint", spy)
+    entry = p.generate_step(
+        ("walk", "leftStance"), None,
+        keyframe_constraints=[{"joint": "Head", "relativeJoint": "Spine",
+                               "position": [0.0, 5.0, 0.0],
+                               "keyframe": 3}])
+    assert not np.any(np.isnan(entry.state.frames))
+    assert calls["args"] == ("Head", "Spine", (0.0, 5.0, 0.0))
+
+
 def test_action_node_queue_cycles():
     """Cyclic actions expand cycle_start/cycle_node/cycle_end n_cycles
     times (reference generate_action_node_queue_with_cycles :446-464)."""
