@@ -22,12 +22,17 @@ from . import grounding
 @dataclasses.dataclass
 class IKConstraint:
     """Positional end-effector constraint at an output frame (reference
-    graph_walk._create_ik_constraints entry)."""
+    graph_walk._create_ik_constraints entry).
+
+    pin_joints: joints to hold at their CURRENT positions during the solve
+    (reference keepMirrorBoneStatic, constraint_builder.py:341-343: a
+    dynamic constraint keeps the mirror joint where it was)."""
 
     frame_idx: int
     joint: str
     position: np.ndarray  # [3] (NaN components ignored)
     look_at: bool = False
+    pin_joints: tuple = ()
 
 
 def create_ik_constraints(graph, steps, constraint_specs) -> List[IKConstraint]:
@@ -75,6 +80,15 @@ def apply_ik_constraints(skeleton: Skeleton, frames: np.ndarray,
         nodes[0] = skeleton.index_of(c.joint)
         targets[0] = target
         mask[0] = 1.0
+        slot = 1
+        for pin in c.pin_joints:
+            if pin not in skeleton.node_names or slot >= len(nodes):
+                continue
+            pin_idx = skeleton.index_of(pin)
+            nodes[slot] = pin_idx
+            targets[slot] = cur[pin_idx]  # hold at the current position
+            mask[slot] = 1.0
+            slot += 1
         # allow all joints except the root to move
         joint_mask = np.ones(skeleton.n_animated, np.float32)
         joint_mask[0] = 0.0

@@ -256,7 +256,8 @@ class MGStatePlanner:
                 sc, slot, skel, c["joint"], kf,
                 position=c.get("position"), quat_wxyz=c.get("orientation"),
                 weight=float(c.get("weight", 1.0)))
-            resolved_kf.append((c["joint"], int(kf), c.get("position")))
+            resolved_kf.append((c["joint"], int(kf), c.get("position"),
+                                c.get("mirrorJoint")))
             # engine-facing metadata (reference generate_constrained_frames
             # :528-535): keyframe events grouped by frame, hold flags
             if c.get("keyframeEvents"):
@@ -447,7 +448,8 @@ class MGStatePlanner:
         else:
             q_inv, delta = jnp.asarray([1.0, 0, 0, 0]), jnp.zeros(3)
         iks = []
-        for joint, kf, position in resolved_kf:
+        for joint, kf, position, *rest in resolved_kf:
+            mirror = rest[0] if rest else None
             if position is None or joint not in skel.node_names:
                 continue
             p = np.asarray(position, np.float64)
@@ -456,8 +458,10 @@ class MGStatePlanner:
             local = np.asarray(quat_ops.rotate_vec(
                 q_inv, jnp.asarray(w, jnp.float32) - delta), np.float64)
             local[nan] = np.nan
+            pins = (mirror,) if mirror else ()
             iks.append(postprocess.IKConstraint(frame_idx=kf, joint=joint,
-                                                position=local))
+                                                position=local,
+                                                pin_joints=pins))
         if not iks:
             return frames
         window = min(self.settings.blend_window * 2, len(frames))
@@ -993,6 +997,8 @@ class MGStatePlanner:
         cycle_nodes) and a default joint; coordinates convert handedness
         like server_builder.parse_unity_constraints (x negated; orientation
         w,x negated)."""
+        from ..models import skeleton_models
+
         slots = self.graph.action_definitions.get(action, {}).get(
             "constraint_slots", {})
         out = []
@@ -1024,7 +1030,13 @@ class MGStatePlanner:
                         # keepOffsetBetweenBones (reference :338-339)
                         "relativeJoint": (d.get("relativeBoneName")
                                           if d.get("keepOffsetBetweenBones")
-                                          else d.get("relativeJoint"))})
+                                          else d.get("relativeJoint")),
+                        # keepMirrorBoneStatic (reference :340-343): pin the
+                        # mirror joint at its current position during IK
+                        "mirrorJoint": (
+                            skeleton_models.STANDARD_MIRROR_MAP.get(joint)
+                            if d.get("keepMirrorBoneStatic")
+                            else d.get("mirrorJoint"))})
         return out
 
     def generate_action_motion(self, action_desc: dict, pose_buffer=None):
@@ -1062,6 +1074,14 @@ class MGStatePlanner:
         for node_key, node_type in queue:
             if self.stop_thread:
                 break
+            if node_key not in self.graph.nodes:
+                # an action definition may reference nodes a trimmed graph
+                # does not carry; skip instead of KeyError-ing mid-stream
+                from ..utils import log
+                log.write_message_to_log(
+                    f"action node {node_key} not in graph; skipped",
+                    log.LOG_MODE_ERROR)
+                continue
             constraints = node_constraints.get((node_key[1], cycle_count), [])
             # look-at constraints aim the head at the frame-constraint
             # target (reference :438-442)

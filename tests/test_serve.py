@@ -276,6 +276,38 @@ def test_engine_frame_constraints_resolve_through_constraint_slots():
     assert out[1]["node"] == "b"  # cycle beyond list clamps to last
 
 
+def test_ik_snap_pins_mirror_joint():
+    """keepMirrorBoneStatic (reference constraint_builder.py:340-343): the
+    mirror joint holds its current position while the IK snap moves the
+    constrained joint."""
+    from morphablegraphs_tpu.models.skeleton import fk_positions
+    from morphablegraphs_tpu.utils.synthetic import (
+        REF_BVH, make_reference_scale_graph_dict)
+    import jax.numpy as jnp
+
+    g = graph_mod.build_graph_from_dict(make_reference_scale_graph_dict())
+    skel, _ = sk.load_bvh(REF_BVH)
+    g.skeleton = skel
+    p = MGStatePlanner(g)
+    frames = np.zeros((16, skel.n_frame_params), np.float32)
+    frames[:, 1] = 90.0
+    for j in range(skel.n_animated):
+        frames[:, 3 + 4 * j] = 1.0
+    kf = 8
+    rh, lh = skel.index_of("RightHand"), skel.index_of("LeftHand")
+    before = np.asarray(fk_positions(skel, jnp.asarray(frames[kf])))
+    target = before[rh] + np.array([6.0, -4.0, 5.0])
+    out = p._snap_keyframe_constraints(
+        frames, None, [("RightHand", kf, target, "LeftHand")])
+    after = np.asarray(fk_positions(skel, jnp.asarray(out[kf])))
+    # constrained hand moved toward the target...
+    assert (np.linalg.norm(after[rh] - target)
+            < 0.5 * np.linalg.norm(before[rh] - target))
+    # ...while the pinned mirror hand stayed close to where it was
+    assert np.linalg.norm(after[lh] - before[lh]) < 1.5, (
+        np.linalg.norm(after[lh] - before[lh]))
+
+
 def test_relative_frame_constraint_uses_rt_slot(graph, monkeypatch):
     """A frame constraint with a relative joint fills the relative-transform
     slot instead of a keyframe slot (reference :339 relativeBoneName ->
