@@ -53,21 +53,29 @@ def solve_ik(skel: Skeleton, frame: jax.Array,
              target_nodes: jax.Array, target_positions: jax.Array,
              constraint_mask: jax.Array, joint_mask: jax.Array = None,
              n_iters: int = 10, damping: float = 0.5,
-             prior_weight: float = 0.3):
+             prior_weight: float = 0.3, target_offsets: jax.Array = None):
     """Damped least-squares IK on one frame.
 
     target_nodes: [C] skeleton node indices; target_positions: [C, 3];
     constraint_mask: [C] 0/1; joint_mask: [J] which joints may move
-    (default: all except none).  Returns the edited frame.
+    (default: all except none); target_offsets: optional [C, 3] LOCAL
+    offsets in each constrained node's frame — the constraint then targets
+    the offset point `pos + R_node @ offset` (a tool tip) instead of the
+    joint origin (reference tool offsets, constraint_builder.py:242-280).
+    Returns the edited frame.
     """
     j = skel.n_animated
     if joint_mask is None:
         joint_mask = jnp.ones(j)
+    if target_offsets is None:
+        target_offsets = jnp.zeros_like(target_positions)
 
     def residuals(deltas):
         f = _apply_deltas(skel, frame, deltas.reshape(j, 3), joint_mask)
-        pos, _ = fk_global(skel, f)
-        diff = (pos[target_nodes] - target_positions) * constraint_mask[:, None]
+        pos, ori = fk_global(skel, f)
+        tip = pos[target_nodes] + quat.rotate_vec(
+            quat.normalize(ori[target_nodes]), target_offsets)
+        diff = (tip - target_positions) * constraint_mask[:, None]
         return diff.reshape(-1)
 
     def body(deltas, _):

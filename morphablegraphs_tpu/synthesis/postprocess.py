@@ -33,6 +33,10 @@ class IKConstraint:
     position: np.ndarray  # [3] (NaN components ignored)
     look_at: bool = False
     pin_joints: tuple = ()
+    # local tool offset in the joint's frame: the target applies to the
+    # tool tip pos + R_joint @ offset (reference tool offsets,
+    # constraint_builder.py:242-280)
+    offset: np.ndarray = None
 
 
 def create_ik_constraints(graph, steps, constraint_specs) -> List[IKConstraint]:
@@ -68,18 +72,28 @@ def apply_ik_constraints(skeleton: Skeleton, frames: np.ndarray,
         fi = int(np.clip(c.frame_idx, 0, len(frames) - 1))
         target = np.where(np.isnan(c.position), 0.0, c.position)
         mask_dims = ~np.isnan(c.position)
-        # fill unconstrained dims with current position
-        from ..models.skeleton import fk_positions
-        cur = np.asarray(fk_positions(skeleton, jnp.asarray(frames[fi], jnp.float32)))
-        cur_p = cur[skeleton.index_of(c.joint)]
-        target = np.where(mask_dims, target, cur_p)
+        from ..models.skeleton import fk_global
+        from ..ops import quat as quat_ops
+        pos_j, ori_j = fk_global(skeleton, jnp.asarray(frames[fi],
+                                                       jnp.float32))
+        cur = np.asarray(pos_j)
+        node_idx = skeleton.index_of(c.joint)
+        offset = (np.zeros(3, np.float32) if c.offset is None
+                  else np.asarray(c.offset, np.float32))
+        # fill unconstrained dims with the current TIP position (joint
+        # origin when there is no tool offset)
+        cur_tip = cur[node_idx] + np.asarray(quat_ops.rotate_vec(
+            quat_ops.normalize(ori_j[node_idx]), jnp.asarray(offset)))
+        target = np.where(mask_dims, target, cur_tip)
 
         nodes = np.zeros(ik_ops.MAX_IK_CONSTRAINTS, np.int32)
         targets = np.zeros((ik_ops.MAX_IK_CONSTRAINTS, 3), np.float32)
         mask = np.zeros(ik_ops.MAX_IK_CONSTRAINTS, np.float32)
-        nodes[0] = skeleton.index_of(c.joint)
+        offsets = np.zeros((ik_ops.MAX_IK_CONSTRAINTS, 3), np.float32)
+        nodes[0] = node_idx
         targets[0] = target
         mask[0] = 1.0
+        offsets[0] = offset
         slot = 1
         for pin in c.pin_joints:
             if pin not in skeleton.node_names or slot >= len(nodes):
@@ -95,7 +109,8 @@ def apply_ik_constraints(skeleton: Skeleton, frames: np.ndarray,
         edited = np.asarray(ik_ops.solve_ik(
             skeleton, jnp.asarray(frames[fi], jnp.float32),
             jnp.asarray(nodes), jnp.asarray(targets), jnp.asarray(mask),
-            jnp.asarray(joint_mask), n_iters=n_iters))
+            jnp.asarray(joint_mask), n_iters=n_iters,
+            target_offsets=jnp.asarray(offsets)))
         delta = edited - frames[fi]
         w = interpolation_window // 2
         for off in range(-w, w + 1):

@@ -257,7 +257,7 @@ class MGStatePlanner:
                 position=c.get("position"), quat_wxyz=c.get("orientation"),
                 weight=float(c.get("weight", 1.0)))
             resolved_kf.append((c["joint"], int(kf), c.get("position"),
-                                c.get("mirrorJoint")))
+                                c.get("mirrorJoint"), c.get("offset")))
             # engine-facing metadata (reference generate_constrained_frames
             # :528-535): keyframe events grouped by frame, hold flags
             if c.get("keyframeEvents"):
@@ -449,7 +449,8 @@ class MGStatePlanner:
             q_inv, delta = jnp.asarray([1.0, 0, 0, 0]), jnp.zeros(3)
         iks = []
         for joint, kf, position, *rest in resolved_kf:
-            mirror = rest[0] if rest else None
+            mirror = rest[0] if len(rest) > 0 else None
+            offset = rest[1] if len(rest) > 1 else None
             if position is None or joint not in skel.node_names:
                 continue
             p = np.asarray(position, np.float64)
@@ -461,7 +462,8 @@ class MGStatePlanner:
             pins = (mirror,) if mirror else ()
             iks.append(postprocess.IKConstraint(frame_idx=kf, joint=joint,
                                                 position=local,
-                                                pin_joints=pins))
+                                                pin_joints=pins,
+                                                offset=offset))
         if not iks:
             return frames
         window = min(self.settings.blend_window * 2, len(frames))
@@ -1024,6 +1026,7 @@ class MGStatePlanner:
             out.append({"node": mp, "cycle": cycle, "joint": joint,
                         "position": pos, "orientation": ori,
                         "keyframeLabel": label,
+                        "offset": self._resolve_tool_offset(d, joint),
                         "holdFrame": bool(d.get("hold",
                                                 d.get("holdFrame", False))),
                         "keyframeEvents": d.get("keyframeEvents", []),
@@ -1038,6 +1041,32 @@ class MGStatePlanner:
                             if d.get("keepMirrorBoneStatic")
                             else d.get("mirrorJoint"))})
         return out
+
+    def _resolve_tool_offset(self, d: dict, joint: str):
+        """Local tool offset for an engine constraint desc (reference
+        extract_tool_offset, constraint_builder.py:242-260): the declared
+        `offset` applies when `applyOffset` is set; when the desc also
+        carries `toolEndPoint` + `currentPose`, the offset is recomputed as
+        the tool end point expressed in the joint's local frame at the
+        engine's current pose, so the TOOL TIP (not the joint origin) hits
+        the constraint target."""
+        if not d.get("applyOffset") or d.get("offset") is None:
+            return None
+        offset = [float(v) for v in d["offset"]]
+        tp, pose = d.get("toolEndPoint"), d.get("currentPose")
+        skel = self.graph.skeleton
+        if tp is not None and pose is not None and joint in skel.node_names:
+            from ..constraints.server_builder import unity_frame_to_mg_frame
+            from ..models.skeleton import fk_global
+            from ..ops import quat as quat_ops
+            frame = unity_frame_to_mg_frame(skel, pose)
+            pos, ori = fk_global(skel, jnp.asarray(frame, jnp.float32))
+            ni = skel.index_of(joint)
+            tp_mg = jnp.asarray([-float(tp[0]), float(tp[1]), float(tp[2])])
+            q = quat_ops.normalize(ori[ni])
+            offset = np.asarray(quat_ops.rotate_vec(
+                quat_ops.conjugate(q), tp_mg - pos[ni]), np.float64).tolist()
+        return offset
 
     def generate_action_motion(self, action_desc: dict, pose_buffer=None):
         """Play a non-walk action's node sequence with per-node frame

@@ -308,6 +308,64 @@ def test_ik_snap_pins_mirror_joint():
         np.linalg.norm(after[lh] - before[lh]))
 
 
+def test_ik_snap_with_tool_offset_hits_tip(graph):
+    """With a local tool offset the IK snap puts pos + R_joint @ offset
+    (the tool tip) on the target, not the joint origin (reference
+    extract_tool_offset, constraint_builder.py:242-280)."""
+    from morphablegraphs_tpu.models.skeleton import fk_global
+    from morphablegraphs_tpu.ops import quat as quat_ops
+    import jax.numpy as jnp
+
+    skel = graph.skeleton
+    p = MGStatePlanner(graph)
+    frames = _frames(20)
+    kf, joint = 10, "Head"
+    ni = skel.index_of(joint)
+    offset = np.array([0.0, 8.0, 0.0])
+    pos0, ori0 = fk_global(skel, jnp.asarray(frames[kf]))
+    tip0 = np.asarray(pos0[ni]) + np.asarray(
+        quat_ops.rotate_vec(quat_ops.normalize(ori0[ni]),
+                            jnp.asarray(offset)))
+    target = tip0 + np.array([4.0, np.nan, -3.0])
+    out = p._snap_keyframe_constraints(
+        frames, None, [(joint, kf, target, None, offset)])
+    pos1, ori1 = fk_global(skel, jnp.asarray(out[kf]))
+    tip1 = np.asarray(pos1[ni]) + np.asarray(
+        quat_ops.rotate_vec(quat_ops.normalize(ori1[ni]),
+                            jnp.asarray(offset)))
+    err0 = np.linalg.norm((tip0 - target)[[0, 2]])
+    err1 = np.linalg.norm((tip1 - target)[[0, 2]])
+    assert err1 < 0.3 * err0, (err0, err1)
+
+
+def test_resolve_tool_offset_from_current_pose(graph):
+    """toolEndPoint + currentPose overwrite the declared offset with the
+    tool end point expressed in the joint's local frame (reference
+    :248-260)."""
+    from morphablegraphs_tpu.constraints.server_builder import mg_frame_to_unity_frame
+    from morphablegraphs_tpu.models.skeleton import fk_global
+    from morphablegraphs_tpu.ops import quat as quat_ops
+    import jax.numpy as jnp
+
+    skel = graph.skeleton
+    p = MGStatePlanner(graph)
+    frame = _frames(1)[0]
+    unity = mg_frame_to_unity_frame(skel, frame)
+    pos, ori = fk_global(skel, jnp.asarray(frame))
+    ni = skel.index_of("Head")
+    # a world point 5 units above the head, in engine coordinates (x flip)
+    world = np.asarray(pos[ni]) + np.array([0.0, 5.0, 0.0])
+    desc = {"applyOffset": True, "offset": [1.0, 1.0, 1.0],
+            "toolEndPoint": [-world[0], world[1], world[2]],
+            "currentPose": unity}
+    off = p._resolve_tool_offset(desc, "Head")
+    back = np.asarray(quat_ops.rotate_vec(
+        quat_ops.normalize(ori[ni]), jnp.asarray(np.asarray(off))))
+    np.testing.assert_allclose(np.asarray(pos[ni]) + back, world, atol=1e-3)
+    # without applyOffset the declared offset is ignored
+    assert p._resolve_tool_offset({"offset": [1, 2, 3]}, "Head") is None
+
+
 def test_relative_frame_constraint_uses_rt_slot(graph, monkeypatch):
     """A frame constraint with a relative joint fills the relative-transform
     slot instead of a keyframe slot (reference :339 relativeBoneName ->
