@@ -60,11 +60,21 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def probe_tpu(attempts: int = 2, timeout_s: int = 120) -> bool:
+def probe_tpu(attempts: int | None = None, timeout_s: int | None = None) -> bool:
     """True when a subprocess can initialize the TPU backend and run one
     dispatch.  Bounded + retried: the axon plugin can either raise
     UNAVAILABLE (round-2 failure) or hang during init (round-3 session) —
-    neither may take the bench process down with it."""
+    neither may take the bench process down with it.
+
+    Budget is env-tunable (VERDICT r3 next-round #1: one 2x120s probe per
+    round loses the number to any outage window): MG_BENCH_PROBE_ATTEMPTS
+    (default 3) x MG_BENCH_PROBE_TIMEOUT seconds (default 120) with
+    exponential backoff — ~9 min worst case by default; raise attempts for
+    a long hunt (benchmarks/tpu_watch.py does the session-long hunting)."""
+    if attempts is None:
+        attempts = int(os.environ.get("MG_BENCH_PROBE_ATTEMPTS", "3"))
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("MG_BENCH_PROBE_TIMEOUT", "120"))
     for i in range(attempts):
         t0 = time.perf_counter()
         try:
@@ -82,7 +92,7 @@ def probe_tpu(attempts: int = 2, timeout_s: int = 120) -> bool:
             _log(f"# tpu probe attempt {i + 1}/{attempts} timed out "
                  f"({timeout_s}s): backend init hang")
         if i + 1 < attempts:
-            backoff = 10 * (i + 1)
+            backoff = min(30 * 2 ** i, 240)
             _log(f"# retrying tpu probe in {backoff}s")
             time.sleep(backoff)
     return False
@@ -362,6 +372,29 @@ def main() -> None:
     # mid-extras must never cost the round its recorded number
     print(json.dumps(out), flush=True)
 
+    # bank every REAL-TPU result to a dated artifact immediately (VERDICT
+    # r3 #1: a later crash must never lose a number measured in an open
+    # tunnel window); rewritten after extras so the A/B lines land too
+    snapshot_path = None
+    if on_tpu:
+        import datetime
+        stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y%m%dT%H%M%SZ")
+        here = os.path.dirname(os.path.abspath(__file__))
+        snapshot_path = os.path.join(here, "benchmarks", "results",
+                                     f"BENCH_TPU_{stamp}.json")
+        snap = {"utc": stamp, "config": config, "headline": out,
+                "lm_solve_preflight": os.environ.get("MG_LM_PALLAS_SOLVE"),
+                "extras": {}}
+        try:
+            os.makedirs(os.path.dirname(snapshot_path), exist_ok=True)
+            with open(snapshot_path, "w") as f:
+                json.dump(snap, f, indent=1)
+            _log(f"# snapshot: {snapshot_path}")
+        except OSError as e:
+            _log(f"# snapshot write failed: {e}")
+            snapshot_path = None
+
     # secondary numbers in the same driver artifact (the tail captures
     # stderr): the end-effector config — the heaviest constraint semantics
     # — and the frozen-correspondence LM A/B that decides its default.
@@ -377,9 +410,13 @@ def main() -> None:
                 return
             try:
                 r = run_config(**kw)
-                _log("# extras " + json.dumps({
-                    f"{name}_frames_per_sec": round(r["fps"], 1),
-                    f"{name}_vs_baseline": round(r["fps"] / 10000.0, 3)}))
+                rec = {f"{name}_frames_per_sec": round(r["fps"], 1),
+                       f"{name}_vs_baseline": round(r["fps"] / 10000.0, 3)}
+                _log("# extras " + json.dumps(rec))
+                if snapshot_path is not None:
+                    snap["extras"][name] = rec
+                    with open(snapshot_path, "w") as f:
+                        json.dump(snap, f, indent=1)
             except Exception as e:  # never take down the run
                 _log(f"# {name} extras run failed: "
                      f"{type(e).__name__}: {e}")
