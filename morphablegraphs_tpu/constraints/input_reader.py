@@ -86,9 +86,15 @@ def _tf_point(p, do_transform: bool, scale: float = 1.0) -> np.ndarray:
 
 def read_input(mg_input: dict, activate_coordinate_transform: bool = True,
                scale_factor: float = 1.0, activate_joint_mapping: bool = False,
-               center_constraints: bool = False) -> MGInput:
+               center_constraints: bool = False,
+               control_point_filter_threshold: float = 0.0) -> MGInput:
     """Parse the constraint input dict (reference
-    mg_input_format_reader.py:56-101, :158-185)."""
+    mg_input_format_reader.py:56-101, :158-185).
+
+    control_point_filter_threshold drops near-duplicate trajectory control
+    points (reference trajectory_following_settings key, consumed at
+    action_constraints_builder.py:68,:284); a 1e-3 floor always applies so
+    coincident points cannot degenerate the Catmull-Rom segments."""
     if activate_joint_mapping:
         # Whole-JSON string replace is EXACT reference behavior
         # (_apply_joint_mapping_on_string, mg_input_format_reader.py:114-117
@@ -140,7 +146,9 @@ def read_input(mg_input: dict, activate_coordinate_transform: bool = True,
             if "trajectoryConstraints" in joint_entry:
                 traj = _parse_trajectory(
                     joint, joint_entry["trajectoryConstraints"],
-                    activate_coordinate_transform, scale_factor, offset)
+                    activate_coordinate_transform, scale_factor, offset,
+                    distance_threshold=max(
+                        control_point_filter_threshold, 1e-3))
                 if traj is not None:
                     action.trajectories.append(traj)
         for ann in entry.get("keyframeAnnotations", []):

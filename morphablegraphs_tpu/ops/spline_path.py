@@ -190,14 +190,22 @@ def point_and_dir_at_arc_length(sp: PathSpline, arc: jax.Array):
     return pos, dir2d
 
 
-@functools.partial(jax.jit, static_argnames=("n_refine",))
+@functools.partial(jax.jit, static_argnames=("n_refine", "bounded"))
 def closest_point(sp: PathSpline, point: jax.Array,
-                  min_arc_length: jax.Array = 0.0, n_refine: int = 8):
+                  min_arc_length: jax.Array = 0.0, n_refine: int = 8,
+                  max_arc_length: jax.Array = 0.0, bounded: bool = False):
     """Closest point on the spline at arc length >= min_arc_length.
 
     Table argmin + fixed-iteration ternary refinement between the two
     neighbouring grid cells (replaces the reference's SegmentList recursion /
     scipy minimize, parameterized_spline.py:275-324).
+
+    With bounded=True the search window is additionally capped at
+    max_arc_length — the reference `find_closest_point(point, min, max)`
+    call shape, where the travelled-arc update bounds the window to
+    min + look_ahead_distance so a self-approaching path cannot jump the
+    character far ahead (reference motion_generator.py:354-363
+    _update_travelled_arc_length + graph_walk_planner.py:270-273).
 
     Unconstrained dims are excluded from the distance (reference
     trajectory constraints ignore None components).
@@ -207,6 +215,8 @@ def closest_point(sp: PathSpline, point: jax.Array,
     mask_dim = jnp.where(sp.unconstrained, 0.0, 1.0)
     d2 = jnp.sum(((sp.table_points - point) * mask_dim) ** 2, axis=-1)
     valid = sp.table_arc >= jnp.asarray(min_arc_length) - 1e-6
+    if bounded:
+        valid &= sp.table_arc <= jnp.asarray(max_arc_length) + 1e-6
     d2 = jnp.where(valid, d2, jnp.inf)
     # min_arc_length beyond the path: snap to the END (reference
     # parameterized_spline.py:287 special-case), not argmin-of-all-inf = 0
@@ -231,15 +241,44 @@ def closest_point(sp: PathSpline, point: jax.Array,
     u_best = 0.5 * (lo + hi)
     arc = _arc_at_u(sp, u_best)
     # the refinement searched [i-1, i+1] around the masked argmin, so on a
-    # self-approaching path it can land one cell BELOW min_arc_length; the
-    # advancing guarantee must hold (travelled arc never regresses)
+    # self-approaching path it can land one cell BELOW min_arc_length (or,
+    # bounded, one cell above max); the advancing guarantee must hold
+    # (travelled arc never regresses, and never overshoots the window)
     min_arc = jnp.asarray(min_arc_length, arc.dtype)
     clamped = arc < min_arc
     arc = jnp.maximum(arc, min_arc)
+    if bounded:
+        max_arc = jnp.maximum(jnp.asarray(max_arc_length, arc.dtype), min_arc)
+        clamped |= arc > max_arc
+        arc = jnp.minimum(arc, max_arc)
     u_best = jnp.where(clamped, u_at_arc_length(sp, arc), u_best)
     pos = point_at_u(sp, u_best)
     d = jnp.sqrt(dist(u_best))
     return pos, arc, d
+
+
+def refine_iters_for_accuracy(full_arc_length: float,
+                              accuracy: float = 1e-3,
+                              max_iterations: int = 5000,
+                              granularity: int = GRANULARITY) -> int:
+    """Map the reference's closest-point search budget to ternary-refinement
+    iterations (reference parameterized_spline.py:54-69 +
+    segment_list.py: SegmentList(accuracy, max_iterations) subdivides until
+    segment length < accuracy).
+
+    The table argmin brackets the optimum within 2 cells of world-space
+    width ~2*full_arc/granularity; each ternary iteration shrinks the
+    bracket by 2/3, so n iterations reach accuracy when
+    bracket * (2/3)^n <= accuracy.  Clipped to [4, min(max_iterations, 32)]
+    — 32 iterations reach 5e-6 of a cell, far below any meaningful world
+    accuracy."""
+    import math
+    bracket = 2.0 * max(float(full_arc_length), 1e-6) / float(granularity)
+    if accuracy <= 0.0 or accuracy >= bracket:
+        n = 4
+    else:
+        n = math.ceil(math.log(accuracy / bracket) / math.log(2.0 / 3.0))
+    return int(max(4, min(n, int(max_iterations), 32)))
 
 
 @functools.partial(jax.jit, static_argnames=("n_refine",))

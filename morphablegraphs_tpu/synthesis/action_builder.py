@@ -85,6 +85,12 @@ def build_action_constraints(graph: MotionStateGraph, mg_input: MGInput,
     """reference ActionConstraintsBuilder.build_list_from_input_file:75."""
     skeleton = graph.skeleton
     root_joint = _aligning_joint(skeleton)
+    # arc-table resolution from the trajectory-following settings (reference
+    # action_constraints_builder.py:67 -> parameterized_spline.py:54-66;
+    # spline_super_sampling_factor is superseded: it densified a discrete
+    # tangent extraction the analytic Catmull-Rom tangent does not need)
+    granularity = int(config.get("trajectory_following_settings", {})
+                      .get("arc_length_granularity", spline_path.GRANULARITY))
     out = []
     names = [a.name for a in mg_input.actions]
     unknown = sorted({n for n in names if n not in graph.node_groups})
@@ -121,7 +127,8 @@ def build_action_constraints(graph: MotionStateGraph, mg_input: MGInput,
                 acs.root_trajectory = spline_path.build(
                     traj.control_points,
                     max_points=compiled.spline_path_max_points(),
-                    unconstrained_dims=traj.unconstrained_dims)
+                    unconstrained_dims=traj.unconstrained_dims,
+                    granularity=granularity)
                 acs.root_unconstrained_dims = traj.unconstrained_dims
             else:
                 acs.ca_trajectories.append(traj)
@@ -341,6 +348,60 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
             sc, acs.start_pose_position, acs.start_pose_orientation_y)
     if defer_locomotion:
         return sc, loco, loco_flags
+    return sc
+
+
+def build_option_eval_constraints(graph: MotionStateGraph,
+                                  acs: ActionConstraintSet, node_key,
+                                  travelled_arc_length: float,
+                                  prev_frames: Optional[np.ndarray],
+                                  config: dict, add_orientation: bool):
+    """Planner option-evaluation constraints (reference
+    graph_walk_planner.py:156-188 _generate_node_evaluation_constraints).
+
+    Distinct from step constraints: the goal sits at
+    travelled + look_ahead_distance on the root trajectory (NOT at the
+    node's heuristic step length), weights are fixed at 1.0, and the
+    orientation (trajectory tangent at the goal arc) is added only when the
+    caller's constrain_start_orientation / constrain_transition_orientation
+    flag is set (reference :56-64, :93, :121).  generate_half_step_constraint
+    adds a middle-keyframe goal at half the look-ahead (:178-180)."""
+    skeleton = graph.skeleton
+    n_canonical = graph.nodes[node_key].primitive.n_canonical_frames
+    tf = config["trajectory_following_settings"]
+    look_ahead = float(tf.get("look_ahead_distance", 100.0))
+    sc = compiled.empty_step_constraints(skeleton, n_canonical)
+    root_joint = _aligning_joint(skeleton)
+    end_kf = _label_keyframe(graph, node_key, "end", n_canonical)
+    goal_arc = travelled_arc_length + look_ahead
+    goal, goal_dir = jax.device_get(spline_path.point_and_dir_at_arc_length(
+        acs.root_trajectory, jnp.asarray(goal_arc)))
+    goal = np.asarray(goal, np.float64)
+    for d in acs.root_unconstrained_dims:
+        goal[d] = np.nan
+    sc = compiled.set_keyframe_constraint(sc, 0, skeleton, root_joint,
+                                          end_kf, position=goal, weight=1.0)
+    slot = 1
+    if add_orientation:
+        sc = compiled.set_direction_constraint(
+            sc, np.asarray(goal_dir, np.float32), end_kf, weight=1.0)
+    if tf.get("generate_half_step_constraint", False):
+        mid_kf = _label_keyframe(graph, node_key, "middle", n_canonical)
+        half_goal, _ = jax.device_get(
+            spline_path.point_and_dir_at_arc_length(
+                acs.root_trajectory,
+                jnp.asarray(travelled_arc_length + 0.5 * look_ahead)))
+        half_goal = np.asarray(half_goal, np.float64)
+        for d in acs.root_unconstrained_dims:
+            half_goal[d] = np.nan
+        sc = compiled.set_keyframe_constraint(
+            sc, slot, skeleton, root_joint, mid_kf, position=half_goal,
+            weight=1.0)
+    if prev_frames is not None and len(prev_frames) > 0:
+        sc = compiled.set_alignment_from_prev(sc, prev_frames[-1])
+    else:
+        sc = compiled.set_alignment_from_start_pose(
+            sc, acs.start_pose_position, acs.start_pose_orientation_y)
     return sc
 
 

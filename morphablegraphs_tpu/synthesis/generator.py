@@ -320,12 +320,19 @@ def use_fused_step() -> bool:
 
 
 def _finalize_core(prim, s, sc, path, travelled, max_frames: int,
-                   window: int, use_traj: bool):
+                   window: int, use_traj: bool, look_ahead=None,
+                   n_refine: int = 8):
     """Step epilogue: back-project the winner, align to the motion so far
     (or place at the start pose), advance the travelled arc (the former
     motion_generator epilogue — alignment state rides in `sc`
     exactly as constraint evaluation used it, so the emitted frames match
-    what the constraints scored)."""
+    what the constraints scored).
+
+    look_ahead (traced scalar or None=unbounded) caps the travelled-arc
+    closest-point window at travelled + look_ahead — the reference
+    `look_ahead_distance` semantics (motion_generator.py:354-363
+    _update_travelled_arc_length).  n_refine carries the
+    closest_point_search_accuracy budget (spline_path.refine_iters_for_accuracy)."""
     from ..models import primitive as prim_mod
     from ..ops import align, spline_path
     frames, n_frames, _ = prim_mod.back_project(prim, s, max_frames,
@@ -335,20 +342,27 @@ def _finalize_core(prim, s, sc, path, travelled, max_frames: int,
     frames = jnp.where(sc.has_prev > 0, aligned_prev, placed_start)
     if use_traj:
         last = frames[jnp.maximum(n_frames - 1, 0)]
-        _, travelled, _ = spline_path.closest_point(path, last[:3],
-                                                    jnp.asarray(travelled))
+        travelled = jnp.asarray(travelled)
+        if look_ahead is None:
+            _, travelled, _ = spline_path.closest_point(
+                path, last[:3], travelled, n_refine=n_refine)
+        else:
+            _, travelled, _ = spline_path.closest_point(
+                path, last[:3], travelled, n_refine=n_refine,
+                max_arc_length=travelled + look_ahead, bounded=True)
     return frames, n_frames, travelled
 
 
 @functools.partial(jax.jit, static_argnames=("max_frames", "window",
-                                             "use_traj"))
+                                             "use_traj", "n_refine"))
 def finalize_step(prim, s, sc, path, travelled, max_frames: int,
-                  window: int, use_traj: bool):
+                  window: int, use_traj: bool, look_ahead=None,
+                  n_refine: int = 8):
     """Standalone jitted step epilogue (the split-dispatch path and the
     transition-model branch use it; the fused entry points inline the same
     body)."""
     return _finalize_core(prim, s, sc, path, travelled, max_frames, window,
-                          use_traj)
+                          use_traj, look_ahead, n_refine)
 
 
 def _select_core(skeleton, key, prim, sc, candidates, threshold, error_scale,
@@ -373,19 +387,21 @@ def _select_core(skeleton, key, prim, sc, candidates, threshold, error_scale,
                    static_argnames=("n_samples", "n_iters", "do_refine",
                                     "use_traj", "use_ca", "use_ts",
                                     "loco_flags", "max_frames", "window",
-                                    "use_candidates"))
+                                    "use_candidates", "n_refine"))
 def _loco_step_fused(skeleton, key, prim, sc, candidates, path, loco,
                      travelled, threshold, error_scale, quality_scale,
                      n_samples: int, n_iters: int, do_refine: bool,
                      use_traj: bool, use_ca: bool, use_ts: bool,
                      loco_flags: tuple, max_frames: int, window: int,
-                     use_candidates: bool):
+                     use_candidates: bool, look_ahead=None,
+                     n_refine: int = 8):
     sc = compiled.fill_locomotion_slots(sc, path, loco, *loco_flags)
     s, err = _select_core(skeleton, key, prim, sc, candidates, threshold,
                           error_scale, quality_scale, n_samples, n_iters,
                           do_refine, use_traj, use_ca, use_ts, use_candidates)
     frames, n_frames, travelled = _finalize_core(
-        prim, s, sc, path, travelled, max_frames, window, use_traj=True)
+        prim, s, sc, path, travelled, max_frames, window, use_traj=True,
+        look_ahead=look_ahead, n_refine=n_refine)
     return s, err, sc, frames, n_frames, travelled
 
 
@@ -439,7 +455,8 @@ def generate_step(key, skeleton: Skeleton, prim: MotionPrimitive,
                   sc: compiled.StepConstraints, config: dict,
                   travelled, max_frames: int, window: int,
                   path=None, loco=None, loco_flags=None,
-                  cluster_tree=None, candidates=None):
+                  cluster_tree=None, candidates=None,
+                  look_ahead=None, n_refine: int = 8):
     """Constrained step: selection (+ optional LM) + epilogue.
 
     With `loco`/`loco_flags`, the locomotion slots fill on device first
@@ -464,7 +481,8 @@ def generate_step(key, skeleton: Skeleton, prim: MotionPrimitive,
             fin_path, fin_traj = sc.traj, False
         frames, n_frames, new_arc = finalize_step(
             prim, s, sc, fin_path, travelled, max_frames=max_frames,
-            window=window, use_traj=fin_traj)
+            window=window, use_traj=fin_traj,
+            look_ahead=(look_ahead if fin_traj else None), n_refine=n_refine)
         return s, err, sc, frames, n_frames, new_arc
     p = _selection_params(sc, config)
     cluster_mode = p.pop("cluster_mode")
@@ -482,7 +500,9 @@ def generate_step(key, skeleton: Skeleton, prim: MotionPrimitive,
     if loco is not None:
         return _loco_step_fused(skeleton, key, prim, sc, pool_arr, path,
                                 loco, travelled,
-                                loco_flags=tuple(loco_flags), **common)
+                                loco_flags=tuple(loco_flags),
+                                look_ahead=look_ahead, n_refine=n_refine,
+                                **common)
     # non-loco steps finalize with use_traj=False, so the path operand is
     # only a tracing placeholder (sc.traj keeps the pytree shape stable)
     placeholder = path if path is not None else sc.traj

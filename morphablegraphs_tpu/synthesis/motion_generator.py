@@ -87,7 +87,10 @@ class MotionGenerator:
         parsed = read_input(mg_input,
                             activate_coordinate_transform=activate_coordinate_transform,
                             activate_joint_mapping=activate_joint_mapping,
-                            scale_factor=scale_factor)
+                            scale_factor=scale_factor,
+                            control_point_filter_threshold=float(
+                                self.config["trajectory_following_settings"]
+                                .get("control_point_filter_threshold", 0)))
         action_sets = action_builder.build_action_constraints(
             self.graph, parsed, self.config)
 
@@ -196,6 +199,19 @@ class MotionGenerator:
         factor = self.config["trajectory_following_settings"]["end_step_length_factor"]
         return float(np.mean(lengths)) * factor if lengths else 0.0
 
+    def _closest_point_refine_iters(self, acs) -> int:
+        """Ternary-refinement budget from the closest-point search settings
+        (reference parameterized_spline.py:54-69 accuracy/max_iterations)."""
+        from ..ops import spline_path
+        tf = self.config["trajectory_following_settings"]
+        return spline_path.refine_iters_for_accuracy(
+            acs.full_arc_length,
+            accuracy=float(tf.get("closest_point_search_accuracy", 1e-3)),
+            max_iterations=int(tf.get("closest_point_search_max_iterations",
+                                      5000)),
+            granularity=int(tf.get("arc_length_granularity",
+                                   spline_path.GRANULARITY)))
+
     # -- planner -------------------------------------------------------
     def _best_start_node(self, acs, frames, prev_node_key):
         """reference graph_walk_planner.py:89-96."""
@@ -211,7 +227,12 @@ class MotionGenerator:
             options = list(group.node_keys)
         if len(options) == 1:
             return options[0]
-        return self._select_best_option(acs, options, frames, travelled=0.0)
+        # start-node orientation scoring per constrain_start_orientation
+        # (reference graph_walk_planner.py:56-59,:93)
+        add_orientation = bool(self.config["trajectory_following_settings"]
+                               .get("constrain_start_orientation", True))
+        return self._select_best_option(acs, options, frames, travelled=0.0,
+                                        add_orientation=add_orientation)
 
     def _best_transition_node(self, acs, prev_key, frames, travelled,
                               arc_of_end):
@@ -241,28 +262,34 @@ class MotionGenerator:
             return None, None
         if len(options) == 1:
             return options[0], next_type
-        best = self._select_best_option(acs, options, frames, travelled)
+        # transition orientation scoring per constrain_transition_orientation
+        # (reference graph_walk_planner.py:60-64,:121)
+        add_orientation = bool(self.config["trajectory_following_settings"]
+                               .get("constrain_transition_orientation", True))
+        best = self._select_best_option(acs, options, frames, travelled,
+                                        add_orientation=add_orientation)
         return best, next_type
 
-    def _select_best_option(self, acs, options, frames, travelled):
-        """Score each option with best-of-K GMM samples under its own step
-        constraints (reference graph_walk_planner.py:184-226).  Option
-        errors are pulled in one transfer after all dispatches are queued."""
+    def _select_best_option(self, acs, options, frames, travelled,
+                            add_orientation=False):
+        """Score each option with best-of-K GMM samples (reference
+        graph_walk_planner.py:184-226).  With a root trajectory the scoring
+        constraints are the planner's OWN evaluation set — a unit-weight
+        goal at travelled + look_ahead_distance plus the tangent direction
+        when add_orientation is set (:156-188) — not the step constraints.
+        Option errors are pulled in one transfer after all dispatches are
+        queued."""
         k = int(self.config.get("planner_samples_per_option", 10))
-        cfg = dict(self.config, n_random_samples=k,
-                   local_optimization_mode="none",
-                   constrained_sampling_mode="random_discrete")
         errs = []
         for option in options:
             prim = self.graph.nodes[option].primitive
             if acs.root_trajectory is not None:
-                sc, loco, loco_flags = action_builder.build_step_constraints(
+                sc = action_builder.build_option_eval_constraints(
                     self.graph, acs, option, travelled, frames,
-                    is_last_step=False, config=self.config,
-                    defer_locomotion=True)
-                _, err, _ = generator.generate_constrained_sample_loco(
-                    self._next_key(), self.graph.skeleton, prim, sc,
-                    acs.root_trajectory, loco, loco_flags, cfg)
+                    self.config, add_orientation)
+                _, err = generator.best_of_n(self.graph.skeleton,
+                                             self._next_key(), prim, sc,
+                                             n_samples=k)
             else:
                 sc = action_builder.build_step_constraints(
                     self.graph, acs, option, travelled,
@@ -331,6 +358,11 @@ class MotionGenerator:
             sc, loco, loco_flags = action_builder.build_step_constraints(
                 graph, acs, node_key, travelled, frames, is_last_step,
                 self.config, defer_locomotion=True)
+            # travelled-arc update window + closest-point budget from the
+            # trajectory-following settings (reference look_ahead_distance
+            # at motion_generator.py:354-363; accuracy/max_iterations at
+            # parameterized_spline.py:54-69)
+            tf = self.config["trajectory_following_settings"]
             s, err, sc, new_frames, n_frames, new_arc = \
                 generator.generate_step(
                     self._next_key(), graph.skeleton, prim, sc, self.config,
@@ -339,7 +371,9 @@ class MotionGenerator:
                     loco_flags=loco_flags,
                     cluster_tree=graph.nodes[node_key].cluster_tree,
                     candidates=(tm_candidates() if tm_model is not None
-                                else None))
+                                else None),
+                    look_ahead=jnp.float32(tf["look_ahead_distance"]),
+                    n_refine=self._closest_point_refine_iters(acs))
             self._count_constrained_step_evals()
         else:
             sc = action_builder.build_step_constraints(
