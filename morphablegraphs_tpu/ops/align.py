@@ -94,7 +94,12 @@ def smooth_transition(prev_frame: jax.Array, frames: jax.Array, window: int,
 
     frames: [T, D]; prev_frame: [D].  Quaternions are hemisphere-aligned per
     joint against prev_frame before blending raw components.
+
+    window <= 0 (spatial_smoothing disabled, reference smoothing_settings)
+    is the identity: the clip is aligned but the seam is left as-is.
     """
+    if window <= 0:
+        return frames
     t, d = frames.shape
     frames = quat.frame_fix_signs(frames, prev_frame)
     factors = smoothing_factors(window, t, frames.dtype)  # [T]
@@ -113,6 +118,59 @@ def align_clip(prev_last: jax.Array, new_frames: jax.Array, window: int,
     q_y, delta = node_aligning_2d_transform(prev_last, new_frames[0], ref_vector)
     aligned = transform_frames(new_frames, q_y, delta)
     return smooth_transition(prev_last, aligned, window)
+
+
+def blend_seam_np(prev_frames, new_frames, window: int):
+    """Two-sided seam smoothing, host numpy (the reference's alternative
+    spatial_smoothing_method="blending": anim_utils-style centered seam
+    interpolation — frames within window/2 of the seam are replaced by a
+    linear ramp between the two boundary frames, per-dof with quaternion
+    hemisphere alignment; the default "smoothing" method is the one-sided
+    offset decay in smooth_transition, reference utils.py:101-148).
+
+    Mutates COPIES; returns (prev_frames_out, new_frames_out).  Runs on the
+    host because the left side lives in the already-emitted numpy buffer.
+    """
+    import numpy as _np
+    prev_frames = _np.asarray(prev_frames)
+    new_frames = _np.asarray(new_frames)
+    half = min(window // 2, len(prev_frames), len(new_frames))
+    if half <= 0:
+        return prev_frames, new_frames
+    left = prev_frames[-half].copy()
+    right = new_frames[half - 1].copy()
+    # hemisphere-align the right boundary's quats against the left so the
+    # component-wise ramp doesn't swing the long way round
+    d = left.shape[-1]
+    for q0 in range(3, d - 3, 4):
+        if _np.dot(left[q0:q0 + 4], right[q0:q0 + 4]) < 0:
+            right[q0:q0 + 4] = -right[q0:q0 + 4]
+    n = 2 * half
+    ts = (_np.arange(1, n + 1, dtype=left.dtype) / (n + 1))[:, None]
+    ramp = left[None, :] * (1.0 - ts) + right[None, :] * ts
+    prev_out = prev_frames.copy()
+    new_out = new_frames.copy()
+    prev_out[-half:] = ramp[:half]
+    new_out[:half] = ramp[half:]
+    return prev_out, new_out
+
+
+def filter_root_np(frames, window: int):
+    """Moving-average the root translation channels (reference
+    smoothing_settings root_filter_window; anim_utils applies a box filter
+    over the root position after concatenation).  Host numpy; window <= 1
+    is the identity."""
+    import numpy as _np
+    frames = _np.asarray(frames)
+    if window <= 1 or len(frames) < window:
+        return frames
+    out = frames.copy()
+    kernel = _np.ones(window) / window
+    pad = window // 2
+    for c in range(3):
+        col = _np.pad(frames[:, c], (pad, window - 1 - pad), mode="edge")
+        out[:, c] = _np.convolve(col, kernel, mode="valid")
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("window",))

@@ -211,6 +211,16 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
         dim_mask = np.ones(3, np.float32)
         for d_ in acs.root_unconstrained_dims:
             dim_mask[d_] = 0.0
+        # foot-plant mode: stance/swing-foot goals on the path REPLACE the
+        # root goal constraint (reference locomotion_constraints_builder.py
+        # :65-68 + foot_step_constraints_builder.py:50-88); the direction
+        # constraint is still added
+        foot_specs = []
+        if use_pos and tf.get("generate_foot_plant_constraints", False):
+            foot_specs = _foot_plant_specs(skeleton, node_key[1],
+                                           travelled_arc_length,
+                                           goal_arc_length, end_kf)
+            use_pos = not foot_specs
         if defer_locomotion:
             loco = compiled.LocoSpec(
                 goal_arc=np.float32(goal_arc_length),
@@ -223,6 +233,11 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
                 dir_weight=np.float32(tf["dir_constraint_factor"]))
             loco_flags = (use_pos, use_dir, use_half)
             slot += int(use_pos) + int(use_half)  # reserve the slots
+            # foot-plant slots fill on the host (opt-in mode; the device
+            # fill keeps writing goal/half at its fixed slots 0/1)
+            sc, slot = _fill_foot_plant_slots(
+                sc, slot, skeleton, acs, foot_specs, dim_mask,
+                tf["position_constraint_factor"])
         else:
             # one transfer for both outputs (separate np.asarray pulls pay
             # a device round-trip each on remote-attached TPUs)
@@ -254,6 +269,9 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
                     position=half_goal,
                     weight=tf["position_constraint_factor"])
                 slot += 1
+            sc, slot = _fill_foot_plant_slots(
+                sc, slot, skeleton, acs, foot_specs, dim_mask,
+                tf["position_constraint_factor"])
         # transition pose constraint
         if (tf.get("use_transition_constraint", False)
                 and tf["transition_pose_constraint_factor"] > 0.0
@@ -349,6 +367,66 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
     if defer_locomotion:
         return sc, loco, loco_flags
     return sc
+
+
+# Lateral heel offsets in the path frame (reference
+# foot_step_constraints_builder.py:29-31 FOOT_OFFSETS, cm units)
+FOOT_OFFSET_X = 20.0
+
+
+def _foot_plant_specs(skeleton, mp_name: str, start_arc: float,
+                      goal_arc: float, end_kf: float):
+    """(joint, arc, keyframe, side) tuples for the foot-plant mode
+    (reference foot_step_constraints_builder.py:50-74
+    generate_step_constraints: initial stance foot at the start arc on
+    canonical frame 0, swing foot at the goal arc on the end keyframe;
+    'both' plants both feet).  Empty when the primitive has no step model
+    or the skeleton has no feet (caller falls back to the root goal)."""
+    from .grounding import LEFT_FOOT, RIGHT_FOOT, MP_CONFIGURATIONS
+    cfg = MP_CONFIGURATIONS.get(mp_name)
+    joints = {"left": LEFT_FOOT, "right": RIGHT_FOOT}
+    if cfg is None or any(j not in skeleton.node_names
+                          for j in joints.values()):
+        return []
+    specs = []
+    init, final = cfg["stance_foot"], cfg["swing_foot"]
+    for side in (("left", "right") if init == "both" else (init,)):
+        specs.append((joints[side], start_arc, 0.0, side))
+    for side in (("left", "right") if final == "both" else (final,)):
+        specs.append((joints[side], goal_arc, end_kf, side))
+    return specs
+
+
+def _fill_foot_plant_slots(sc, slot: int, skeleton, acs, foot_specs,
+                           dim_mask, weight: float):
+    """Fill keyframe slots with path-frame foot targets: point on the path
+    plus the lateral heel offset rotated into the tangent frame (reference
+    foot_step_constraints_builder.py:75-88 _create_foot_constraint;
+    REF_VECTOR [0,0,-1] -> lateral = [-dz, 0, dx]).  Unconstrained path
+    dims stay masked (the reference constrains them to 0 through the
+    spline's zero-fill — masking is the aligned behavior for e.g. height).
+    One device pull for all queries."""
+    if not foot_specs:
+        return sc, slot
+    arcs = jnp.asarray([a for _, a, _, _ in foot_specs], jnp.float32)
+    pos, dirs = jax.device_get(jax.vmap(
+        lambda a: spline_path.point_and_dir_at_arc_length(
+            acs.root_trajectory, a))(arcs))
+    for i, (joint, _, kf, side) in enumerate(foot_specs):
+        if slot >= compiled.MAX_KF:
+            break
+        dx, dz = float(dirs[i][0]), float(dirs[i][1])
+        lateral = np.array([-dz, 0.0, dx], np.float64)
+        nrm = np.linalg.norm(lateral)
+        if nrm > 1e-8:
+            lateral /= nrm
+        sign = 1.0 if side == "right" else -1.0
+        target = np.asarray(pos[i], np.float64) + sign * FOOT_OFFSET_X * lateral
+        target = np.where(dim_mask > 0, target, np.nan)
+        sc = compiled.set_keyframe_constraint(sc, slot, skeleton, joint, kf,
+                                              position=target, weight=weight)
+        slot += 1
+    return sc, slot
 
 
 def build_option_eval_constraints(graph: MotionStateGraph,

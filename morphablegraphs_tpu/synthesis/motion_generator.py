@@ -60,6 +60,10 @@ class MotionGenerator:
                  seed: int = 0):
         self.graph = graph
         self.config = config or default_config()
+        if self.config.get("verbose"):
+            # reference passes verbose into every component for debug prints
+            from ..utils.log import LOG_MODE_DEBUG, set_log_mode
+            set_log_mode(LOG_MODE_DEBUG)
         self.key = jax.random.PRNGKey(seed)
         self._start_transform = None  # (q_y, delta) used to place step one
         self._objective_evaluations = 0  # reference graph_walk.py:390-394 stat
@@ -148,6 +152,7 @@ class MotionGenerator:
         """reference motion_generator.py:157-199 per-action loop."""
         graph = self.graph
         travelled = 0.0
+        first_idx = len(steps)  # this action's first step (CA extra pass)
         full_arc = acs.full_arc_length
         arc_of_end = self._end_step_arc_length(acs)
 
@@ -171,7 +176,73 @@ class MotionGenerator:
             node_type = graph.nodes[node_key].node_type
             n += 1
         frames = self._maybe_optimize_globally(steps, frames, acs)
+        frames = self._maybe_optimize_ca_extra(steps, frames, acs, first_idx)
         return frames, node_key
+
+    def _maybe_optimize_ca_extra(self, steps, frames, acs, first_idx: int):
+        """Post-hoc collision-avoidance re-optimization (reference
+        graph_walk_optimizer.py:74-76,:156-189
+        optimize_for_collision_avoidance_constraints): when the flag is set
+        and the action carries CA trajectories, every step's latent is
+        re-optimized against CA-ONLY residuals (trajectory-set slots) with
+        each trajectory's min arc advanced from the REBUILT frames, then
+        the motion buffer from this action's first step on is rebuilt."""
+        if not self.config.get(
+                "optimize_collision_avoidance_constraints_extra", False):
+            return frames
+        skel = self.graph.skeleton
+        from ..models.skeleton import fk_positions
+        from ..ops import spline_path
+        ca = [t for t in acs.ca_trajectories
+              if t.joint in skel.node_names][:compiled.MAX_TS_JOINTS]
+        if not ca or first_idx >= len(steps):
+            return frames
+        joints = [t.joint for t in ca]
+        trajs = [spline_path.build(t.control_points,
+                                   max_points=compiled.spline_path_max_points(),
+                                   unconstrained_dims=t.unconstrained_dims)
+                 for t in ca]
+        settings = self.config["local_optimization_settings"]
+        window = self._smoothing_window()
+        prefix = (frames[:steps[first_idx].start_frame]
+                  if frames is not None else None)
+        rebuilt = prefix if prefix is not None and len(prefix) else None
+        for step in steps[first_idx:]:
+            prim = self.graph.nodes[step.node_key].primitive
+            sc = compiled.empty_step_constraints(skel,
+                                                 prim.n_canonical_frames)
+            if rebuilt is not None:
+                # min arc from the rebuilt frames so far (reference
+                # set_min_arc_length_from_previous_frames)
+                pts = np.asarray(fk_positions(
+                    skel, jnp.asarray(rebuilt[-1], jnp.float32)))
+                arc0 = [float(jax.device_get(spline_path.closest_point(
+                    sp, jnp.asarray(pts[skel.index_of(j)], jnp.float32))[1]))
+                        for j, sp in zip(joints, trajs)]
+                sc = compiled.set_alignment_from_prev(sc, rebuilt[-1])
+            else:
+                arc0 = [0.0] * len(joints)
+                sc = compiled.set_alignment_from_start_pose(
+                    sc, acs.start_pose_position, acs.start_pose_orientation_y)
+            sc = compiled.set_trajectory_set_constraint(sc, skel, joints,
+                                                        trajs, arc0=arc0)
+            s_opt, _ = generator.refine_lm(
+                skel, prim, sc, jnp.asarray(step.parameters, jnp.float32),
+                n_iters=int(self.config.get("lm_iterations", 10)),
+                error_scale=float(settings.get("error_scale_factor", 1.0)),
+                quality_scale=float(settings.get("quality_scale_factor", 0.1)),
+                use_traj=False, use_ca=False, use_ts=True)
+            step.parameters = np.asarray(jax.device_get(s_opt))
+            self._objective_evaluations += 2 * int(
+                self.config.get("lm_iterations", 10))
+            f, n, _ = prim_mod.back_project(
+                prim, jnp.asarray(step.parameters),
+                max_frames=_pad_frames(prim.n_canonical_frames),
+                use_time=False)
+            rebuilt = self._append_padded(rebuilt, f, int(n), window)
+            step.start_frame = len(rebuilt) - int(n)
+            step.end_frame = len(rebuilt) - 1
+        return rebuilt
 
     def _is_end_state(self, node_type, acs, frames, travelled, arc_of_end,
                       full_arc, n_total_steps):
@@ -198,6 +269,14 @@ class MotionGenerator:
                    if (acs.action_name, s) in self.graph.nodes]
         factor = self.config["trajectory_following_settings"]["end_step_length_factor"]
         return float(np.mean(lengths)) * factor if lengths else 0.0
+
+    def _smoothing_window(self) -> int:
+        """Seam-smoothing window; 0 when spatial_smoothing is off (reference
+        smoothing_settings, graph_walk.py:96-101)."""
+        ss = self.config["smoothing_settings"]
+        if not ss.get("spatial_smoothing", True):
+            return 0
+        return int(ss["spatial_smoothing_window"])
 
     def _closest_point_refine_iters(self, acs) -> int:
         """Ternary-refinement budget from the closest-point search settings
@@ -347,7 +426,7 @@ class MotionGenerator:
                 n=n)
 
         use_traj = acs.root_trajectory is not None
-        window = self.config["smoothing_settings"]["spatial_smoothing_window"]
+        window = self._smoothing_window()
         max_frames = _pad_frames(prim.n_canonical_frames)
         if acs.root_trajectory is not None:
             # locomotion slots fill on device inside the selection kernel —
@@ -363,18 +442,30 @@ class MotionGenerator:
             # at motion_generator.py:354-363; accuracy/max_iterations at
             # parameterized_spline.py:54-69)
             tf = self.config["trajectory_following_settings"]
-            s, err, sc, new_frames, n_frames, new_arc = \
-                generator.generate_step(
-                    self._next_key(), graph.skeleton, prim, sc, self.config,
-                    travelled, max_frames, window,
-                    path=acs.root_trajectory, loco=loco,
-                    loco_flags=loco_flags,
-                    cluster_tree=graph.nodes[node_key].cluster_tree,
-                    candidates=(tm_candidates() if tm_model is not None
-                                else None),
+            if not self.config.get("use_constraints", True):
+                # use_constraints=False: every step is a plain GMM sample
+                # (reference motion_primitive_generator.py:109); the
+                # travelled arc still advances so trajectory actions end
+                s = generator.sample_latent(self._next_key(), prim, 1)[0]
+                new_frames, n_frames, new_arc = generator.finalize_step(
+                    prim, s, sc, acs.root_trajectory, travelled,
+                    max_frames=max_frames, window=window, use_traj=True,
                     look_ahead=jnp.float32(tf["look_ahead_distance"]),
                     n_refine=self._closest_point_refine_iters(acs))
-            self._count_constrained_step_evals()
+                err = 0.0
+            else:
+                s, err, sc, new_frames, n_frames, new_arc = \
+                    generator.generate_step(
+                        self._next_key(), graph.skeleton, prim, sc,
+                        self.config, travelled, max_frames, window,
+                        path=acs.root_trajectory, loco=loco,
+                        loco_flags=loco_flags,
+                        cluster_tree=graph.nodes[node_key].cluster_tree,
+                        candidates=(tm_candidates() if tm_model is not None
+                                    else None),
+                        look_ahead=jnp.float32(tf["look_ahead_distance"]),
+                        n_refine=self._closest_point_refine_iters(acs))
+                self._count_constrained_step_evals()
         else:
             sc = action_builder.build_step_constraints(
                 graph, acs, node_key, travelled, frames, is_last_step,
@@ -385,6 +476,7 @@ class MotionGenerator:
                                + float(np.asarray(sc.ca_active).sum())
                                + float(np.asarray(sc.ts_active))
                                + float(np.asarray(sc.pose_active))) > 0
+            has_constraints &= bool(self.config.get("use_constraints", True))
             if has_constraints:
                 s, err, sc, new_frames, n_frames, new_arc = \
                     generator.generate_step(
@@ -491,7 +583,7 @@ class MotionGenerator:
         parameters (reference re-projects after update_spatial_parameters,
         graph_walk.py:190-219)."""
         frames = None
-        window = self.config["smoothing_settings"]["spatial_smoothing_window"]
+        window = self._smoothing_window()
         for step in steps:
             prim = self.graph.nodes[step.node_key].primitive
             f, n, _ = prim_mod.back_project(
@@ -506,16 +598,52 @@ class MotionGenerator:
     def _append_padded(self, frames, f, n: int, window: int):
         """Align a PADDED clip [M, D] (static shape -> one compile per
         primitive instead of one per dynamic clip length) and append its
-        first n rows."""
+        first n rows.
+
+        spatial_smoothing_method="blending" replaces the one-sided offset
+        decay with the two-sided centered seam ramp (align.blend_seam_np;
+        reference graph_walk.py:97-100 routes the method name into the
+        motion vector).  apply_foot_alignment adds an XZ correction so the
+        mean foot position matches across the seam (reference
+        smoothing_settings key, consumed in anim_utils concatenation)."""
+        ss = self.config["smoothing_settings"]
         if frames is None:
             if self._start_transform is not None:
                 f = align.transform_frames(jnp.asarray(f),
                                            *self._start_transform)
             return np.asarray(f)[:n]
+        method = ss.get("spatial_smoothing_method", "smoothing")
+        # "blending" aligns without the offset decay, then ramps the seam
         aligned = np.asarray(align.align_clip(
-            jnp.asarray(frames[-1], jnp.float32),
-            jnp.asarray(f, jnp.float32), window))[:n]
+            jnp.asarray(frames[-1], jnp.float32), jnp.asarray(f, jnp.float32),
+            0 if method == "blending" else window))[:n]
+        if ss.get("apply_foot_alignment", False):
+            aligned = self._foot_align(frames[-1], aligned)
+        if method == "blending" and window > 0:
+            frames, aligned = align.blend_seam_np(frames, aligned, window)
         return np.concatenate([frames, aligned], axis=0)
+
+    def _foot_align(self, prev_last, aligned):
+        """Shift the new clip in XZ so its first-frame mean foot position
+        matches the previous frame's (seam foot-sliding correction)."""
+        from ..models import skeleton as sk
+        from .grounding import LEFT_FOOT, RIGHT_FOOT
+        skel = self.graph.skeleton
+        if skel is None:
+            return aligned
+        feet = [j for j in (LEFT_FOOT, RIGHT_FOOT) if j in skel.node_names]
+        if not feet or prev_last.shape[-1] != skel.n_frame_params \
+                or aligned.shape[-1] != skel.n_frame_params:
+            return aligned
+        idx = [skel.index_of(j) for j in feet]
+        pts = np.asarray(sk.fk_positions(
+            skel, jnp.asarray(np.stack([prev_last, aligned[0]]),
+                              jnp.float32)))
+        delta = (pts[0][idx].mean(axis=0) - pts[1][idx].mean(axis=0))
+        aligned = aligned.copy()
+        aligned[:, 0] += delta[0]
+        aligned[:, 2] += delta[2]
+        return aligned
 
     def _maybe_optimize_time(self, steps):
         """Global time optimization over steps carrying desired_time
@@ -568,22 +696,31 @@ class MotionGenerator:
         from ..models.skeleton import add_fixed_joint_parameters_to_motion
         skel = self.graph.skeleton
         frames = None
-        smooth_time = bool(self.config.get("smooth_time_parameters", False))
-        window = self.config["smoothing_settings"]["spatial_smoothing_window"]
+        ss = self.config["smoothing_settings"]
+        # reference smoothing_settings.time_smoothing(+_window); the legacy
+        # top-level smooth_time_parameters key is honored as a fallback
+        smooth_time = bool(ss.get("time_smoothing", False)
+                           or self.config.get("smooth_time_parameters", False))
+        time_window = int(ss.get("time_smoothing_window", 15))
+        # activate_time_variation=False exports at canonical time (reference
+        # graph_walk.py:103 use_time_parameters)
+        use_time = bool(self.config.get("activate_time_variation", True))
+        window = self._smoothing_window()
         for step in steps:
             prim = self.graph.nodes[step.node_key].primitive
             max_frames = _pad_frames(prim.n_canonical_frames * 2)
             f, n, t_fn = prim_mod.back_project(
                 prim, jnp.asarray(step.parameters),
-                max_frames=max_frames, use_time=True)
+                max_frames=max_frames, use_time=use_time)
             n = int(n)
-            if smooth_time and prim.has_time:
+            if use_time and smooth_time and prim.has_time:
                 # reference motion_primitive.py:284-285: savgol-filter the
                 # sampled time function, then evaluate the spatial spline at
                 # the smoothed times.  Padded to the static max_frames (tail
                 # repeats the last time) so the eval + align shapes stay
                 # constant across steps.
-                t_s = timewarp.smooth_time_function_np(np.asarray(t_fn)[:n])
+                t_s = timewarp.smooth_time_function_np(np.asarray(t_fn)[:n],
+                                                       window=time_window)
                 t_pad = np.concatenate(
                     [t_s, np.full(max_frames - n, t_s[-1], t_s.dtype)])
                 f = prim_mod.evaluate_at(prim, jnp.asarray(step.parameters),
@@ -597,7 +734,12 @@ class MotionGenerator:
             # grounding, and the action-range export)
             step.start_frame = len(frames) - n
             step.end_frame = len(frames) - 1
-        return frames if frames is not None else np.zeros((0, 0), np.float32)
+        if frames is None:
+            return np.zeros((0, 0), np.float32)
+        root_window = int(ss.get("root_filter_window", 0))
+        if root_window > 1:
+            frames = align.filter_root_np(frames, root_window)
+        return frames
 
 
 def _pad_frames(n: int, multiple: int = 32) -> int:

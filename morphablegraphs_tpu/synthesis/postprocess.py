@@ -130,9 +130,20 @@ def post_process_motion(skeleton: Skeleton, frames: np.ndarray, steps,
     config = config or {}
     ik_settings = config.get("inverse_kinematics_settings", {})
     if ik_constraints and config.get("activate_inverse_kinematics", True):
+        # max_iterations bounds the DLS solve; activate_blending=False
+        # applies the edit only at the constrained frame (reference
+        # inverse_kinematics_settings, motion_generator.py:298-320)
+        interp = (int(ik_settings.get("interpolation_window", 120))
+                  if ik_settings.get("activate_blending", True) else 0)
+        # the reference budget is scipy-minimize iterations over all dofs;
+        # DLS converges ~100x faster per iteration, so scale the budget
+        # (default 1000 -> 10 DLS iterations, preserving prior behavior)
+        budget = int(np.clip(
+            round(int(ik_settings.get("max_iterations", 1000)) / 100),
+            1, 25))
         frames = apply_ik_constraints(
             skeleton, frames, ik_constraints,
-            interpolation_window=ik_settings.get("interpolation_window", 120))
+            interpolation_window=interp, n_iters=budget)
     if config.get("activate_motion_grounding", False):
         frames = grounding.ground_motion(skeleton, frames, steps, scene)
     return frames

@@ -133,16 +133,160 @@ DEFAULT_ALGORITHM_CONFIG = {
 }
 
 
+# Accepted-but-inert keys: setting these changes nothing in this package.
+# Each entry carries its disposition (the full per-key audit, including the
+# reference consumption site for every key, lives in PARITY.md "Algorithm
+# config audit").  load_config warns when a preset sets one of these to a
+# non-default value so a user porting a reference config is never silently
+# surprised.  Dispositions: "dead-in-reference" = the reference loads but
+# never consumes it either; "superseded" = the repo's design makes the knob
+# meaningless (reason given); "pending" = real reference behavior not yet
+# implemented here.
+INERT_KEYS = {
+    "smoothing_settings.apply_foot_alignment": None,  # wired (live)
+    "trajectory_following_settings.spline_type":
+        "superseded: single Catmull-Rom spline family (reference "
+        "action_constraints_builder.py:66 selects a b-spline degree)",
+    "trajectory_following_settings.step_length_approx_method":
+        "dead-in-reference",
+    "trajectory_following_settings.max_distance_to_path":
+        "dead-in-reference",
+    "trajectory_following_settings.spline_super_sampling_factor":
+        "superseded: analytic Catmull-Rom tangents need no discrete "
+        "super-sampling (reference parameterized_spline.py:41-76)",
+    "trajectory_following_settings.generate_foot_plant_constraints":
+        None,  # wired (live): foot goals replace the root goal
+    "local_optimization_settings.spatial_epsilon": "dead-in-reference",
+    "local_optimization_settings.tolerance":
+        "superseded: fixed-iteration exact-Jacobian LM (lm_iterations)",
+    "local_optimization_settings.method":
+        "superseded: jacfwd-LM replaces scipy leastsq/BFGS",
+    "local_optimization_settings.max_iterations":
+        "superseded: budget knob is lm_iterations",
+    "local_optimization_settings.verbose": "cosmetic (use top-level verbose)",
+    "local_optimization_settings.diff_eps":
+        "superseded: exact gradients, no finite differences",
+    "global_spatial_optimization_settings.tolerance":
+        "superseded: fixed-iteration LM",
+    "global_spatial_optimization_settings.method":
+        "superseded: jacfwd-LM replaces scipy",
+    "global_spatial_optimization_settings.max_iterations":
+        "superseded: fixed-iteration LM",
+    "global_spatial_optimization_settings.orientation_weight":
+        "pending: orientation terms in global spatial opt",
+    "global_spatial_optimization_settings.verbose": "cosmetic",
+    "global_spatial_optimization_settings.diff_eps":
+        "superseded: exact gradients",
+    "global_time_optimization_settings.tolerance":
+        "superseded: fixed-iteration optimizer",
+    "global_time_optimization_settings.method":
+        "superseded: native optimizer replaces scipy L-BFGS-B",
+    "global_time_optimization_settings.max_iterations":
+        "superseded: fixed-iteration optimizer",
+    "global_time_optimization_settings.optimized_actions":
+        "pending: windowed time optimization (repo optimizes all steps)",
+    "global_time_optimization_settings.verbose": "cosmetic",
+    "global_time_optimization_settings.diff_eps":
+        "superseded: exact gradients",
+    "inverse_kinematics_settings.tolerance":
+        "superseded: fixed-budget DLS-IK",
+    "inverse_kinematics_settings.optimization_method":
+        "superseded: DLS/CCD replaces scipy minimize",
+    "inverse_kinematics_settings.use_euler_representation":
+        "dead-in-reference (legacy)",
+    "inverse_kinematics_settings.solving_method":
+        "superseded: DLS/CCD replaces scipy minimize",
+    "inverse_kinematics_settings.activate_look_at":
+        "covered by the streaming planner settings (state_planner)",
+    "inverse_kinematics_settings.max_retries":
+        "superseded: deterministic DLS needs no restarts",
+    "inverse_kinematics_settings.success_threshold":
+        "superseded: deterministic DLS needs no restarts",
+    "inverse_kinematics_settings.optimize_orientation":
+        "pending: orientation IK objectives",
+    "inverse_kinematics_settings.elementary_action_max_iterations":
+        "superseded: single-pass IK edit",
+    "inverse_kinematics_settings.elementary_action_optimization_eps":
+        "superseded: single-pass IK edit",
+    "inverse_kinematics_settings.adapt_hands_during_carry_both":
+        "covered by hand_pose carry handling",
+    "inverse_kinematics_settings.constrain_place_orientation":
+        "pending: place-orientation IK constraints",
+    "motion_grounding_settings.activate_blending":
+        "pending: grounding uses MP_CONFIGURATIONS blend windows",
+    "motion_grounding_settings.generate_foot_plant_constraints":
+        "pending: footplant constraint generation",
+    "motion_grounding_settings.foot_lift_search_window":
+        "pending: footplant constraint generation",
+    "motion_grounding_settings.foot_lift_tolerance":
+        "pending: footplant constraint generation",
+    "motion_grounding_settings.graph_walk_grounding_window":
+        "pending: footplant constraint generation",
+    "motion_grounding_settings.contact_tolerance":
+        "pending: footplant constraint generation",
+    "motion_grounding_settings.constraint_range":
+        "pending: footplant constraint generation",
+    "motion_grounding_settings.smoothing_constraints_window":
+        "pending: footplant constraint generation",
+    "motion_grounding_settings.damp_angle":
+        "superseded: DLS damping is fixed per kernel",
+    "motion_grounding_settings.damp_factor":
+        "superseded: DLS damping is fixed per kernel",
+    "average_elementary_action_error_threshold": "dead-in-reference",
+    "n_cluster_search_candidates":
+        "superseded: exact vmapped cluster-data argmin (no beam)",
+    "activate_parameter_check": "dead-in-reference",
+    "collision_avoidance_constraints_mode":
+        "superseded: CA slots evaluate inline during selection/LM "
+        "(reference 'direct_connection'); 'ik' mode not implemented",
+    "use_constrained_gmm": "dead-in-reference (set, never read)",
+    "use_local_coordinates":
+        "superseded: per-candidate aligning transform inside evaluation",
+    "use_semantic_annotation_with_mgrd": "n/a: mgrd-only",
+}
+INERT_KEYS = {k: v for k, v in INERT_KEYS.items() if v is not None}
+
+
 def default_config() -> dict:
     return copy.deepcopy(DEFAULT_ALGORITHM_CONFIG)
 
 
+def _lookup(d: dict, dotted: str):
+    cur = d
+    for part in dotted.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            return None, False
+        cur = cur[part]
+    return cur, True
+
+
+def warn_inert_keys(preset: dict, source: str = "config") -> list:
+    """Log every accepted-but-inert key a preset sets to a NON-default
+    value (VERDICT r3: silent-ignore keys are a correctness trap).  Returns
+    the list of (dotted_key, disposition) that fired."""
+    from .log import write_message_to_log
+    fired = []
+    for dotted, why in INERT_KEYS.items():
+        val, present = _lookup(preset, dotted)
+        if not present:
+            continue
+        default, _ = _lookup(DEFAULT_ALGORITHM_CONFIG, dotted)
+        if val != default:
+            fired.append((dotted, why))
+            write_message_to_log(
+                f"{source}: '{dotted}' = {val!r} is accepted but has no "
+                f"effect ({why})")
+    return fired
+
+
 def load_config(path: str) -> dict:
     """Load a preset file, merged over the defaults (reference
-    mg_rest_interface.py `load_algorithm_settings` behavior)."""
+    mg_rest_interface.py `load_algorithm_settings` behavior).  Keys the
+    package does not consume are logged (see INERT_KEYS)."""
     cfg = default_config()
     with open(path) as f:
         preset = json.load(f)
+    warn_inert_keys(preset, source=path)
     _merge(cfg, preset)
     return cfg
 
