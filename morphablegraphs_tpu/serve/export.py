@@ -25,6 +25,12 @@ class KeyframeEvent:
     parameters: dict
 
 
+# Actions whose placed object is rotated by the engine after detach
+# (reference graph_walk.py:41 DEFAULT_PLACE_ACTION_LIST — semantic constant)
+DEFAULT_PLACE_ACTION_LIST = ["placeRight", "placeLeft", "insertRight",
+                             "insertLeft", "screwRight", "screwLeft"]
+
+
 class AnnotatedMotion:
     """Final synthesis product: frames + events + annotations (reference
     AnnotatedMotionVector)."""
@@ -32,12 +38,15 @@ class AnnotatedMotion:
     def __init__(self, skeleton: Skeleton, frames: np.ndarray,
                  action_ranges: Optional[List[tuple]] = None,
                  events: Optional[List[KeyframeEvent]] = None,
-                 mg_input: Optional[dict] = None):
+                 mg_input: Optional[dict] = None,
+                 collision_content: Optional[dict] = None):
         self.skeleton = skeleton
         self.frames = np.asarray(frames)
         self.action_ranges = action_ranges or []
         self.events = events or []
         self.mg_input = mg_input
+        # CA visualization payload (reference keyframe_event_list.py:47-49)
+        self.collision_content = collision_content
 
     @property
     def n_frames(self) -> int:
@@ -70,9 +79,13 @@ class AnnotatedMotion:
         for e in self.events:
             events.setdefault(str(e.keyframe), []).append(
                 {"event": e.event, "parameters": e.parameters})
-        return {"events": events,
-                "elementaryActionSequence":
-                    self.frame_annotation()["elementaryActionSequence"]}
+        out = {"events": events,
+               "elementaryActionSequence":
+                   self.frame_annotation()["elementaryActionSequence"]}
+        if self.collision_content is not None:
+            # reference update_events: keyframe_events_dict["collisionContent"]
+            out["collisionContent"] = self.collision_content
+        return out
 
     # -- Unity JSON (reference to_unity_format, :69-112) ---------------
     def to_unity_format(self, scale: float = 1.0) -> dict:
@@ -106,13 +119,25 @@ class AnnotatedMotion:
         return out
 
 
-def events_from_result(graph, result, annotations_per_action) -> List[KeyframeEvent]:
+def events_from_result(graph, result, annotations_per_action,
+                       add_rotate_events: bool = False,
+                       constraints_per_action=None) -> List[KeyframeEvent]:
     """Map keyframe annotations (attach/detach, reference
     keyframe_event_list._create_events_from_keyframe_constraints) onto output
-    frame indices via each step's frame range."""
+    frame indices via each step's frame range.
+
+    With add_rotate_events (reference keyframe_event_list.py:110-142
+    _add_empty_rotate_events_for_detach, gated there on NOT
+    constrain_place_orientation): every detach event of a place action whose
+    source keyframe constraint carries an orientation gets a paired 'rotate'
+    event one frame earlier with an empty relativeOrientation the engine
+    fills after IK.  (The reference's attach branch at :134 is dead code —
+    the outer loop admits detach events only.)  constraints_per_action:
+    per-action list of parsed KeyframeConstraintSpec (input_reader) used to
+    look up the constraint orientation by keyframe label."""
     events: List[KeyframeEvent] = []
-    for (action_name, start_f, end_f), annotations in zip(
-            result.action_ranges, annotations_per_action):
+    for action_idx, ((action_name, start_f, end_f), annotations) in enumerate(
+            zip(result.action_ranges, annotations_per_action)):
         action_steps = [s for s in result.steps
                         if s.node_key[0] == action_name
                         and start_f <= s.start_frame < max(end_f, start_f + 1)]
@@ -137,7 +162,75 @@ def events_from_result(graph, result, annotations_per_action) -> List[KeyframeEv
             span = target_step.end_frame - target_step.start_frame
             out_frame = target_step.start_frame + int(round(keyframe / n_can * span))
             for a in ann.get("annotations", []):
-                events.append(KeyframeEvent(keyframe=out_frame,
-                                            event=a.get("event", ""),
-                                            parameters=a.get("parameters", {})))
+                ev = KeyframeEvent(keyframe=out_frame,
+                                   event=a.get("event", ""),
+                                   parameters=a.get("parameters", {}))
+                events.append(ev)
+                if (add_rotate_events and ev.event == "detach"
+                        and action_name in DEFAULT_PLACE_ACTION_LIST):
+                    rot = _rotate_event_for_detach(
+                        ev, label,
+                        (constraints_per_action[action_idx]
+                         if constraints_per_action else []))
+                    if rot is not None:
+                        events.append(rot)
     return events
+
+
+def _rotate_event_for_detach(detach: KeyframeEvent, label: str,
+                             constraint_specs) -> Optional[KeyframeEvent]:
+    """'rotate' twin of a detach event (reference keyframe_event_list.py
+    :110-142): requires a source constraint with a set orientation; the
+    payload carries the global orientation, an empty relative orientation
+    and the detach keyframe as reference."""
+    orientation = None
+    for spec in constraint_specs:
+        if (spec.keyframe_label == label
+                and not np.all(np.isnan(spec.orientation))):
+            orientation = [None if np.isnan(v) else float(v)
+                           for v in spec.orientation]
+            break
+    if orientation is None:
+        return None
+    return KeyframeEvent(
+        keyframe=max(detach.keyframe - 1, 0), event="rotate",
+        parameters={"target": detach.parameters.get("target"),
+                    "joint": detach.parameters.get("joint"),
+                    "globalOrientation": orientation,
+                    "relativeOrientation": [None, None, None],
+                    "referenceKeyframe": int(detach.keyframe)})
+
+
+def collision_vis_data_from_result(skeleton: Skeleton, result) -> dict:
+    """CA visualization payload (reference keyframe_event_list.py:219-239
+    _create_collision_data_from_ca_constraints): for every active CA slot of
+    every step, the output keyframe where the constrained joint passes
+    closest to the CA target, mapped to the joint names at that keyframe.
+    One batched FK per step instead of the reference's per-frame
+    get_global_position loop."""
+    import jax.numpy as jnp
+    from ..models.skeleton import fk_positions
+    out: dict = {}
+    for step in result.steps:
+        sc = step.step_constraints
+        if sc is None:
+            continue
+        ca_active = np.asarray(sc.ca_active)
+        if ca_active.sum() <= 0:
+            continue
+        fr = result.frames[step.start_frame:step.end_frame + 1]
+        if len(fr) == 0 or fr.shape[-1] != skeleton.n_frame_params:
+            continue
+        pts = np.asarray(fk_positions(
+            skeleton, jnp.asarray(fr, jnp.float32)))  # [T, J, 3]
+        nodes = np.asarray(sc.ca_node)
+        targets = np.asarray(sc.ca_pos)
+        masks = np.asarray(sc.ca_pos_mask)
+        for slot in range(len(ca_active)):
+            if ca_active[slot] <= 0:
+                continue
+            d = (pts[:, int(nodes[slot])] - targets[slot]) * masks[slot]
+            kf = step.start_frame + int(np.argmin(np.sum(d * d, axis=-1)))
+            out.setdefault(kf, []).append(
+                skeleton.node_names[int(nodes[slot])])
+    return out

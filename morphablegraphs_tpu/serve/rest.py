@@ -33,12 +33,19 @@ class MGContext:
                  activate_joint_mapping: bool = False,
                  activate_coordinate_transform: bool = False,
                  target_skeleton=None, joint_name_map: Optional[dict] = None,
-                 retarget_scale: float = 1.0):
+                 retarget_scale: float = 1.0,
+                 create_ca_vis_data: bool = False,
+                 add_rotate_events: bool = False):
         self.graph = graph
         self.config = config or default_config()
         self.generator = MotionGenerator(graph, self.config)
         self.activate_joint_mapping = activate_joint_mapping
         self.activate_coordinate_transform = activate_coordinate_transform
+        # reference GraphWalk(create_ca_vis_data) + KeyframeEventList
+        # (keyframe_event_list.py:32-39,:47-49,:110-142); rotate events are
+        # additionally gated on NOT constrain_place_orientation
+        self.create_ca_vis_data = create_ca_vis_data
+        self.add_rotate_events = add_rotate_events
         # optional output retargeting (reference mg_rest_interface.py:70-93,
         # :133-136: retarget to a game-engine skeleton before export)
         self.target_skeleton = target_skeleton
@@ -72,9 +79,22 @@ class MGContext:
             mg_input,
             activate_coordinate_transform=self.activate_coordinate_transform)
         annotations_per_action = [a.annotations for a in parsed.actions]
-        events = events_from_result(self.graph, result, annotations_per_action)
+        add_rotate = (self.add_rotate_events
+                      and not self.config["inverse_kinematics_settings"]
+                      .get("constrain_place_orientation", False))
+        events = events_from_result(
+            self.graph, result, annotations_per_action,
+            add_rotate_events=add_rotate,
+            constraints_per_action=[a.keyframe_constraints
+                                    for a in parsed.actions])
+        collision = None
+        if self.create_ca_vis_data:
+            from .export import collision_vis_data_from_result
+            collision = collision_vis_data_from_result(self.graph.skeleton,
+                                                       result)
         motion = AnnotatedMotion(out_skeleton, out_frames,
-                                 result.action_ranges, events, mg_input)
+                                 result.action_ranges, events, mg_input,
+                                 collision_content=collision)
         if output_mode == "Unity":
             return motion.to_unity_format()
         return {

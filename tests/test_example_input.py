@@ -64,6 +64,76 @@ def test_full_pipeline_runs(result):
         assert s1 >= s0
 
 
+def test_rotate_events_for_detach(result, graph):
+    """add_rotate_events pairs each place-action detach whose constraint
+    carries an orientation with an empty 'rotate' event one frame earlier
+    (reference keyframe_event_list.py:110-142)."""
+    import copy
+    res, mg_input = result
+    modified = copy.deepcopy(mg_input)
+    for a in modified["elementaryActions"]:
+        if a["action"] == "placeRight":
+            a["constraints"][0]["keyframeConstraints"][0]["orientation"] = \
+                [0.0, 90.0, 0.0]
+    parsed = read_input(modified, activate_coordinate_transform=True,
+                        scale_factor=0.15)
+    annotations = [a.annotations for a in parsed.actions]
+    specs = [a.keyframe_constraints for a in parsed.actions]
+    events = events_from_result(graph, res, annotations,
+                                add_rotate_events=True,
+                                constraints_per_action=specs)
+    rotates = [e for e in events if e.event == "rotate"]
+    assert len(rotates) == 1
+    detach = [e for e in events if e.event == "detach"][0]
+    r = rotates[0]
+    assert r.keyframe == detach.keyframe - 1
+    assert r.parameters["target"] == "part_8556319"
+    assert r.parameters["joint"] == "RightHand"
+    assert r.parameters["relativeOrientation"] == [None, None, None]
+    assert r.parameters["referenceKeyframe"] == detach.keyframe
+    assert all(v is not None for v in r.parameters["globalOrientation"])
+    # no orientation on the constraint -> no rotate event (reference :115-117)
+    parsed0 = read_input(mg_input, activate_coordinate_transform=True,
+                         scale_factor=0.15)
+    events0 = events_from_result(
+        graph, res, [a.annotations for a in parsed0.actions],
+        add_rotate_events=True,
+        constraints_per_action=[a.keyframe_constraints
+                                for a in parsed0.actions])
+    assert not [e for e in events0 if e.event == "rotate"]
+
+
+def test_collision_vis_data_payload(graph):
+    """create_ca_vis_data maps each active CA slot to the output keyframe
+    where the joint passes closest to the target (reference
+    keyframe_event_list.py:219-239)."""
+    import jax.numpy as jnp
+    from morphablegraphs_tpu.constraints import compiled
+    from morphablegraphs_tpu.models.skeleton import fk_positions
+    from morphablegraphs_tpu.serve.export import collision_vis_data_from_result
+    from morphablegraphs_tpu.synthesis.motion_generator import GraphWalkEntry
+
+    skel = graph.skeleton
+    rng = np.random.default_rng(0)
+    frames = np.zeros((12, skel.n_frame_params), np.float32)
+    frames[:, 3] = 1.0
+    for q0 in range(7, skel.n_frame_params, 4):
+        frames[:, q0] = 1.0
+    frames[:, 0] = np.arange(12)  # root walks along +x
+    # CA target at the Head position of frame 7
+    pts7 = np.asarray(fk_positions(skel, jnp.asarray(frames[7])))
+    target = pts7[skel.index_of("Head")]
+    sc = compiled.empty_step_constraints(skel, 12)
+    sc = compiled.set_ca_constraint(sc, skel, "Head", target, slot=0)
+    step = GraphWalkEntry(node_key=("walk", "leftStance"),
+                          parameters=np.zeros(4, np.float32),
+                          arc_length=0.0, start_frame=0, end_frame=11,
+                          step_constraints=sc)
+    result = type("R", (), {"steps": [step], "frames": frames})
+    data = collision_vis_data_from_result(skel, result)
+    assert data == {7: ["Head"]}
+
+
 def test_events_extracted(result, graph):
     res, mg_input = result
     parsed = read_input(mg_input, activate_coordinate_transform=True,
