@@ -101,8 +101,22 @@ def config2_graph_walk():
 
 
 def config3_constrained():
+    """Constrained synthesis quality anchored to the reference oracle
+    (BASELINE config 3 'constraint error <= reference's logged error'):
+    the SAME model/constraints/sample-count solved by (a) the repo's
+    best-of-N + jacfwd-LM step and (b) the numpy/scipy oracle implementing
+    reference residual semantics + scipy optimization
+    (tests/reference_oracle.oracle_constrained_step).  vs_baseline =
+    repo_step_error / oracle_error (<= 1 means at-or-better-than
+    reference).  Request latency reports in its own field."""
+    from morphablegraphs_tpu.constraints import compiled
+    from morphablegraphs_tpu.models import primitive as prim_mod
+    from morphablegraphs_tpu.synthesis import generator
     from morphablegraphs_tpu.synthesis.motion_generator import MotionGenerator
     from morphablegraphs_tpu.utils.config import default_config
+    from morphablegraphs_tpu.utils.synthetic import (
+        make_graph_dict, make_reference_scale_graph_dict)
+    from reference_oracle import oracle_constrained_step
     graph, _ = _setup()
     cfg = default_config()
     cfg["n_random_samples"] = 50
@@ -122,9 +136,39 @@ def config3_constrained():
     t0 = time.perf_counter()
     res = gen.generate_motion(mg_input, activate_coordinate_transform=False)
     dt = time.perf_counter() - t0  # steady-state request latency
-    return {"metric": "config3_constrained_avg_error", "value":
-            round(res.stats["average_error"], 3), "unit": "cm",
-            "vs_baseline": round(dt, 1),
+
+    # oracle anchor: one constrained step on the same leftStance model with
+    # an identical goal + direction constraint and the same candidate count
+    if os.environ.get("MG_BENCH_SCALE") == "toy":
+        gd = make_graph_dict()
+    else:
+        gd = make_reference_scale_graph_dict()
+    data = gd["subgraphs"]["walk"]["nodes"]["leftStance"]["mm"]
+    goal = np.array([2.0, np.nan, 25.0])
+    dir_xz = np.array([0.1, 1.0]) / np.linalg.norm([0.1, 1.0])
+    end_kf = data["n_canonical_frames"] - 1
+    _, oracle_err = oracle_constrained_step(
+        data, goal, dir_xz, end_kf, n_samples=cfg["n_random_samples"],
+        seed=0)
+    prim = prim_mod.load_primitive_json(data)
+    sc = compiled.empty_step_constraints(graph.skeleton,
+                                         prim.n_canonical_frames)
+    sc = compiled.set_keyframe_constraint(sc, 0, graph.skeleton, "Hips",
+                                          end_kf, position=goal)
+    sc = compiled.set_direction_constraint(sc, dir_xz, end_kf)
+    sc = compiled.set_alignment_from_start_pose(sc, np.zeros(3, np.float32),
+                                                0.0)
+    s0, _ = generator.best_of_n(graph.skeleton, jax.random.PRNGKey(0), prim,
+                                sc, n_samples=cfg["n_random_samples"])
+    _, step_err = generator.refine_lm(graph.skeleton, prim, sc, s0,
+                                      n_iters=cfg["lm_iterations"])
+    step_err = float(step_err)
+    return {"metric": "config3_constrained_step_error", "value":
+            round(step_err, 3), "unit": "cm",
+            "oracle_error": round(oracle_err, 3),
+            "vs_baseline": round(step_err / max(oracle_err, 1e-9), 3),
+            "walk_avg_error": round(res.stats["average_error"], 3),
+            "request_latency_s": round(dt, 2),
             "p50_step_latency_s": round(res.stats["p50_step_latency"], 4)}
 
 

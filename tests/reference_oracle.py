@@ -64,3 +64,107 @@ class OracleMotionPrimitive:
         ct = coeffs.T
         return np.stack([si.splev(tf, (self.knots_s, ct[i], 3))
                          for i in range(self.n_dim)], axis=1), tf
+
+
+class OracleGMM:
+    """Numpy mixture (reference ExtendedMGRDMixtureModel surface): sampling
+    + log density, independent of ops/gmm.py."""
+
+    def __init__(self, weights, means, covars):
+        self.weights = np.asarray(weights, float)
+        self.means = np.asarray(means, float)
+        self.covars = np.asarray(covars, float)
+        self._chols = np.linalg.cholesky(self.covars)
+        self._log_norm = []
+        d = self.means.shape[1]
+        for c in self.covars:
+            sign, logdet = np.linalg.slogdet(c)
+            self._log_norm.append(-0.5 * (d * np.log(2 * np.pi) + logdet))
+        self._log_norm = np.asarray(self._log_norm)
+
+    def sample(self, n, rng):
+        comp = rng.choice(len(self.weights), size=n, p=self.weights)
+        z = rng.standard_normal((n, self.means.shape[1]))
+        return self.means[comp] + np.einsum("nij,nj->ni", self._chols[comp], z)
+
+    def logpdf(self, x):
+        logps = []
+        for k in range(len(self.weights)):
+            diff = np.asarray(x, float) - self.means[k]
+            sol = np.linalg.solve(self.covars[k], diff)
+            logps.append(np.log(self.weights[k]) + self._log_norm[k]
+                         - 0.5 * diff @ sol)
+        m = max(logps)
+        return m + np.log(sum(np.exp(lp - m) for lp in logps))
+
+
+def oracle_constrained_step(model_data, goal, dir_xz, end_kf,
+                            n_samples=50, seed=0, error_scale=1.0,
+                            quality_scale=0.1, refine=True,
+                            max_iterations=500):
+    """Reference-equivalent constrained step: numpy best-of-N over GMM
+    samples + scipy leastsq refinement with reference residual semantics
+    (reference motion_primitive_generator.py:109-190 generate_constrained
+    _sample + objective_functions.py:239-267 obj_spatial_error_sum_and_
+    naturalness; GlobalTransformConstraint = euclidean distance over the
+    constrained components, Direction2DConstraint = heading angle error in
+    degrees, each residual + quality_scale * negative log likelihood).
+
+    goal: [3] with NaN = unconstrained component; dir_xz: [2] normalized
+    target heading; end_kf: canonical keyframe of the goal.  Alignment is
+    the identity start pose (start (0,0,0), orientation 0) — pass
+    pre-transformed goals for other poses.
+
+    Returns (best_latent, best_error) where best_error is the plain
+    constraint error (no naturalness), the quantity the repo's
+    MotionResult.stats["average_error"] reports.
+    """
+    import scipy.optimize as so
+
+    prim = OracleMotionPrimitive(model_data)
+    gmm = OracleGMM(model_data["gmm_weights"], model_data["gmm_means"],
+                    model_data["gmm_covars"])
+    rng = np.random.RandomState(seed)
+    goal = np.asarray(goal, float)
+    mask = ~np.isnan(goal)
+    target_dir = np.asarray(dir_xz, float)
+    target_dir = target_dir / np.linalg.norm(target_dir)
+
+    def constraint_errors(s):
+        coeffs = prim.back_project_spatial_coeffs(
+            np.asarray(s[: prim.k_s], float))
+        ct = coeffs.T
+        pos = np.array([si.splev(end_kf, (prim.knots_s, ct[i], 3))
+                        for i in range(3)])
+        q = np.array([si.splev(end_kf, (prim.knots_s, ct[3 + i], 3))
+                      for i in range(4)])
+        q = q / max(np.linalg.norm(q), 1e-10)
+        # heading = root quat applied to [0,0,1], projected to xz
+        w, x, y, z = q
+        fwd = np.array([2 * (x * z + w * y), 1 - 2 * (x * x + y * y)])
+        fwd = fwd / max(np.linalg.norm(fwd), 1e-10)
+        pos_err = np.linalg.norm((pos - np.where(mask, goal, pos))[mask]) \
+            if mask.any() else 0.0
+        cos_a = float(np.clip(np.dot(target_dir, fwd), -1.0, 1.0))
+        dir_err = abs(np.degrees(np.arccos(cos_a)))
+        return np.array([pos_err, dir_err])
+
+    def residuals(s):
+        nll = -gmm.logpdf(s)
+        return error_scale * constraint_errors(s) + quality_scale * nll
+
+    samples = gmm.sample(n_samples, rng)
+    sums = [float(np.sum(residuals(s))) for s in samples]
+    best = samples[int(np.argmin(sums))]
+    if refine:
+        # the reference's obj_spatial_error_sum_and_naturalness is a SCALAR
+        # sum minimized numerically (objective_functions.py:239-267);
+        # MINPACK leastsq needs M >= N, so the scalar path uses minimize
+        if len(residuals(best)) >= len(best):
+            best, _ = so.leastsq(residuals, best, maxfev=int(max_iterations))
+        else:
+            r = so.minimize(lambda s: float(np.sum(residuals(s))), best,
+                            method="L-BFGS-B",
+                            options={"maxiter": int(max_iterations)})
+            best = r.x
+    return best, float(np.sum(constraint_errors(best)))
