@@ -98,10 +98,15 @@ def main():
 
     variants = [
         # lm_iters 0 vs 3 isolates the per-iteration LM program; exact vs
-        # frozen isolates the advancing-closest-point tangent chain
+        # frozen isolates the advancing-closest-point tangent chain; frozen
+        # linearize vs closed isolates the fused value+jacobian iteration
+        # (compiled.make_frozen_root_residuals_closed)
         ("no_lm", dict(n_samples=128, lm_iters=0)),
         ("exact_lm3", dict(n_samples=128, lm_iters=3)),
-        ("frozen_lm3", dict(n_samples=128, lm_iters=3, lm_frozen=True)),
+        ("frozen_lm3", dict(n_samples=128, lm_iters=3, lm_frozen=True,
+                            lm_frozen_closed=False)),
+        ("frozen_closed_lm3", dict(n_samples=128, lm_iters=3,
+                                   lm_frozen=True)),
     ]
 
     results = {}
@@ -117,7 +122,7 @@ def main():
 
     if {"no_lm", "exact_lm3", "frozen_lm3"} <= results.keys():
         base = results["no_lm"]["instructions"]
-        for v in ("exact_lm3", "frozen_lm3"):
+        for v in ("exact_lm3", "frozen_lm3", "frozen_closed_lm3"):
             per_iter = (results[v]["instructions"] - base) / 3.0
             print(f"# {v}: ~{per_iter:.0f} HLO instructions per LM "
                   f"iteration (over the no-LM program)", flush=True)

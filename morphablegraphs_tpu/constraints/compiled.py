@@ -782,6 +782,194 @@ def make_frozen_root_residuals(skeleton: Skeleton, knots_s: jax.Array,
     return make
 
 
+def make_frozen_root_residuals_closed(skeleton: Skeleton, knots_s: jax.Array,
+                                      sc: StepConstraints, eigen_s: jax.Array,
+                                      mean_s: jax.Array, n_basis: int,
+                                      n_dim: int, k_s: int,
+                                      use_traj: bool = True,
+                                      use_ca: bool = False):
+    """Fused-iteration form of `make_frozen_root_residuals`: same frozen
+    model, but the residual VALUE and its JACOBIAN come out of one pass
+    instead of `jax.linearize` + one tangent evaluation per latent dim.
+
+    Returns make(s_freeze) -> (r_raw [R], J_raw [R, k_s], value_fn) where
+    r_raw/J_raw are evaluated at the freeze point (LM re-freezes every
+    iteration, so the jacobian is always wanted exactly there) and
+    value_fn(s) evaluates the frozen-model residuals at a probe point.
+
+    Structure exploited: the aligned query frames are an affine map of the
+    latent (base = bmu + be @ alpha, first = fe @ alpha + fmu) followed by
+    a chain that only ever reads SEVEN channels per frame row — root
+    translation 0:3 and the root quaternion 3:7 (`fk_root` with the root
+    as animated joint 0; the jr family's dynamically-indexed quaternion is
+    carried as one extra affine 4-vector).  So the whole jacobian is
+    J = (dg/dfirst7) @ fe7 + (dg/drows7) . be7 + (dg/djrq) @ bejr: the
+    head gradients come from ONE vector-jacobian pass over the cheap
+    7-channel head function g (auto-derived — no hand-written chain rule),
+    and the contractions with the precomputed affine operators are batched
+    matmuls.  Per LM iteration this replaces the k_s-tangent linearize of
+    the full [T, n_dim] frame chain (the dominant op-count block in the
+    HLO receipts, benchmarks/hlo_ops.py) with ~one value pass + one VJP
+    pass + two dots.
+
+    Exactness: r_raw and value_fn match `make_frozen_root_residuals` to
+    rounding, and J_raw matches its `jax.linearize` jacobian (tested in
+    test_constrained_walk_full.py).  Contract: `fk_root`'s root must be
+    animated joint 0 (callers check `frozen_closed_supported`); remaining
+    semantics (root-only slots, jr allowed) are as the frozen factory.
+    Reference provenance: objective_functions.py:239-267 residual
+    semantics via make_frozen_root_residuals (this file)."""
+    from ..models.skeleton import _fk_tables  # root animated-index check
+
+    if _fk_tables(skeleton)[0] != 0:
+        raise ValueError("closed frozen path requires the root to be "
+                         "animated joint 0 (fk_root reads channels 3:7)")
+    d = n_dim
+    parts = [sc.kf_frame, sc.dir_frame[None], sc.la_frame[None],
+             sc.rt_frame[None], sc.jr_frame[None]]
+    o_lin = MAX_KF + 4
+    t_lin = jnp.linspace(0.0, 1.0, TRAJ_SAMPLES) * jnp.maximum(
+        sc.n_canonical - 1.0, 1.0)
+    need_lin = use_traj or use_ca
+    if need_lin:
+        parts.append(t_lin)
+    t_all = jnp.concatenate(parts)
+    n_rows = t_all.shape[0]
+    b_all = bspline.basis_matrix(knots_s, t_all)  # [T, nb]
+    e3 = eigen_s[:, :k_s].reshape(n_basis, d, k_s)
+    m2 = mean_s.reshape(n_basis, d)
+    # affine operators restricted to the consumed channels
+    be7 = jnp.einsum("tb,bck->tck", b_all, e3[:, :7, :],
+                     precision=jax.lax.Precision.HIGHEST)  # [T, 7, k]
+    bmu7 = jnp.matmul(b_all, m2[:, :7],
+                      precision=jax.lax.Precision.HIGHEST)  # [T, 7]
+    # the jr row's full-D affine map (its quaternion channel is dynamic)
+    bejr = jnp.einsum("b,bdk->dk", b_all[MAX_KF + 3], e3,
+                      precision=jax.lax.Precision.HIGHEST)  # [d, k]
+    bmujr = jnp.matmul(b_all[MAX_KF + 3], m2,
+                       precision=jax.lax.Precision.HIGHEST)  # [d]
+    cjr = 3 + 4 * sc.jr_joint
+    jr_map = jax.lax.dynamic_slice(bejr, (cjr, 0), (4, k_s))  # [4, k]
+    jr_mu = jax.lax.dynamic_slice(bmujr, (cjr,), (4,))
+    fe7 = eigen_s[:7, :k_s]  # first coefficient row block, 7 channels
+    fmu7 = mean_s[:7]
+    off0 = jnp.asarray(skeleton.offsets)[0]
+    mask_dim = (jnp.where(sc.traj.unconstrained, 0.0, 1.0)
+                if use_traj else jnp.ones(3))
+
+    def align_from(first7: jax.Array):
+        q_prev, d_prev = align.node_aligning_2d_transform(sc.prev_last,
+                                                          first7)
+        q_y = jnp.where(sc.has_prev > 0, q_prev, sc.start_q)
+        delta = jnp.where(sc.has_prev > 0, d_prev, sc.start_delta)
+        return q_y, delta
+
+    def affine_at(s: jax.Array):
+        alpha = s[:k_s]
+        first7 = jnp.matmul(fe7, alpha,
+                            precision=jax.lax.Precision.HIGHEST) + fmu7
+        rows7 = bmu7 + jnp.einsum("tck,k->tc", be7, alpha,
+                                  precision=jax.lax.Precision.HIGHEST)
+        jrq = jr_mu + jnp.matmul(jr_map, alpha,
+                                 precision=jax.lax.Precision.HIGHEST)
+        return first7, rows7, jrq
+
+    def make(s_freeze: jax.Array):
+        first7_0, rows7_0, jrq_0 = affine_at(s_freeze)
+        frozen = {}
+        if use_traj:
+            q_y0, delta_0 = align_from(first7_0)
+            rp0 = (off0 + quat.rotate_vec(q_y0[None], rows7_0[o_lin:, :3])
+                   + delta_0)
+            pts, arcs, _ = spline_path.closest_points_advancing(
+                sc.traj, rp0, sc.traj_min_arc)
+            frozen["pts"] = pts
+            frozen["in_range"] = ((arcs >= sc.traj_range_start)
+                                  & (arcs <= sc.traj_range_end))
+
+        def g(first7: jax.Array, rows7: jax.Array, jrq: jax.Array):
+            """Residual heads on the 7-channel frame rows (+ the jr
+            4-vector) — same formulas as make_frozen_root_residuals."""
+            q_y, delta = align_from(first7)
+            rp = off0 + quat.rotate_vec(q_y[None], rows7[:, :3]) + delta
+            rq = quat.multiply(q_y[None], rows7[:, 3:7])
+
+            jpos = rp[:MAX_KF]
+            jori = rq[:MAX_KF]
+            pos_err = jnp.sqrt(jnp.maximum(jnp.sum(
+                ((jpos - sc.kf_pos) * sc.kf_pos_mask) ** 2, axis=-1), 1e-12))
+            dot = jnp.abs(jnp.sum(quat.normalize(jori) * sc.kf_quat,
+                                  axis=-1))
+            ang = 2.0 * jnp.arccos(jnp.clip(dot, -1.0 + 1e-6, 1.0 - 1e-6))
+            kf_res = sc.kf_active * sc.kf_weight * (pos_err
+                                                    + sc.kf_has_quat * ang)
+
+            heading = quat.rotate_vec(quat.normalize(rq[MAX_KF]),
+                                      jnp.array([0.0, 0.0, 1.0]))
+            motion_dir = jnp.stack([heading[0], heading[2]])
+            motion_dir = motion_dir / jnp.maximum(
+                jnp.linalg.norm(motion_dir), 1e-10)
+            cos_a = jnp.clip(jnp.dot(sc.dir_target, motion_dir), -1.0, 1.0)
+            dir_res = (sc.dir_active * sc.dir_weight
+                       * jnp.rad2deg(jnp.arccos(cos_a)))
+
+            # jr: animated joint 0 is the root -> its quat channels 3:7
+            # are the aligned rq row; any other joint is pass-through
+            q_jr = jnp.where(sc.jr_joint == 0, rq[MAX_KF + 3], jrq)
+            q_local = quat.normalize(q_jr)
+            dot_jr = jnp.abs(jnp.sum(q_local * sc.jr_quat))
+            jr_res = sc.jr_active * sc.jr_weight * 2.0 * jnp.arccos(
+                jnp.clip(dot_jr, -1.0 + 1e-6, 1.0 - 1e-6))
+
+            if use_traj:
+                root_tr = rp[o_lin: o_lin + TRAJ_SAMPLES]
+                d_tr = jnp.sqrt(jnp.maximum(jnp.sum(
+                    ((root_tr - frozen["pts"]) * mask_dim) ** 2, axis=-1),
+                    1e-24))
+                traj_res = (sc.traj_active * sc.traj_weight
+                            * jnp.where(frozen["in_range"], d_tr, 0.0))
+            else:
+                traj_res = jnp.zeros(TRAJ_SAMPLES)
+
+            if use_ca:
+                jca = rp[o_lin: o_lin + TRAJ_SAMPLES][:, None, :]
+                d_ca = jnp.sqrt(jnp.maximum(jnp.sum(
+                    ((jca - sc.ca_pos) * sc.ca_pos_mask) ** 2, axis=-1),
+                    1e-12))
+                ca_res = sc.ca_active * sc.ca_weight * jnp.min(d_ca, axis=0)
+            else:
+                ca_res = jnp.zeros(MAX_CA)
+
+            zero = jnp.zeros(1)
+            return jnp.concatenate([kf_res, dir_res[None], zero, zero,
+                                    jr_res[None], zero, ca_res, traj_res,
+                                    jnp.zeros(TRAJ_SAMPLES)])
+
+        r_raw, vjp = jax.vjp(g, first7_0, rows7_0, jrq_0)
+        j_first, j_rows, j_jr = jax.vmap(vjp)(jnp.eye(N_RESIDUALS,
+                                                      dtype=r_raw.dtype))
+        j_raw = (jnp.matmul(j_first, fe7,
+                            precision=jax.lax.Precision.HIGHEST)
+                 + jnp.einsum("rtc,tck->rk", j_rows, be7,
+                              precision=jax.lax.Precision.HIGHEST)
+                 + jnp.matmul(j_jr, jr_map,
+                              precision=jax.lax.Precision.HIGHEST))
+
+        def value_fn(s: jax.Array) -> jax.Array:
+            return g(*affine_at(s))
+
+        return r_raw, j_raw, value_fn
+
+    return make
+
+
+def frozen_closed_supported(skeleton: Skeleton) -> bool:
+    """Host-static check for the closed frozen-LM path: the root must be
+    animated joint 0 so `fk_root`'s orientation is frame channels 3:7."""
+    from ..models.skeleton import _fk_tables
+    return _fk_tables(skeleton)[0] == 0
+
+
 def fill_locomotion_slots(sc: StepConstraints, path: spline_path.PathSpline,
                           loco: LocoSpec, use_pos: bool = True,
                           use_dir: bool = True,

@@ -123,7 +123,8 @@ def _chol_solve_vmap(axis_size, in_batched, a, g):
 
 def lm_minimize(residual_fn, s0: jax.Array, n_iters: int,
                 init_lambda: float = 1.0, init_radius: float = 1.0,
-                max_radius: float = 16.0, make_residual_fn=None):
+                max_radius: float = 16.0, make_residual_fn=None,
+                make_value_jac_fn=None):
     """Minimize sum(residual_fn(s)^2) from s0 with n_iters LM iterations.
 
     Accept/reject per iteration: an improving step halves lambda and doubles
@@ -138,20 +139,36 @@ def lm_minimize(residual_fn, s0: jax.Array, n_iters: int,
     constants by the returned closure, so the jacobian tangents only flow
     through the cheap residual heads.  When given, `residual_fn` is ignored
     (pass None).
+
+    make_value_jac_fn (optional): a factory s -> (r [R], J [R, L],
+    value_fn) producing the residuals AND their jacobian at the current
+    iterate in one fused pass, plus a value-only probe for accept/reject —
+    the closed-form frozen hook (compiled.make_frozen_root_residuals_closed)
+    that replaces `jax.linearize` + one tangent per latent dim entirely.
+    Exactly one of the three function arguments must be given.
     """
-    if (residual_fn is None) == (make_residual_fn is None):
-        raise ValueError("pass exactly one of residual_fn / make_residual_fn")
+    n_modes = sum(fn is not None
+                  for fn in (residual_fn, make_residual_fn,
+                             make_value_jac_fn))
+    if n_modes != 1:
+        raise ValueError("pass exactly one of residual_fn / "
+                         "make_residual_fn / make_value_jac_fn")
     n_lat = s0.shape[0]
     eye = jnp.eye(n_lat, dtype=s0.dtype)
 
     def body(carry, _):
         s, lam, radius = carry
-        rfn = residual_fn if make_residual_fn is None else make_residual_fn(s)
-        # one linearization serves both the residual value and the jacobian
-        # (jacfwd would evaluate the primal a second time)
-        r, lin = jax.linearize(rfn, s)
-        err = jnp.sum(r * r)
-        j = jax.vmap(lin)(eye).T  # [R, L]
+        if make_value_jac_fn is not None:
+            r, j, rfn = make_value_jac_fn(s)
+            err = jnp.sum(r * r)
+        else:
+            rfn = (residual_fn if make_residual_fn is None
+                   else make_residual_fn(s))
+            # one linearization serves both the residual value and the
+            # jacobian (jacfwd would evaluate the primal a second time)
+            r, lin = jax.linearize(rfn, s)
+            err = jnp.sum(r * r)
+            j = jax.vmap(lin)(eye).T  # [R, L]
         jtj = jnp.matmul(j.T, j, precision=jax.lax.Precision.HIGHEST)
         # Relative floor on the damping diagonal: with few active residuals
         # JtJ is rank-deficient and near-null latent dims carry ~0 diagonal,

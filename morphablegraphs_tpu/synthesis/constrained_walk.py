@@ -262,7 +262,8 @@ def default_step_scs(skeleton, n_steps: int):
                                     "use_ca", "use_ts", "use_half",
                                     "root_node", "pallas_selection",
                                     "pallas_ee",
-                                    "root_only", "lm_frozen"))
+                                    "root_only", "lm_frozen",
+                                    "lm_frozen_closed"))
 def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                           path: spline_path.PathSpline, start_id: jax.Array,
                           n_steps: int, step_scs=None,
@@ -281,7 +282,8 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                           pallas_selection: bool = False,
                           pallas_ee: str = None,
                           root_only: bool = False,
-                          lm_frozen: bool = False):
+                          lm_frozen: bool = False,
+                          lm_frozen_closed: bool = True):
     """Trajectory-following walk with FULL constraint semantics per step.
 
     Per scan step (reference motion_generator.py:157-268 +
@@ -472,27 +474,65 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
             def refine(args):
                 s0, e0 = args
                 if lm_frozen:
-                    # frozen-model LM (compiled.make_frozen_root_residuals):
-                    # alignment + trajectory correspondences re-frozen each
-                    # iteration, residuals affine in the latent -> jacobian
-                    # tangents cost one [T,D,k] contraction + tiny heads.
-                    # The final candidate is re-scored exactly below, so a
-                    # frozen-model step is only ever kept when the TRUE
-                    # error improves.
-                    raw_make = compiled.make_frozen_root_residuals(
-                        skeleton, g.knots_s[state.node_id], sc,
-                        g.eigen_s[state.node_id], g.mean_s[state.node_id],
-                        g.n_basis_max, g.n_dim, g.k_s_max,
-                        use_traj=use_traj, use_ca=use_ca)
+                    # frozen-model LM: alignment + trajectory
+                    # correspondences re-frozen each iteration, residuals
+                    # affine in the latent.  The final candidate is
+                    # re-scored exactly below, so a frozen-model step is
+                    # only ever kept when the TRUE error improves.
+                    # Default: the closed-form fused iteration
+                    # (value + jacobian in one VJP pass over the 7-channel
+                    # heads + affine contractions) — lm_frozen_closed=False
+                    # falls back to the linearize-per-tangent form (the
+                    # spec the closed form is parity-tested against).
+                    use_closed = (lm_frozen_closed
+                                  and compiled.frozen_closed_supported(
+                                      skeleton))
+                    if use_closed:
+                        raw_make_c = compiled.make_frozen_root_residuals_closed(
+                            skeleton, g.knots_s[state.node_id], sc,
+                            g.eigen_s[state.node_id], g.mean_s[state.node_id],
+                            g.n_basis_max, g.n_dim, g.k_s_max,
+                            use_traj=use_traj, use_ca=use_ca)
+                        n_lat = s0.shape[0]
 
-                    def make_fn(sv):
-                        rf = raw_make(sv)
-                        return lambda x: act * (
-                            error_scale * rf(x)
-                            + quality_scale * (-gmm_ops.log_prob(gmm, x)))
+                        def make_vj(sv):
+                            r_raw, j_raw, vfn = raw_make_c(sv)
+                            nll, g_nll = jax.value_and_grad(
+                                lambda x: -gmm_ops.log_prob(gmm, x))(sv)
+                            j_pad = jnp.pad(
+                                j_raw, ((0, 0), (0, n_lat - j_raw.shape[1])))
+                            r = act * (error_scale * r_raw
+                                       + quality_scale * nll)
+                            j = act[:, None] * (error_scale * j_pad
+                                                + quality_scale
+                                                * g_nll[None, :])
 
-                    s_opt, _ = lm_ops.lm_minimize(
-                        None, s0, lm_iters, make_residual_fn=make_fn)
+                            def value(x):
+                                return act * (
+                                    error_scale * vfn(x)
+                                    + quality_scale
+                                    * (-gmm_ops.log_prob(gmm, x)))
+
+                            return r, j, value
+
+                        s_opt, _ = lm_ops.lm_minimize(
+                            None, s0, lm_iters, make_value_jac_fn=make_vj)
+                    else:
+                        raw_make = compiled.make_frozen_root_residuals(
+                            skeleton, g.knots_s[state.node_id], sc,
+                            g.eigen_s[state.node_id], g.mean_s[state.node_id],
+                            g.n_basis_max, g.n_dim, g.k_s_max,
+                            use_traj=use_traj, use_ca=use_ca)
+
+                        def make_fn(sv):
+                            rf = raw_make(sv)
+                            return lambda x: act * (
+                                error_scale * rf(x)
+                                + quality_scale
+                                * (-gmm_ops.log_prob(gmm, x)))
+
+                        s_opt, _ = lm_ops.lm_minimize(
+                            None, s0, lm_iters, make_residual_fn=make_fn)
                 else:
                     s_opt, _ = lm_ops.lm_minimize(residuals, s0, lm_iters)
                 e_opt = stacked_error(skeleton, g, state.node_id, sc, s_opt,

@@ -326,6 +326,108 @@ def test_frozen_residuals_exact_at_freeze_point(scale):
                                    rtol=0.5, atol=1.0)
 
 
+@pytest.mark.parametrize("scale", ["toy", "ref"])
+def test_frozen_closed_matches_linearize(scale):
+    """make_frozen_root_residuals_closed: value, jacobian, and probe all
+    match the linearize-based frozen factory (the spec) to rounding — over
+    keyframe pos+quat, direction, trajectory (with an active range), CA
+    on/off, jr on the root (transformed branch) and on another animated
+    joint (affine pass-through branch), and both alignment modes."""
+    skel, graph, stacked, path = _setup(scale)
+    node_key = ("walk", "leftStance")
+    prim = graph.nodes[node_key].primitive
+    node_id = stacked.node_id(node_key)
+    end = prim.n_canonical_frames - 1
+    nid = jnp.asarray(node_id, jnp.int32)
+    n_lat = stacked.k_s_max + stacked.k_t_max
+    assert compiled.frozen_closed_supported(skel)
+
+    base = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    base = compiled.set_keyframe_constraint(
+        base, 0, skel, "Hips", end, position=[10.0, np.nan, 50.0],
+        quat_wxyz=[0.9, 0.0, 0.43, 0.0])
+    base = compiled.set_direction_constraint(base, [0.3, 1.0], end)
+    base = compiled.set_trajectory_constraint(base, skel, path, "Hips", 2.0)
+    base = compiled.set_trajectory_active_range(base, 5.0, 100.0)
+    base = compiled.set_ca_constraint(base, skel, "Hips", [30.0, 0.0, 40.0])
+    prev = np.zeros(skel.n_frame_params, np.float32)
+    prev[3::4] = 1.0
+    prev[0], prev[2] = 3.0, 8.0
+
+    jr_other = skel.animated_joints[min(2, len(skel.animated_joints) - 1)]
+    variants = {
+        "prev": compiled.set_alignment_from_prev(base, prev),
+        "start_pose": compiled.set_alignment_from_start_pose(
+            base, [1.0, 0.0, -2.0], 35.0),
+        "jr_root": compiled.set_joint_rotation_constraint(
+            compiled.set_alignment_from_prev(base, prev), skel, "Hips",
+            [0.8, 0.0, 0.6, 0.0], end // 2),
+        "jr_other": compiled.set_joint_rotation_constraint(
+            compiled.set_alignment_from_prev(base, prev), skel, jr_other,
+            [0.8, 0.0, 0.6, 0.0], end // 2),
+    }
+
+    rng = np.random.default_rng(23)
+    for name, sc in variants.items():
+        for use_ca in (False, True):
+            args = (skel, stacked.knots_s[nid], sc, stacked.eigen_s[nid],
+                    stacked.mean_s[nid], stacked.n_basis_max, stacked.n_dim,
+                    stacked.k_s_max)
+            make_lin = compiled.make_frozen_root_residuals(
+                *args, use_traj=True, use_ca=use_ca)
+            make_cl = compiled.make_frozen_root_residuals_closed(
+                *args, use_traj=True, use_ca=use_ca)
+            for _ in range(2):
+                s = jnp.asarray(_pad_latent(
+                    rng.standard_normal(prim.n_latent).astype(np.float32),
+                    prim, stacked))
+                rfn = make_lin(s)
+                r_lin, lin = jax.linearize(rfn, s)
+                j_lin = np.asarray(jax.vmap(lin)(
+                    jnp.eye(n_lat, dtype=s.dtype))).T  # [R, L]
+                r_cl, j_cl, vfn = make_cl(s)
+                np.testing.assert_allclose(
+                    np.asarray(r_cl), np.asarray(r_lin), atol=1e-4,
+                    rtol=1e-4, err_msg=f"{name} value use_ca={use_ca}")
+                # raw residuals never read the time part of the latent
+                np.testing.assert_allclose(
+                    j_lin[:, stacked.k_s_max:], 0.0, atol=1e-6)
+                np.testing.assert_allclose(
+                    np.asarray(j_cl), j_lin[:, : stacked.k_s_max],
+                    atol=2e-3, rtol=1e-3,
+                    err_msg=f"{name} jacobian use_ca={use_ca}")
+                # probe away from the freeze point: same frozen model
+                s2 = s + 0.25
+                np.testing.assert_allclose(
+                    np.asarray(vfn(s2)), np.asarray(rfn(s2)), atol=1e-4,
+                    rtol=1e-4, err_msg=f"{name} probe use_ca={use_ca}")
+
+
+def test_full_walk_frozen_closed_matches_linearize_walk():
+    """The full frozen-LM walk produces the same motion through the
+    closed-form iteration as through the linearize form."""
+    skel, graph, stacked, path = _setup("ref")
+    start_id = stacked.node_id(("walk", "beginLeftStance"))
+    key = jax.random.PRNGKey(5)
+    kw = dict(n_steps=4, max_step_frames=160, n_samples=16, lm_iters=3,
+              root_only=True, lm_frozen=True)
+    seg_l, nf_l, ids_l, err_l = cw.constrained_walk_full(
+        skel, key, stacked, path, jnp.asarray(start_id, jnp.int32),
+        lm_frozen_closed=False, **kw)
+    seg_c, nf_c, ids_c, err_c = cw.constrained_walk_full(
+        skel, key, stacked, path, jnp.asarray(start_id, jnp.int32),
+        lm_frozen_closed=True, **kw)
+    np.testing.assert_array_equal(np.asarray(nf_l), np.asarray(nf_c))
+    np.testing.assert_array_equal(np.asarray(ids_l), np.asarray(ids_c))
+    # same iterates up to f32 rounding; 3 LM iterations compound the
+    # different (mathematically equal) jacobian op orders slightly
+    np.testing.assert_allclose(np.asarray(err_c), np.asarray(err_l),
+                               atol=5e-2, rtol=5e-3)
+    mask = np.asarray(nf_l) > 0
+    np.testing.assert_allclose(np.asarray(seg_c)[mask],
+                               np.asarray(seg_l)[mask], atol=2e-2)
+
+
 def test_full_walk_frozen_lm_matches_exact_lm_quality():
     """The frozen-model LM fast path must reach errors statistically equal
     to (or better than, never meaningfully worse than) the exact LM."""
