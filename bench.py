@@ -31,9 +31,12 @@ Also reports an estimated-FLOPs roofline line on stderr (XLA cost analysis
 of the compiled crowd program vs the chip's nominal peak).
 
 Env knobs: MG_BENCH_CONFIG=ref|toy|ee (default ref), MG_BENCH_PLATFORM=
-tpu|cpu (skip probing), MG_BENCH_LM_FROZEN=1 (frozen-correspondence LM),
-MG_BENCH_EXTRAS=0 (skip the ee extras run), MG_LM_PALLAS_SOLVE=0|1 (crowd
-Cholesky kernel; unset = decided by an on-TPU preflight A/B).
+tpu|cpu (skip probing), MG_BENCH_LM_FROZEN=0 (disable the
+frozen-correspondence LM — default ON since the 2026-08-19 TPU A/B measured
+it 2.04x the exact-LM headline at equal converged error, see
+benchmarks/results/BENCH_TPU_20260819T182501Z.json), MG_BENCH_EXTRAS=0
+(skip the ee extras run), MG_LM_PALLAS_SOLVE=0|1 (crowd Cholesky kernel;
+unset = decided by an on-TPU preflight A/B).
 """
 
 import json
@@ -129,7 +132,7 @@ print(f"SOLVE_PROBE ok err={err:.2e} xla={t_ref*1e3:.2f}ms "
 """
 
 
-def preflight_lm_solve(timeout_s: int = 420) -> None:
+def preflight_lm_solve(timeout_s: int = 600) -> None:
     """Decide MG_LM_PALLAS_SOLVE on TPU by compiling + A/B-timing the crowd
     Cholesky kernel against the vmapped unrolled solve in a bounded
     subprocess.  An unproven Mosaic kernel must never be able to take the
@@ -173,11 +176,12 @@ def rand_path(rng, spline_path, granularity=256):
 
 def run_config(config: str, on_tpu: bool, n_chars: int, n_steps: int,
                n_samples: int, n_iters: int, lm_iters: int = 3,
-               lm_frozen=None):
+               lm_frozen=None, lm_frozen_closed: bool = True):
     """Measure one workload config; returns a result dict.
 
     lm_frozen: None reads MG_BENCH_LM_FROZEN; True/False force the
-    frozen-correspondence LM for A/B extras runs."""
+    frozen-correspondence LM for A/B extras runs.  lm_frozen_closed=False
+    keeps the jax.linearize jacobian for the closed-form A/B extra."""
     import jax
     import jax.numpy as jnp
 
@@ -251,10 +255,12 @@ def run_config(config: str, on_tpu: bool, n_chars: int, n_steps: int,
         root_only = cmp.step_scs_root_only(step_scs)
         # frozen-correspondence LM (root-only fast path): the advancing
         # closest-point scan runs once per LM iteration instead of once per
-        # jacobian tangent; MG_BENCH_LM_FROZEN=1 opts in, and the TPU
-        # extras pass measures the A/B explicitly (lm_frozen param)
+        # jacobian tangent.  Default ON: the 2026-08-19 TPU A/B measured
+        # 3.49M vs 1.71M frames/s (2.04x) at equal converged error
+        # (BENCH_TPU_20260819T182501Z.json); MG_BENCH_LM_FROZEN=0 reverts,
+        # and the extras pass still records the exact-LM number each run
         if lm_frozen is None:
-            lm_frozen = os.environ.get("MG_BENCH_LM_FROZEN", "0") == "1"
+            lm_frozen = os.environ.get("MG_BENCH_LM_FROZEN", "1") == "1"
         lm_frozen = bool(lm_frozen) and root_only
 
         @jax.jit
@@ -264,7 +270,8 @@ def run_config(config: str, on_tpu: bool, n_chars: int, n_steps: int,
                 max_step_frames=160, n_samples=n_samples,
                 lm_iters=lm_iters, lm_threshold=5.0,
                 pallas_selection=use_pallas, pallas_ee=pallas_ee,
-                root_only=root_only, lm_frozen=lm_frozen))(keys, paths, sids)
+                root_only=root_only, lm_frozen=lm_frozen,
+                lm_frozen_closed=lm_frozen_closed))(keys, paths, sids)
 
     keys = jax.random.split(jax.random.PRNGKey(0), n_chars)
     # AOT: ONE compile serves both the cost analysis and the timed runs
@@ -423,12 +430,17 @@ def main() -> None:
 
         extra("ee", config="ee", on_tpu=on_tpu, n_chars=1024, n_steps=8,
               n_samples=64, n_iters=3, lm_iters=3)
-        # frozen-correspondence LM vs the headline (same workload):
-        # frames/s ratio is the measurement gating the default flip
-        # (docs/architecture.md Known limits)
-        extra("lm_frozen", config="ref", on_tpu=on_tpu, n_chars=1024,
+        # exact LM vs the (now frozen-by-default) headline: keeps the A/B
+        # that justified the default flip on record every TPU run
+        extra("lm_exact", config="ref", on_tpu=on_tpu, n_chars=1024,
               n_steps=8, n_samples=64, n_iters=3, lm_iters=3,
-              lm_frozen=True)
+              lm_frozen=False)
+        # frozen jacobian via jax.linearize vs the closed-form fused
+        # iteration (compiled.make_frozen_root_residuals_closed): decides
+        # lm_frozen_closed's default
+        extra("lm_frozen_linz", config="ref", on_tpu=on_tpu, n_chars=1024,
+              n_steps=8, n_samples=64, n_iters=3, lm_iters=3,
+              lm_frozen=True, lm_frozen_closed=False)
 
 
 if __name__ == "__main__":
