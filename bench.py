@@ -104,17 +104,26 @@ def probe_tpu(attempts: int | None = None, timeout_s: int | None = None) -> bool
 _SOLVE_PROBE_CODE = """
 import time
 import numpy as np
+t0 = time.perf_counter()
+def mark(stage):
+    print(f"SOLVE_PROBE_STAGE {stage} t={time.perf_counter()-t0:.1f}s",
+          flush=True)
 import jax, jax.numpy as jnp
 from morphablegraphs_tpu.ops import lm as lm_ops
 from morphablegraphs_tpu.ops import pallas_kernels as pk
+mark("import")
 rng = np.random.default_rng(0)
 c, k = 1024, 28
 j = rng.standard_normal((c, 45, k)).astype(np.float32)
 a = jnp.asarray(np.einsum("cri,crj->cij", j, j) + 0.1 * np.eye(k, dtype=np.float32))
 g = jnp.asarray(rng.standard_normal((c, k)).astype(np.float32))
+jax.block_until_ready(a)
+mark("backend_init")
 ref_fn = jax.jit(jax.vmap(lm_ops.chol_solve_unrolled))
 ref = ref_fn(a, g); jax.block_until_ready(ref)
+mark("xla_compile")
 ours = pk.chol_solve_crowd(a, g); jax.block_until_ready(ours)
+mark("pallas_compile")
 err = float(jnp.max(jnp.abs(ours - ref)))
 assert err < 1e-2, f"parity {err}"
 def bench_fn(f):
@@ -154,9 +163,17 @@ def preflight_lm_solve(timeout_s: int = 600) -> None:
             os.environ["MG_LM_PALLAS_SOLVE"] = "0"
         _log(f"# lm-solve preflight: {line or p.stderr.strip()[-200:]} -> "
              f"MG_LM_PALLAS_SOLVE={os.environ['MG_LM_PALLAS_SOLVE']}")
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
         os.environ["MG_LM_PALLAS_SOLVE"] = "0"
-        _log(f"# lm-solve preflight timed out ({timeout_s}s) -> disabled")
+        # partial stdout names the stage that ate the budget (the child
+        # prints SOLVE_PROBE_STAGE lines as it crosses each one)
+        partial = (e.stdout or b"")
+        if isinstance(partial, bytes):
+            partial = partial.decode(errors="replace")
+        stages = [ln for ln in partial.splitlines()
+                  if ln.startswith("SOLVE_PROBE_STAGE")]
+        _log(f"# lm-solve preflight timed out ({timeout_s}s) -> disabled; "
+             f"stages reached: {stages or 'none'}")
 
 
 def rand_path(rng, spline_path, granularity=256):

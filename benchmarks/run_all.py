@@ -121,6 +121,10 @@ def config3_constrained():
     cfg = default_config()
     cfg["n_random_samples"] = 50
     cfg["lm_iterations"] = 5
+    # multi-start LM: refine the 8 best pool candidates with one vmapped
+    # LM (TPU-native quality extension; the oracle keeps the reference's
+    # single-start flow — the latency fields carry the cost honestly)
+    cfg["n_lm_starts"] = 8
     gen = MotionGenerator(graph, cfg, seed=0)
     mg_input = {
         "startPose": {"position": [0, 0, 0], "orientation": [0, 0, 0]},
@@ -147,10 +151,19 @@ def config3_constrained():
     goal = np.array([2.0, np.nan, 25.0])
     dir_xz = np.array([0.1, 1.0]) / np.linalg.norm([0.1, 1.0])
     end_kf = data["n_canonical_frames"] - 1
+    prim = prim_mod.load_primitive_json(data)
+    # ONE shared candidate pool for both sides: min-of-N error is a
+    # high-variance statistic, so independent numpy/JAX draws make the
+    # anchored ratio measure pool luck instead of machinery.  The oracle
+    # gets the identical candidates and runs the reference flow (pick best
+    # by residual sum, scipy leastsq from that single start); the repo runs
+    # its library flow (vmapped selection + multi-start LM) on the same
+    # pool via the public candidates= entry point.
+    pool = prim_mod.sample_latent(jax.random.PRNGKey(0), prim,
+                                  cfg["n_random_samples"])
     _, oracle_err = oracle_constrained_step(
         data, goal, dir_xz, end_kf, n_samples=cfg["n_random_samples"],
-        seed=0)
-    prim = prim_mod.load_primitive_json(data)
+        seed=0, pool=np.asarray(pool))
     sc = compiled.empty_step_constraints(graph.skeleton,
                                          prim.n_canonical_frames)
     sc = compiled.set_keyframe_constraint(sc, 0, graph.skeleton, "Hips",
@@ -158,10 +171,9 @@ def config3_constrained():
     sc = compiled.set_direction_constraint(sc, dir_xz, end_kf)
     sc = compiled.set_alignment_from_start_pose(sc, np.zeros(3, np.float32),
                                                 0.0)
-    s0, _ = generator.best_of_n(graph.skeleton, jax.random.PRNGKey(0), prim,
-                                sc, n_samples=cfg["n_random_samples"])
-    _, step_err = generator.refine_lm(graph.skeleton, prim, sc, s0,
-                                      n_iters=cfg["lm_iterations"])
+    _, step_err = generator.generate_constrained_sample(
+        jax.random.PRNGKey(0), graph.skeleton, prim, sc, cfg,
+        candidates=pool)
     step_err = float(step_err)
     return {"metric": "config3_constrained_step_error", "value":
             round(step_err, 3), "unit": "cm",

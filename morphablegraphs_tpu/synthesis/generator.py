@@ -53,7 +53,7 @@ def best_of_n(skeleton: Skeleton, key: jax.Array, prim: MotionPrimitive,
 def refine_lm(skeleton: Skeleton, prim: MotionPrimitive,
               sc: compiled.StepConstraints, s0: jax.Array,
               n_iters: int = 10, error_scale: float = 1.0,
-              quality_scale: float = 0.1, init_lambda: float = 1.0,
+              quality_scale: float = 0.1, init_lambda: float = 1e-3,
               use_traj: bool = True, use_ca: bool = True,
               use_ts: bool = False):
     """Levenberg-Marquardt on the weighted residual vector + naturalness.
@@ -103,6 +103,56 @@ def search_candidates(skeleton: Skeleton, prim: MotionPrimitive,
 
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("n_iters", "use_traj", "use_ca", "use_ts"))
+def _refine_topk_if_above_threshold(skeleton: Skeleton,
+                                    prim: MotionPrimitive,
+                                    sc: compiled.StepConstraints,
+                                    starts: jax.Array, errs: jax.Array,
+                                    threshold: float, n_iters: int,
+                                    error_scale: float, quality_scale: float,
+                                    use_traj: bool = True, use_ca: bool = True,
+                                    use_ts: bool = False):
+    """Multi-start LM: refine the k best pool candidates in parallel (one
+    vmapped LM over [k, L] starts) and keep the best converged latent.
+
+    A TPU-native extension of the reference's refine-the-single-best flow
+    (motion_primitive_generator.py:149-155): scipy leastsq converges to the
+    basin of the one start it is given, so a lucky/unlucky candidate pool
+    moves the converged error by centimeters.  Refining k starts costs one
+    batched LM on TPU (the per-start programs are identical and vmap onto
+    the vector units) and takes the min over basins instead.  Gating matches
+    the single-start path: the LM only runs when the pool best is at or
+    above the activation threshold.  n_lm_starts=1 (the default) preserves
+    reference semantics exactly."""
+
+    def refine(args):
+        s0s, e0s = args
+        s_ref, e_ref = jax.vmap(lambda s: refine_lm(
+            skeleton, prim, sc, s, n_iters=n_iters, error_scale=error_scale,
+            quality_scale=quality_scale, use_traj=use_traj, use_ca=use_ca,
+            use_ts=use_ts))(s0s)
+        # keep-better per start (same contract as the single-start gate)
+        s_all = jnp.where((e_ref < e0s)[:, None], s_ref, s0s)
+        e_all = jnp.minimum(e0s, e_ref)
+        j = jnp.argmin(e_all)
+        return s_all[j], e_all[j]
+
+    def skip(args):
+        s0s, e0s = args
+        j = jnp.argmin(e0s)
+        return s0s[j], e0s[j]
+
+    return jax.lax.cond(jnp.min(errs) >= threshold, refine, skip,
+                        (starts, errs))
+
+
+def _topk_starts(samples: jax.Array, errors: jax.Array, k: int):
+    """The k lowest-error pool candidates (and their errors)."""
+    neg, idx = jax.lax.top_k(-errors, k)
+    return samples[idx], -neg
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("n_iters", "use_traj", "use_ca", "use_ts"))
 def _refine_if_above_threshold(skeleton: Skeleton, prim: MotionPrimitive,
                                sc: compiled.StepConstraints, s: jax.Array,
                                err: jax.Array, threshold: float,
@@ -131,14 +181,30 @@ def _refine_if_above_threshold(skeleton: Skeleton, prim: MotionPrimitive,
 
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("n_samples", "n_iters", "do_refine",
-                                    "use_traj", "use_ca", "use_ts"))
+                                    "use_traj", "use_ca", "use_ts",
+                                    "n_starts"))
 def _sample_and_refine(skeleton: Skeleton, key: jax.Array,
                        prim: MotionPrimitive, sc: compiled.StepConstraints,
                        threshold, error_scale, quality_scale,
                        n_samples: int, n_iters: int, do_refine: bool,
-                       use_traj: bool, use_ca: bool, use_ts: bool):
+                       use_traj: bool, use_ca: bool, use_ts: bool,
+                       n_starts: int = 1):
     """best_of_n + threshold-gated LM as ONE dispatch (two separate jit
-    calls each pay a tunnel round-trip on remote-attached TPUs)."""
+    calls each pay a tunnel round-trip on remote-attached TPUs).
+
+    n_starts > 1 refines the k best pool candidates with one vmapped LM and
+    keeps the best converged (see _refine_topk_if_above_threshold)."""
+    if do_refine and n_starts > 1:
+        samples = sample_latent(key, prim, n_samples)
+        errors = jax.vmap(lambda s: compiled.evaluate_error(
+            skeleton, prim, sc, s, use_traj=use_traj, use_ca=use_ca,
+            use_ts=use_ts))(samples)
+        starts, errs = _topk_starts(samples, errors,
+                                    min(n_starts, n_samples))
+        return _refine_topk_if_above_threshold(
+            skeleton, prim, sc, starts, errs, threshold, n_iters=n_iters,
+            error_scale=error_scale, quality_scale=quality_scale,
+            use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
     s, err = best_of_n(skeleton, key, prim, sc, n_samples=n_samples,
                        use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
     if do_refine:
@@ -151,13 +217,25 @@ def _sample_and_refine(skeleton: Skeleton, key: jax.Array,
 
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("n_iters", "do_refine",
-                                    "use_traj", "use_ca", "use_ts"))
+                                    "use_traj", "use_ca", "use_ts",
+                                    "n_starts"))
 def _search_and_refine(skeleton: Skeleton, prim: MotionPrimitive,
                        sc: compiled.StepConstraints, candidates: jax.Array,
                        threshold, error_scale, quality_scale,
                        n_iters: int, do_refine: bool,
-                       use_traj: bool, use_ca: bool, use_ts: bool):
+                       use_traj: bool, use_ca: bool, use_ts: bool,
+                       n_starts: int = 1):
     """search_candidates + threshold-gated LM as one dispatch."""
+    if do_refine and n_starts > 1:
+        errors = jax.vmap(lambda s: compiled.evaluate_error(
+            skeleton, prim, sc, s, use_traj=use_traj, use_ca=use_ca,
+            use_ts=use_ts))(candidates)
+        starts, errs = _topk_starts(candidates, errors,
+                                    min(n_starts, candidates.shape[0]))
+        return _refine_topk_if_above_threshold(
+            skeleton, prim, sc, starts, errs, threshold, n_iters=n_iters,
+            error_scale=error_scale, quality_scale=quality_scale,
+            use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
     s, err = search_candidates(skeleton, prim, sc, candidates,
                                use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
     if do_refine:
@@ -170,14 +248,15 @@ def _search_and_refine(skeleton: Skeleton, prim: MotionPrimitive,
 
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("n_samples", "n_iters", "do_refine",
-                                    "use_traj", "use_ca", "use_ts", "loco_flags"))
+                                    "use_traj", "use_ca", "use_ts",
+                                    "loco_flags", "n_starts"))
 def _loco_sample_and_refine(skeleton: Skeleton, key: jax.Array,
                             prim: MotionPrimitive,
                             sc: compiled.StepConstraints, path, loco,
                             threshold, error_scale, quality_scale,
                             n_samples: int, n_iters: int, do_refine: bool,
                             use_traj: bool, use_ca: bool, use_ts: bool,
-                            loco_flags: tuple):
+                            loco_flags: tuple, n_starts: int = 1):
     """Locomotion-slot fill + best_of_n + gated LM as ONE dispatch: the goal
     position/direction path queries run on device instead of a host
     round-trip per step (reference locomotion_constraints_builder.py:54-120).
@@ -186,25 +265,26 @@ def _loco_sample_and_refine(skeleton: Skeleton, key: jax.Array,
     s, err = _sample_and_refine(
         skeleton, key, prim, sc, threshold, error_scale, quality_scale,
         n_samples=n_samples, n_iters=n_iters, do_refine=do_refine,
-        use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
+        use_traj=use_traj, use_ca=use_ca, use_ts=use_ts, n_starts=n_starts)
     return s, err, sc
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("n_iters", "do_refine",
-                                    "use_traj", "use_ca", "use_ts", "loco_flags"))
+                                    "use_traj", "use_ca", "use_ts",
+                                    "loco_flags", "n_starts"))
 def _loco_search_and_refine(skeleton: Skeleton, prim: MotionPrimitive,
                             sc: compiled.StepConstraints, candidates,
                             path, loco, threshold, error_scale,
                             quality_scale, n_iters: int, do_refine: bool,
                             use_traj: bool, use_ca: bool, use_ts: bool,
-                            loco_flags: tuple):
+                            loco_flags: tuple, n_starts: int = 1):
     """Cluster-candidate variant of _loco_sample_and_refine."""
     sc = compiled.fill_locomotion_slots(sc, path, loco, *loco_flags)
     s, err = _search_and_refine(
         skeleton, prim, sc, candidates, threshold, error_scale,
         quality_scale, n_iters=n_iters, do_refine=do_refine,
-        use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
+        use_traj=use_traj, use_ca=use_ca, use_ts=use_ts, n_starts=n_starts)
     return s, err, sc
 
 
@@ -222,6 +302,7 @@ def _selection_params(sc: compiled.StepConstraints, config: dict) -> dict:
         error_scale=float(opt.get("error_scale_factor", 1.0)),
         quality_scale=float(opt.get("quality_scale_factor", 0.1)),
         n_samples=int(config.get("n_random_samples", 100)),
+        n_starts=int(config.get("n_lm_starts", 1)),
         cluster_mode=config.get("constrained_sampling_mode",
                                 "random_discrete") == "cluster_tree_search",
     )
@@ -368,7 +449,7 @@ def finalize_step(prim, s, sc, path, travelled, max_frames: int,
 def _select_core(skeleton, key, prim, sc, candidates, threshold, error_scale,
                  quality_scale, n_samples: int, n_iters: int, do_refine: bool,
                  use_traj: bool, use_ca: bool, use_ts: bool,
-                 use_candidates: bool):
+                 use_candidates: bool, n_starts: int = 1):
     """Shared selection body of the fused steps: candidate-pool search or
     best-of-N GMM sampling, then threshold-gated LM (one definition so a
     fix to the select flow cannot miss one of the fused wrappers)."""
@@ -376,29 +457,31 @@ def _select_core(skeleton, key, prim, sc, candidates, threshold, error_scale,
         return _search_and_refine(
             skeleton, prim, sc, candidates, threshold, error_scale,
             quality_scale, n_iters=n_iters, do_refine=do_refine,
-            use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
+            use_traj=use_traj, use_ca=use_ca, use_ts=use_ts,
+            n_starts=n_starts)
     return _sample_and_refine(
         skeleton, key, prim, sc, threshold, error_scale, quality_scale,
         n_samples=n_samples, n_iters=n_iters, do_refine=do_refine,
-        use_traj=use_traj, use_ca=use_ca, use_ts=use_ts)
+        use_traj=use_traj, use_ca=use_ca, use_ts=use_ts, n_starts=n_starts)
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("n_samples", "n_iters", "do_refine",
                                     "use_traj", "use_ca", "use_ts",
                                     "loco_flags", "max_frames", "window",
-                                    "use_candidates", "n_refine"))
+                                    "use_candidates", "n_refine", "n_starts"))
 def _loco_step_fused(skeleton, key, prim, sc, candidates, path, loco,
                      travelled, threshold, error_scale, quality_scale,
                      n_samples: int, n_iters: int, do_refine: bool,
                      use_traj: bool, use_ca: bool, use_ts: bool,
                      loco_flags: tuple, max_frames: int, window: int,
                      use_candidates: bool, look_ahead=None,
-                     n_refine: int = 8):
+                     n_refine: int = 8, n_starts: int = 1):
     sc = compiled.fill_locomotion_slots(sc, path, loco, *loco_flags)
     s, err = _select_core(skeleton, key, prim, sc, candidates, threshold,
                           error_scale, quality_scale, n_samples, n_iters,
-                          do_refine, use_traj, use_ca, use_ts, use_candidates)
+                          do_refine, use_traj, use_ca, use_ts, use_candidates,
+                          n_starts=n_starts)
     frames, n_frames, travelled = _finalize_core(
         prim, s, sc, path, travelled, max_frames, window, use_traj=True,
         look_ahead=look_ahead, n_refine=n_refine)
@@ -409,15 +492,17 @@ def _loco_step_fused(skeleton, key, prim, sc, candidates, path, loco,
                    static_argnames=("n_samples", "n_iters", "do_refine",
                                     "use_traj", "use_ca", "use_ts",
                                     "max_frames", "window",
-                                    "use_candidates"))
+                                    "use_candidates", "n_starts"))
 def _step_fused(skeleton, key, prim, sc, candidates, path, travelled,
                 threshold, error_scale, quality_scale,
                 n_samples: int, n_iters: int, do_refine: bool,
                 use_traj: bool, use_ca: bool, use_ts: bool,
-                max_frames: int, window: int, use_candidates: bool):
+                max_frames: int, window: int, use_candidates: bool,
+                n_starts: int = 1):
     s, err = _select_core(skeleton, key, prim, sc, candidates, threshold,
                           error_scale, quality_scale, n_samples, n_iters,
-                          do_refine, use_traj, use_ca, use_ts, use_candidates)
+                          do_refine, use_traj, use_ca, use_ts, use_candidates,
+                          n_starts=n_starts)
     # non-loco steps never advance the travelled arc (split path contract:
     # generate_step's MG_FUSED_STEP=0 branch finalizes with use_traj=False;
     # use_traj above only selects the constraint-residual terms)

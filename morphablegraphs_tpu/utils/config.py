@@ -130,6 +130,13 @@ DEFAULT_ALGORITHM_CONFIG = {
     # TPU-specific knobs (not in the reference)
     "lm_iterations": 10,
     "planner_samples_per_option": 10,
+    # multi-start local optimization: refine the k best pool candidates
+    # with ONE vmapped LM and keep the best converged latent.  1 preserves
+    # the reference's refine-the-single-best semantics
+    # (motion_primitive_generator.py:149-155); >1 is a TPU-native quality
+    # extension (batched starts are nearly free on the vector units) that
+    # de-noises the pool-luck dependence of the converged error.
+    "n_lm_starts": 1,
 }
 
 

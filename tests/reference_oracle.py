@@ -101,7 +101,7 @@ class OracleGMM:
 def oracle_constrained_step(model_data, goal, dir_xz, end_kf,
                             n_samples=50, seed=0, error_scale=1.0,
                             quality_scale=0.1, refine=True,
-                            max_iterations=500):
+                            max_iterations=500, pool=None):
     """Reference-equivalent constrained step: numpy best-of-N over GMM
     samples + scipy leastsq refinement with reference residual semantics
     (reference motion_primitive_generator.py:109-190 generate_constrained
@@ -153,7 +153,13 @@ def oracle_constrained_step(model_data, goal, dir_xz, end_kf,
         nll = -gmm.logpdf(s)
         return error_scale * constraint_errors(s) + quality_scale * nll
 
-    samples = gmm.sample(n_samples, rng)
+    # pool: optional explicit candidate set [N, L] — lets a benchmark hand
+    # the SAME pool to the oracle and the repo so the comparison measures
+    # selection + optimization machinery, not RNG luck (min-of-N constraint
+    # error is a high-variance statistic; with independent numpy/JAX draws
+    # the anchored ratio swings by centimeters on pool luck alone)
+    samples = gmm.sample(n_samples, rng) if pool is None \
+        else np.asarray(pool, float)
     sums = [float(np.sum(residuals(s))) for s in samples]
     best = samples[int(np.argmin(sums))]
     if refine:

@@ -58,3 +58,50 @@ def test_repo_step_at_least_as_good_as_oracle(setup):
                                 n_samples=50)
     _, err = generator.refine_lm(skel, prim, sc, s0, n_iters=10)
     assert float(err) <= err_o * 1.1, (float(err), err_o)
+
+
+def test_lm_schedule_beats_oracle_same_pool(setup):
+    """The MINPACK-like LM schedule (init_lambda 1e-3, 0.1x decay) + multi-
+    start refinement solves at least as well as scipy leastsq when BOTH
+    sides get the SAME candidate pool (pool= hands the oracle the repo's
+    candidates, so the ratio measures machinery, not RNG luck)."""
+    data, prim, skel, sc, end_kf = setup
+    pool = prim_mod.sample_latent(jax.random.PRNGKey(0), prim, 50)
+    _, err_o = oracle_constrained_step(data, GOAL, DIR, end_kf,
+                                       n_samples=50, seed=0,
+                                       pool=np.asarray(pool))
+    _, err = generator._search_and_refine(
+        skel, prim, sc, pool, 0.0, 1.0, 0.1, n_iters=20, do_refine=True,
+        use_traj=False, use_ca=False, use_ts=False, n_starts=8)
+    assert float(err) <= err_o * 1.05, (float(err), err_o)
+
+
+def test_multi_start_no_worse_than_single(setup):
+    """n_lm_starts > 1 never yields a worse final error than the single-
+    start flow on the same pool (keep-better + min over basins)."""
+    data, prim, skel, sc, end_kf = setup
+    key = jax.random.PRNGKey(3)
+    args = (skel, key, prim, sc, 0.0, 1.0, 0.1)
+    kw = dict(n_samples=40, n_iters=8, do_refine=True,
+              use_traj=False, use_ca=False, use_ts=False)
+    _, e1 = generator._sample_and_refine(*args, **kw, n_starts=1)
+    _, e8 = generator._sample_and_refine(*args, **kw, n_starts=8)
+    assert float(e8) <= float(e1) + 1e-4, (float(e8), float(e1))
+
+
+def test_n_lm_starts_config_flows_through_generate(setup):
+    """The n_lm_starts config key reaches the public entry point and
+    changes the refinement (top-k path compiles and runs)."""
+    from morphablegraphs_tpu.utils.config import default_config
+    data, prim, skel, sc, end_kf = setup
+    cfg = default_config()
+    cfg["n_random_samples"] = 40
+    cfg["lm_iterations"] = 8
+    cfg["n_lm_starts"] = 4
+    s, err = generator.generate_constrained_sample(
+        jax.random.PRNGKey(0), skel, prim, sc, cfg)
+    assert np.isfinite(float(err))
+    cfg1 = dict(cfg, n_lm_starts=1)
+    _, err1 = generator.generate_constrained_sample(
+        jax.random.PRNGKey(0), skel, prim, sc, cfg1)
+    assert float(err) <= float(err1) + 1e-4
