@@ -155,13 +155,20 @@ def preflight_lm_solve(timeout_s: int = 600) -> None:
                            capture_output=True, text=True,
                            timeout=timeout_s, cwd=os.path.dirname(
                                os.path.abspath(__file__)))
+        # the verdict line is "SOLVE_PROBE ok ..."; progress markers are
+        # "SOLVE_PROBE_STAGE ..." — match the trailing space so a stage
+        # marker can never shadow the verdict
         line = next((ln for ln in p.stdout.splitlines()
-                     if ln.startswith("SOLVE_PROBE")), "")
+                     if ln.startswith("SOLVE_PROBE ")), "")
         if p.returncode == 0 and "use=1" in line:
             os.environ["MG_LM_PALLAS_SOLVE"] = "1"
         else:
             os.environ["MG_LM_PALLAS_SOLVE"] = "0"
-        _log(f"# lm-solve preflight: {line or p.stderr.strip()[-200:]} -> "
+        stages = [ln for ln in p.stdout.splitlines()
+                  if ln.startswith("SOLVE_PROBE_STAGE")]
+        detail = line or (f"rc={p.returncode} stages={stages or 'none'} "
+                          f"stderr: {p.stderr.strip()[-200:]}")
+        _log(f"# lm-solve preflight: {detail} -> "
              f"MG_LM_PALLAS_SOLVE={os.environ['MG_LM_PALLAS_SOLVE']}")
     except subprocess.TimeoutExpired as e:
         os.environ["MG_LM_PALLAS_SOLVE"] = "0"

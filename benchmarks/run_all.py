@@ -264,8 +264,20 @@ CONFIGS = {"1": config1_unconstrained, "2": config2_graph_walk,
 
 def main():
     which = sys.argv[1:] or list(CONFIGS)
+    failed = []
     for k in which:
-        print(json.dumps(CONFIGS[k]()))
+        # a transient tunnel error (remote compile stream reset, backend
+        # UNAVAILABLE) on one config must not lose the rest of the run —
+        # print an error line and keep going; exit nonzero at the end
+        try:
+            print(json.dumps(CONFIGS[k]()), flush=True)
+        except Exception as e:  # noqa: BLE001 — report-and-continue CLI
+            failed.append(k)
+            print(json.dumps({"metric": f"config{k}_ERROR",
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
