@@ -45,16 +45,30 @@ def main():
     step_scs = cw.default_step_scs(skel, n_steps)
     keys = jax.random.split(jax.random.PRNGKey(0), n_chars)
 
+    # the headline (bench.py ref config) runs root_only=True (the ref
+    # workload's constraints are all root-referencing) with the
+    # frozen-correspondence closed-form LM — variants peel one feature at a
+    # time so the deltas attribute cost to the LM form, the trajectory
+    # residuals, and the Pallas selection kernel
     variants = [
-        ("full (bench.py headline)",
-         dict(n_samples=128, lm_iters=3, pallas_selection=True)),
+        ("full (headline: frozen-closed LM)",
+         dict(n_samples=128, lm_iters=3, pallas_selection=True,
+              root_only=True, lm_frozen=True, lm_frozen_closed=True)),
+        ("frozen-linearize LM",
+         dict(n_samples=128, lm_iters=3, pallas_selection=True,
+              root_only=True, lm_frozen=True, lm_frozen_closed=False)),
+        ("exact LM",
+         dict(n_samples=128, lm_iters=3, pallas_selection=True,
+              root_only=True, lm_frozen=False)),
         ("no LM",
-         dict(n_samples=128, lm_iters=0, pallas_selection=True)),
+         dict(n_samples=128, lm_iters=0, pallas_selection=True,
+              root_only=True)),
         ("no LM, no traj residuals",
          dict(n_samples=128, lm_iters=0, use_traj=False,
-              pallas_selection=False)),
+              pallas_selection=False, root_only=True)),
         ("XLA selection (no pallas)",
-         dict(n_samples=128, lm_iters=3, pallas_selection=False)),
+         dict(n_samples=128, lm_iters=3, pallas_selection=False,
+              root_only=True, lm_frozen=True, lm_frozen_closed=True)),
     ]
 
     for name, kw in variants:

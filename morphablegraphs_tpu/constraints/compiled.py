@@ -64,6 +64,13 @@ class StepConstraints:
     kf_has_quat: jax.Array  # [K] f32 0/1
     kf_frame: jax.Array  # [K] f32 canonical keyframe
     kf_weight: jax.Array  # [K]
+    # 1 for builder-generated slots (loco goal/half-step/foot-plant), 0 for
+    # user keyframes — the reference tags generated constraints with
+    # semanticAnnotation {"generated": True} (locomotion_constraints_
+    # builder.py:84,:98,:111, foot_step_constraints_builder.py:87) and the
+    # global optimizer's weight adaptation skips them
+    # (graph_walk_optimizer.py:119-131)
+    kf_generated: jax.Array  # [K] f32 0/1
     # 2D direction constraint (at most one, reference locomotion builder)
     dir_active: jax.Array  # f32 0/1
     dir_target: jax.Array  # [2] normalized (x, z)
@@ -167,7 +174,7 @@ def empty_step_constraints(skeleton: Skeleton,
         kf_pos=np.zeros((MAX_KF, 3), f32), kf_pos_mask=np.zeros((MAX_KF, 3), f32),
         kf_quat=np.tile(np.array([1.0, 0, 0, 0], f32), (MAX_KF, 1)),
         kf_has_quat=np.zeros(MAX_KF, f32), kf_frame=np.zeros(MAX_KF, f32),
-        kf_weight=np.ones(MAX_KF, f32),
+        kf_weight=np.ones(MAX_KF, f32), kf_generated=np.zeros(MAX_KF, f32),
         dir_active=f32(0.0), dir_target=np.array([0.0, 1.0], f32),
         dir_frame=f32(0.0), dir_weight=f32(1.0),
         la_active=f32(0.0), la_node=np.int32(0),
@@ -984,6 +991,7 @@ def fill_locomotion_slots(sc: StepConstraints, path: spline_path.PathSpline,
     kf_mask = jnp.asarray(sc.kf_pos_mask)
     kf_frame = jnp.asarray(sc.kf_frame)
     kf_weight = jnp.asarray(sc.kf_weight)
+    kf_generated = jnp.asarray(sc.kf_generated)
     if use_pos:
         kf_active = kf_active.at[0].set(1.0)
         kf_node = kf_node.at[0].set(loco.node)
@@ -991,6 +999,7 @@ def fill_locomotion_slots(sc: StepConstraints, path: spline_path.PathSpline,
         kf_mask = kf_mask.at[0].set(loco.dim_mask)
         kf_frame = kf_frame.at[0].set(loco.end_kf)
         kf_weight = kf_weight.at[0].set(loco.pos_weight)
+        kf_generated = kf_generated.at[0].set(1.0)
     if use_half:
         half_goal, _ = spline_path.point_and_dir_at_arc_length(path, loco.half_arc)
         slot = 1 if use_pos else 0
@@ -1000,9 +1009,10 @@ def fill_locomotion_slots(sc: StepConstraints, path: spline_path.PathSpline,
         kf_mask = kf_mask.at[slot].set(loco.dim_mask)
         kf_frame = kf_frame.at[slot].set(loco.mid_kf)
         kf_weight = kf_weight.at[slot].set(loco.pos_weight)
+        kf_generated = kf_generated.at[slot].set(1.0)
     sc = sc.replace(kf_active=kf_active, kf_node=kf_node, kf_pos=kf_pos,
                     kf_pos_mask=kf_mask, kf_frame=kf_frame,
-                    kf_weight=kf_weight)
+                    kf_weight=kf_weight, kf_generated=kf_generated)
     if use_dir:
         sc = sc.replace(dir_active=jnp.asarray(1.0), dir_target=gdir,
                         dir_frame=jnp.asarray(loco.end_kf),
@@ -1021,7 +1031,8 @@ def _np_set(arr, idx, val):
 def set_keyframe_constraint(sc: StepConstraints, slot: int, skeleton: Skeleton,
                             joint: str, canonical_keyframe: float,
                             position=None, quat_wxyz=None,
-                            weight: float = 1.0) -> StepConstraints:
+                            weight: float = 1.0,
+                            generated: bool = False) -> StepConstraints:
     pos = np.zeros(3, np.float32)
     mask = np.zeros(3, np.float32)
     if position is not None:
@@ -1042,6 +1053,7 @@ def set_keyframe_constraint(sc: StepConstraints, slot: int, skeleton: Skeleton,
         kf_has_quat=_np_set(sc.kf_has_quat, slot, has_q),
         kf_frame=_np_set(sc.kf_frame, slot, float(canonical_keyframe)),
         kf_weight=_np_set(sc.kf_weight, slot, weight),
+        kf_generated=_np_set(sc.kf_generated, slot, float(generated)),
     )
 
 

@@ -250,7 +250,7 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
             if use_pos:
                 sc = compiled.set_keyframe_constraint(
                     sc, slot, skeleton, root_joint, end_kf, position=goal,
-                    weight=tf["position_constraint_factor"])
+                    weight=tf["position_constraint_factor"], generated=True)
                 slot += 1
             if use_dir:
                 d = np.asarray(goal_dir, np.float32)
@@ -267,7 +267,7 @@ def build_step_constraints(graph: MotionStateGraph, acs: ActionConstraintSet,
                 sc = compiled.set_keyframe_constraint(
                     sc, slot, skeleton, root_joint, mid_kf,
                     position=half_goal,
-                    weight=tf["position_constraint_factor"])
+                    weight=tf["position_constraint_factor"], generated=True)
                 slot += 1
             sc, slot = _fill_foot_plant_slots(
                 sc, slot, skeleton, acs, foot_specs, dim_mask,
@@ -424,7 +424,8 @@ def _fill_foot_plant_slots(sc, slot: int, skeleton, acs, foot_specs,
         target = np.asarray(pos[i], np.float64) + sign * FOOT_OFFSET_X * lateral
         target = np.where(dim_mask > 0, target, np.nan)
         sc = compiled.set_keyframe_constraint(sc, slot, skeleton, joint, kf,
-                                              position=target, weight=weight)
+                                              position=target, weight=weight,
+                                              generated=True)
         slot += 1
     return sc, slot
 

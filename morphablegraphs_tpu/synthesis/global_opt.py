@@ -63,6 +63,39 @@ def _chain_residuals(skeleton: Skeleton, prims: List[MotionPrimitive],
     return jnp.concatenate(all_res)
 
 
+def adapt_constraint_weights(scs: List[compiled.StepConstraints], mode: str,
+                             position_weight: float,
+                             orientation_weight: float):
+    """Pre-optimization constraint weight adaptation (reference
+    graph_walk_optimizer.py:119-131 `_adapt_constraint_weights`).
+
+    mode "all"/"two_hands": every step's NON-generated keyframe slots (user
+    constraints; the loco goal/half-step/foot-plant slots carry the
+    reference's {"generated": True} annotation via `kf_generated`) get
+    `position_weight`.  mode "trajectory_end" (reference END_POINT): only
+    the LAST step is touched — its keyframe slots get `position_weight`
+    and its 2D-direction slot gets `orientation_weight` (the reference's
+    only consumption of the `orientation_weight` config key).  Returns
+    adapted copies; the inputs are not mutated."""
+    out = list(scs)
+    if mode in ("all", "two_hands"):
+        for i, sc in enumerate(out):
+            kf_w = np.where(
+                (np.asarray(sc.kf_active) > 0)
+                & (np.asarray(sc.kf_generated) == 0),
+                np.float32(position_weight),
+                np.asarray(sc.kf_weight, np.float32))
+            out[i] = sc.replace(kf_weight=kf_w)
+    else:  # "trajectory_end"
+        sc = out[-1]
+        kf_w = np.where(np.asarray(sc.kf_active) > 0,
+                        np.float32(position_weight),
+                        np.asarray(sc.kf_weight, np.float32))
+        out[-1] = sc.replace(kf_weight=kf_w,
+                             dir_weight=np.float32(orientation_weight))
+    return out
+
+
 def optimize_spatial_over_steps(skeleton: Skeleton,
                                 prims: List[MotionPrimitive],
                                 scs: List[compiled.StepConstraints],
@@ -133,7 +166,8 @@ def optimize_time_over_steps(prims: List[MotionPrimitive],
                              frame_time: float,
                              n_iters: int = 20,
                              quality_scale: float = 0.0001,
-                             lr: float = 0.1):
+                             lr: float = 0.1,
+                             start_frames: float = 0.0):
     """Refine the gammas so constrained keyframes land on desired times.
 
     constrained: list of (step_index, canonical_keyframe, desired_time_s).
@@ -141,6 +175,11 @@ def optimize_time_over_steps(prims: List[MotionPrimitive],
     time of the keyframe = (frames of previous steps + warped keyframe
     position) * frame_time; squared seconds error + GMM naturalness.
     Gradient descent on the concatenated gammas (reference uses L-BFGS-B).
+
+    start_frames: warped frame count of the steps BEFORE this optimization
+    window, held fixed during the solve (reference time_constraints.py:34-41
+    `_get_start_frame` — the `optimized_actions` windowing passes windows
+    that do not start at step 0).
     """
     if not constrained:
         return parameters
@@ -163,7 +202,8 @@ def optimize_time_over_steps(prims: List[MotionPrimitive],
         for step_idx, keyframe, desired in constrained:
             prior = sum(lengths[:step_idx]) if step_idx > 0 else 0.0
             warped_pos = t_cans[step_idx][int(keyframe)]
-            res.append((prior + warped_pos) * frame_time - desired)
+            res.append((start_frames + prior + warped_pos) * frame_time
+                       - desired)
         for i in range(len(prims)):
             s_full = jnp.concatenate([alphas[i], gammas[i]])
             nll = -gmm_ops.log_prob(prims[i].gmm, s_full)

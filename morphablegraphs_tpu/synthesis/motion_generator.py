@@ -42,7 +42,9 @@ class GraphWalkEntry:
     error: float = 0.0
     step_constraints: object = None  # compiled.StepConstraints for global opt
     time_constraints: tuple = ()  # ((canonical_keyframe, desired_time_s), ...)
-    user_constraints: tuple = ()  # ((joint, position[3], canonical_keyframe), ...)
+    # ((joint, position[3], canonical_keyframe, orientation_quat_or_None), ...)
+    user_constraints: tuple = ()
+    action_name: str = ""  # owning elementary action (place-orientation gate)
 
 
 @dataclasses.dataclass
@@ -115,7 +117,7 @@ class MotionGenerator:
         # animated subset (reference add_fixed_joint_parameters_to_motion in
         # _post_process_motion, motion_generator.py:281-320) — post-process
         # IK/grounding then runs on full-width frames.
-        self._maybe_optimize_time(steps)
+        self._maybe_optimize_time(steps, action_step_spans)
         # _convert_with_time_warp remaps every step's start/end_frame onto
         # the WARPED buffer, so post-process IK/grounding and the exported
         # action ranges address the frames that actually exist (warped
@@ -530,15 +532,22 @@ class MotionGenerator:
             if kc.time is not None:
                 time_cs.append((int(kf), float(kc.time)))
             if kc.joint in graph.skeleton.node_names and not np.all(np.isnan(kc.position)):
+                quat_wxyz = None
+                if not np.any(np.isnan(kc.orientation)):
+                    from ..models.skeleton import _np_from_euler
+                    quat_wxyz = tuple(
+                        np.asarray(_np_from_euler(kc.orientation, "rxyz"),
+                                   np.float64))
                 user_cs.append((kc.joint, tuple(np.asarray(kc.position, np.float64)),
-                                int(kf)))
+                                int(kf), quat_wxyz))
         steps.append(GraphWalkEntry(node_key=node_key, parameters=s_np,
                                     arc_length=travelled,
                                     start_frame=start_frame,
                                     end_frame=len(frames) - 1, error=err,
                                     step_constraints=sc,
                                     time_constraints=tuple(time_cs),
-                                    user_constraints=tuple(user_cs)))
+                                    user_constraints=tuple(user_cs),
+                                    action_name=acs.action_name))
         self._step_times.append(time.time() - t_step)
         return frames, travelled, err
 
@@ -569,7 +578,10 @@ class MotionGenerator:
             return frames
         from . import global_opt
         prims = [self.graph.nodes[s.node_key].primitive for s in window]
-        scs = [s.step_constraints for s in window]
+        scs = global_opt.adapt_constraint_weights(
+            [s.step_constraints for s in window], mode,
+            float(settings.get("position_weight", 1000.0)),
+            float(settings.get("orientation_weight", 1000.0)))
         params = [s.parameters for s in window]
         new_params, final_err = global_opt.optimize_spatial_over_steps(
             self.graph.skeleton, prims, scs, params,
@@ -645,28 +657,53 @@ class MotionGenerator:
         aligned[:, 2] += delta[2]
         return aligned
 
-    def _maybe_optimize_time(self, steps):
+    def _maybe_optimize_time(self, steps, action_spans=None):
         """Global time optimization over steps carrying desired_time
-        keyframe constraints (reference optimize_time_parameters_over_graph_walk)."""
+        keyframe constraints (reference optimize_time_parameters_over_graph_walk,
+        graph_walk_optimizer.py:132-154).
+
+        Per reference semantics the optimization runs once PER ACTION over a
+        window of the last `optimized_actions` actions (default 2) — steps
+        before the window contribute only a fixed warped-frame offset
+        (time_constraints.py:34-41), and later windows see earlier windows'
+        optimized gammas."""
         if not self.config.get("use_global_time_optimization", True):
             return
-        constrained = []
-        for i, s in enumerate(steps):
-            for (kf, t) in s.time_constraints:
-                constrained.append((i, kf, t))
-        if not constrained:
+        if not any(s.time_constraints for s in steps):
             return
         from . import global_opt
-        prims = [self.graph.nodes[s.node_key].primitive for s in steps]
-        params = [s.parameters for s in steps]
         skel = self.graph.skeleton
         frame_time = skel.frame_time if skel is not None else 1.0 / 30
         settings = self.config["global_time_optimization_settings"]
-        new_params = global_opt.optimize_time_over_steps(
-            prims, params, constrained, frame_time,
-            quality_scale=float(settings.get("quality_scale_factor", 1e-4)))
-        for s, p in zip(steps, new_params):
-            s.parameters = p
+        n_actions = max(int(settings.get("optimized_actions", 2)), 1)
+        spans = action_spans or [("", 0, len(steps))]
+
+        def warped_len(step) -> float:
+            prim = self.graph.nodes[step.node_key].primitive
+            gamma = jnp.asarray(step.parameters[prim.n_spatial:], jnp.float32)
+            t_can = timewarp.canonical_time_function(
+                prim.mean_t_d, prim.eigen_t_d, gamma)
+            return float(t_can[-2] + 2.0)  # matches the residual's lengths
+
+        for idx, span in enumerate(spans):
+            lo = spans[max(idx - (n_actions - 1), 0)][1]
+            hi = span[2]
+            window = steps[lo:hi]
+            constrained = []
+            for i, s in enumerate(window):
+                for (kf, t) in s.time_constraints:
+                    constrained.append((i, kf, t))
+            if not constrained:
+                continue
+            start_frames = float(sum(warped_len(s) for s in steps[:lo]))
+            prims = [self.graph.nodes[s.node_key].primitive for s in window]
+            params = [s.parameters for s in window]
+            new_params = global_opt.optimize_time_over_steps(
+                prims, params, constrained, frame_time,
+                quality_scale=float(settings.get("quality_scale_factor", 1e-4)),
+                start_frames=start_frames)
+            for s, p in zip(window, new_params):
+                s.parameters = p
 
     def _post_process(self, frames, steps):
         """IK edits for user keyframe constraints + motion grounding
@@ -674,14 +711,19 @@ class MotionGenerator:
         if frames is None or len(frames) == 0:
             return frames
         from . import postprocess
+        ik_settings = self.config.get("inverse_kinematics_settings", {})
         constraint_specs = {}
         for i, step in enumerate(steps):
             if step.user_constraints:
                 constraint_specs[i] = [
-                    (joint, np.asarray(pos), kf)
-                    for joint, pos, kf in step.user_constraints]
+                    (joint, np.asarray(pos), kf,
+                     None if ori is None else np.asarray(ori))
+                    for joint, pos, kf, ori in step.user_constraints]
         ik_constraints = postprocess.create_ik_constraints(
-            self.graph, steps, constraint_specs) if constraint_specs else []
+            self.graph, steps, constraint_specs,
+            constrain_place_orientation=bool(
+                ik_settings.get("constrain_place_orientation", False))
+        ) if constraint_specs else []
         return postprocess.post_process_motion(
             self.graph.skeleton, frames, steps, ik_constraints, self.config,
             scene=self.scene_interface)

@@ -18,6 +18,12 @@ from ..models.skeleton import Skeleton
 from ..ops import ik as ik_ops
 from . import grounding
 
+# actions whose IK orientation constraints are ignored unless
+# constrain_place_orientation is set (reference graph_walk.py:41
+# DEFAULT_PLACE_ACTION_LIST)
+PLACE_ACTION_LIST = ("placeRight", "placeLeft", "insertRight", "insertLeft",
+                     "screwRight", "screwLeft")
+
 
 @dataclasses.dataclass
 class IKConstraint:
@@ -37,34 +43,101 @@ class IKConstraint:
     # tool tip pos + R_joint @ offset (reference tool offsets,
     # constraint_builder.py:242-280)
     offset: np.ndarray = None
+    # target GLOBAL orientation quaternion [4] wxyz, or None — applied
+    # after the positional solve when the ik settings' optimize_orientation
+    # flag is on (reference IKConstraintsBuilder constrain_orientation,
+    # motion_primitive_constraints.py:380-384)
+    orientation: np.ndarray = None
 
 
-def create_ik_constraints(graph, steps, constraint_specs) -> List[IKConstraint]:
+def create_ik_constraints(graph, steps, constraint_specs,
+                          constrain_place_orientation: bool = False
+                          ) -> List[IKConstraint]:
     """From graph-walk steps' user keyframe constraints to per-frame IK
     constraints.  constraint_specs: {step_index: [(joint, position, canonical
-    keyframe)]}; the output frame index interpolates the step's frame range
-    by canonical position (time-warp-aware approximation of reference
-    keyframe_constraint_base.py:77-81)."""
+    keyframe[, orientation_quat])]}; the output frame index interpolates the
+    step's frame range by canonical position (time-warp-aware approximation
+    of reference keyframe_constraint_base.py:77-81).
+
+    Steps belonging to a place/insert/screw action (PLACE_ACTION_LIST) drop
+    the orientation component unless constrain_place_orientation is set
+    (reference graph_walk.py:104,:224 — the inverse_kinematics_settings
+    "constrain_place_orientation" key)."""
     out = []
     for step_idx, specs in constraint_specs.items():
         step = steps[step_idx]
+        keep_ori = (constrain_place_orientation
+                    or getattr(step, "action_name", "")
+                    not in PLACE_ACTION_LIST)
         prim = graph.nodes[step.node_key].primitive
         n_can = max(prim.n_canonical_frames - 1, 1)
         n_out = step.end_frame - step.start_frame
-        for joint, position, keyframe in specs:
+        for spec in specs:
+            joint, position, keyframe = spec[:3]
+            orientation = spec[3] if len(spec) > 3 and keep_ori else None
             frame_idx = step.start_frame + int(round(keyframe / n_can * n_out))
-            out.append(IKConstraint(frame_idx=frame_idx, joint=joint,
-                                    position=np.asarray(position, np.float64)))
+            out.append(IKConstraint(
+                frame_idx=frame_idx, joint=joint,
+                position=np.asarray(position, np.float64),
+                orientation=None if orientation is None
+                else np.asarray(orientation, np.float64)))
     return out
+
+
+def _np_quat_multiply(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array([w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                     w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                     w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                     w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2], a.dtype)
+
+
+def _set_global_orientation(skeleton: Skeleton, frame: np.ndarray,
+                            joint: str, target_q: np.ndarray) -> np.ndarray:
+    """Rotate `joint`'s LOCAL quaternion channels so its global orientation
+    equals target_q (wxyz): local' = conj(parent_global) * target.  The
+    orientation half of the reference's IK constraint application
+    (anim_utils MotionEditing orientation objective, gated by
+    inverse_kinematics_settings["optimize_orientation"])."""
+    if joint not in skeleton.node_names:
+        return frame
+    try:
+        sl = skeleton.quat_slice(joint)
+    except (KeyError, ValueError):
+        return frame  # joint carries no animated quaternion channels
+    from ..models.skeleton import fk_global
+    _, ori = fk_global(skeleton, jnp.asarray(frame, jnp.float32))
+    parent = skeleton.parents[skeleton.index_of(joint)]
+    if parent < 0:
+        parent_q = np.array([1.0, 0.0, 0.0, 0.0], np.float64)
+    else:
+        parent_q = np.asarray(ori[parent], np.float64)
+        parent_q = parent_q / max(np.linalg.norm(parent_q), 1e-10)
+    target = np.asarray(target_q, np.float64)
+    target = target / max(np.linalg.norm(target), 1e-10)
+    conj = parent_q * np.array([1.0, -1.0, -1.0, -1.0])
+    local = _np_quat_multiply(conj, target)
+    # keep hemisphere continuity with the previous local quaternion
+    if np.dot(local, np.asarray(frame[sl], np.float64)) < 0:
+        local = -local
+    frame = frame.copy()
+    frame[sl] = local
+    return frame
 
 
 def apply_ik_constraints(skeleton: Skeleton, frames: np.ndarray,
                          constraints: List[IKConstraint],
                          interpolation_window: int = 60,
-                         n_iters: int = 10) -> np.ndarray:
+                         n_iters: int = 10,
+                         optimize_orientation: bool = True) -> np.ndarray:
     """Solve each IK constraint at its frame and blend the edit into the
     surrounding window (reference inverse_kinematics_settings:
-    interpolation_window=120, transition_window=60)."""
+    interpolation_window=120, transition_window=60).
+
+    optimize_orientation gates the orientation half of constraints that
+    carry one (reference inverse_kinematics_settings["optimize_orientation"],
+    consumed by anim_utils MotionEditing)."""
     frames = frames.copy()
     for c in constraints:
         if c.joint not in skeleton.node_names:
@@ -111,6 +184,9 @@ def apply_ik_constraints(skeleton: Skeleton, frames: np.ndarray,
             jnp.asarray(nodes), jnp.asarray(targets), jnp.asarray(mask),
             jnp.asarray(joint_mask), n_iters=n_iters,
             target_offsets=jnp.asarray(offsets)))
+        if optimize_orientation and c.orientation is not None:
+            edited = _set_global_orientation(skeleton, edited, c.joint,
+                                             c.orientation)
         delta = edited - frames[fi]
         w = interpolation_window // 2
         for off in range(-w, w + 1):
@@ -143,7 +219,9 @@ def post_process_motion(skeleton: Skeleton, frames: np.ndarray, steps,
             1, 25))
         frames = apply_ik_constraints(
             skeleton, frames, ik_constraints,
-            interpolation_window=interp, n_iters=budget)
+            interpolation_window=interp, n_iters=budget,
+            optimize_orientation=bool(
+                ik_settings.get("optimize_orientation", True)))
     if config.get("activate_motion_grounding", False):
         frames = grounding.ground_motion(skeleton, frames, steps, scene)
     return frames

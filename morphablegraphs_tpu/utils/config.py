@@ -180,7 +180,8 @@ INERT_KEYS = {
     "global_spatial_optimization_settings.max_iterations":
         "superseded: fixed-iteration LM",
     "global_spatial_optimization_settings.orientation_weight":
-        "pending: orientation terms in global spatial opt",
+        None,  # wired (live): trajectory_end-mode dir-slot weight
+        # (global_opt.adapt_constraint_weights)
     "global_spatial_optimization_settings.verbose": "cosmetic",
     "global_spatial_optimization_settings.diff_eps":
         "superseded: exact gradients",
@@ -191,7 +192,8 @@ INERT_KEYS = {
     "global_time_optimization_settings.max_iterations":
         "superseded: fixed-iteration optimizer",
     "global_time_optimization_settings.optimized_actions":
-        "pending: windowed time optimization (repo optimizes all steps)",
+        None,  # wired (live): per-action time-opt window
+        # (MotionGenerator._maybe_optimize_time)
     "global_time_optimization_settings.verbose": "cosmetic",
     "global_time_optimization_settings.diff_eps":
         "superseded: exact gradients",
@@ -210,7 +212,8 @@ INERT_KEYS = {
     "inverse_kinematics_settings.success_threshold":
         "superseded: deterministic DLS needs no restarts",
     "inverse_kinematics_settings.optimize_orientation":
-        "pending: orientation IK objectives",
+        None,  # wired (live): gates orientation application in
+        # postprocess.apply_ik_constraints
     "inverse_kinematics_settings.elementary_action_max_iterations":
         "superseded: single-pass IK edit",
     "inverse_kinematics_settings.elementary_action_optimization_eps":
@@ -218,7 +221,8 @@ INERT_KEYS = {
     "inverse_kinematics_settings.adapt_hands_during_carry_both":
         "covered by hand_pose carry handling",
     "inverse_kinematics_settings.constrain_place_orientation":
-        "pending: place-orientation IK constraints",
+        None,  # wired (live): place/insert/screw actions drop IK
+        # orientation unless set (MotionGenerator._post_process)
     "motion_grounding_settings.activate_blending":
         "pending: grounding uses MP_CONFIGURATIONS blend windows",
     "motion_grounding_settings.generate_foot_plant_constraints":

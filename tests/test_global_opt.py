@@ -125,3 +125,85 @@ def test_motion_generator_with_global_opt(setup):
     res = gen.generate_motion(mg_input, activate_coordinate_transform=False)
     assert res.frames is not None and len(res.frames) > 10
     assert not np.any(np.isnan(res.frames))
+
+
+# ---------------------------------------------------------------------------
+# Weight adaptation before global spatial optimization (reference
+# graph_walk_optimizer.py:119-131 _adapt_constraint_weights: the
+# position_weight / orientation_weight config keys)
+# ---------------------------------------------------------------------------
+
+def _weight_scs(skel, prim):
+    sc = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    # slot 0: generated loco goal; slot 1: user keyframe
+    sc = compiled.set_keyframe_constraint(
+        sc, 0, skel, "Hips", prim.n_canonical_frames - 1,
+        position=np.array([5.0, np.nan, 20.0]), weight=2.0, generated=True)
+    sc = compiled.set_keyframe_constraint(
+        sc, 1, skel, "Hips", prim.n_canonical_frames - 1,
+        position=np.array([5.0, np.nan, 20.0]), weight=1.0)
+    sc = compiled.set_direction_constraint(
+        sc, np.array([0.0, 1.0]), prim.n_canonical_frames - 1, weight=3.0)
+    return sc
+
+
+def test_adapt_constraint_weights_all_mode(setup):
+    graph, skel = setup
+    prim = graph.nodes[("walk", "beginLeftStance")].primitive
+    scs = [_weight_scs(skel, prim), _weight_scs(skel, prim)]
+    out = global_opt.adapt_constraint_weights(scs, "all", 1000.0, 77.0)
+    for sc_in, sc in zip(scs, out):
+        w = np.asarray(sc.kf_weight)
+        assert w[0] == 2.0          # generated slot untouched
+        assert w[1] == 1000.0       # user slot boosted
+        assert float(sc.dir_weight) == 3.0  # dir (generated) untouched
+        # inputs not mutated
+        assert np.asarray(sc_in.kf_weight)[1] == 1.0
+
+
+def test_adapt_constraint_weights_trajectory_end(setup):
+    graph, skel = setup
+    prim = graph.nodes[("walk", "beginLeftStance")].primitive
+    scs = [_weight_scs(skel, prim), _weight_scs(skel, prim)]
+    out = global_opt.adapt_constraint_weights(
+        scs, "trajectory_end", 1000.0, 77.0)
+    # only the LAST step is touched
+    np.testing.assert_allclose(np.asarray(out[0].kf_weight),
+                               np.asarray(scs[0].kf_weight))
+    assert float(out[0].dir_weight) == 3.0
+    w = np.asarray(out[-1].kf_weight)
+    assert w[0] == 1000.0 and w[1] == 1000.0  # all active kf slots boosted
+    assert float(out[-1].dir_weight) == 77.0  # orientation_weight consumed
+
+
+# ---------------------------------------------------------------------------
+# optimized_actions windowing: steps before the window contribute only a
+# fixed warped-frame offset (reference time_constraints.py:34-41 +
+# graph_walk_optimizer.py:132-137)
+# ---------------------------------------------------------------------------
+
+def test_time_optimization_start_frames_offset(setup):
+    graph, skel = setup
+    prim = graph.nodes[("walk", "rightStance")].primitive
+    key = jax.random.PRNGKey(3)
+    params = [np.asarray(prim_mod.sample_latent(key, prim, 1)[0])]
+    frame_time = 1.0 / 30
+    kf = prim.n_canonical_frames // 2
+    # 60 warped frames of earlier steps precede this window
+    start_frames = 60.0
+    constrained = [(0, kf, 3.0)]
+
+    def keyframe_time(parameters):
+        from morphablegraphs_tpu.ops import timewarp
+        gamma = jnp.asarray(parameters[0][prim.n_spatial:])
+        t = timewarp.canonical_time_function(prim.mean_t_d, prim.eigen_t_d,
+                                             gamma)
+        return float((start_frames + t[kf]) * frame_time)
+
+    t_before = keyframe_time(params)
+    new_params = global_opt.optimize_time_over_steps(
+        [prim], params, constrained, frame_time, n_iters=40,
+        quality_scale=1e-6, start_frames=start_frames)
+    t_after = keyframe_time(new_params)
+    assert abs(t_after - 3.0) < abs(t_before - 3.0), (t_before, t_after)
+    assert abs(t_after - 3.0) < 0.25, (t_before, t_after)

@@ -330,3 +330,83 @@ def test_apply_joint_limits_batched_frames(skel):
     np.testing.assert_allclose(got, [-80.0, 0.0, 60.0, 80.0], atol=1e-3)
     # root channels pass through
     np.testing.assert_allclose(out[:, :3], frames[:, :3], atol=0)
+
+
+# ---------------------------------------------------------------------------
+# IK orientation constraints (inverse_kinematics_settings
+# "optimize_orientation" + "constrain_place_orientation", reference
+# graph_walk.py:41,:104,:224 + IKConstraintsBuilder constrain_orientation)
+# ---------------------------------------------------------------------------
+
+def _np_axis_quat_deg(axis, deg):
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    h = np.radians(deg) / 2.0
+    return np.concatenate([[np.cos(h)], np.sin(h) * axis])
+
+
+def test_set_global_orientation_matches_target(skel):
+    frame = _rest_frame(skel)
+    target = _np_axis_quat_deg((0, 1, 0), 40.0)
+    edited = postprocess._set_global_orientation(skel, frame, "Head", target)
+    from morphablegraphs_tpu.models.skeleton import fk_global
+    _, ori = fk_global(skel, jnp.asarray(edited, jnp.float32))
+    got = np.asarray(ori[skel.index_of("Head")], np.float64)
+    got /= np.linalg.norm(got)
+    dot = abs(np.dot(got, target))
+    assert dot > 1.0 - 1e-5, (got, target)
+    # only the Head quat channels changed
+    sl = skel.quat_slice("Head")
+    mask = np.ones(len(frame), bool)
+    mask[sl] = False
+    np.testing.assert_allclose(edited[mask], frame[mask], atol=0)
+
+
+def test_apply_ik_orientation_gated(skel):
+    frames = np.stack([_rest_frame(skel)] * 5)
+    target_q = _np_axis_quat_deg((0, 1, 0), 35.0)
+    from morphablegraphs_tpu.models.skeleton import fk_global, fk_positions
+    cur = np.asarray(fk_positions(skel, jnp.asarray(frames[2], jnp.float32)))
+    c = postprocess.IKConstraint(
+        frame_idx=2, joint="Head",
+        position=cur[skel.index_of("Head")].astype(np.float64),
+        orientation=target_q)
+    out_on = postprocess.apply_ik_constraints(
+        skel, frames, [c], interpolation_window=0, n_iters=2,
+        optimize_orientation=True)
+    out_off = postprocess.apply_ik_constraints(
+        skel, frames, [c], interpolation_window=0, n_iters=2,
+        optimize_orientation=False)
+    _, ori_on = fk_global(skel, jnp.asarray(out_on[2], jnp.float32))
+    q_on = np.asarray(ori_on[skel.index_of("Head")], np.float64)
+    q_on /= np.linalg.norm(q_on)
+    assert abs(np.dot(q_on, target_q)) > 1.0 - 1e-4
+    _, ori_off = fk_global(skel, jnp.asarray(out_off[2], jnp.float32))
+    q_off = np.asarray(ori_off[skel.index_of("Head")], np.float64)
+    q_off /= np.linalg.norm(q_off)
+    assert abs(np.dot(q_off, target_q)) < 1.0 - 1e-3  # gate respected
+
+
+def test_place_orientation_gate():
+    import types
+    prim = types.SimpleNamespace(n_canonical_frames=11)
+    graph = types.SimpleNamespace(
+        nodes={("placeRight", "reach"): types.SimpleNamespace(primitive=prim)})
+    step = types.SimpleNamespace(node_key=("placeRight", "reach"),
+                                 start_frame=0, end_frame=10,
+                                 action_name="placeRight")
+    q = tuple(_np_axis_quat_deg((0, 1, 0), 20.0))
+    specs = {0: [("RightHand", np.zeros(3), 5, np.asarray(q))]}
+    # place action + flag off -> orientation dropped
+    out = postprocess.create_ik_constraints(
+        graph, [step], specs, constrain_place_orientation=False)
+    assert out[0].orientation is None
+    # flag on -> orientation kept
+    out = postprocess.create_ik_constraints(
+        graph, [step], specs, constrain_place_orientation=True)
+    np.testing.assert_allclose(out[0].orientation, q)
+    # non-place action keeps orientation regardless of the flag
+    step.action_name = "pickRight"
+    out = postprocess.create_ik_constraints(
+        graph, [step], specs, constrain_place_orientation=False)
+    np.testing.assert_allclose(out[0].orientation, q)
