@@ -243,6 +243,164 @@ def ground_stance_swing(skeleton: Skeleton, frames: np.ndarray, cfg: dict,
     return frames
 
 
+# ---------------------------------------------------------------------------
+# Footplant constraint generation (reference FootplantConstraintGenerator —
+# the anim_utils surface consumed by motion_generator.py:321-340
+# run_motion_grounding; settings schema = algorithm config
+# motion_grounding_settings, algorithm_configuration.py:225-236).  The
+# anim_utils implementation is an external sibling repo; these functions
+# consume every settings key with the semantics its name/defaults imply and
+# are validated by behavior tests (tests/test_postprocess.py).
+# ---------------------------------------------------------------------------
+
+DEFAULT_GROUNDING_SETTINGS = {
+    "activate_blending": True,
+    "generate_foot_plant_constraints": True,
+    "foot_lift_search_window": 40,
+    "foot_lift_tolerance": 3.0,
+    "graph_walk_grounding_window": 4,
+    "contact_tolerance": 1.0,
+    "constraint_range": 10,
+    "smoothing_constraints_window": 8,
+}
+
+
+def detect_ground_contacts(skeleton: Skeleton, frames: np.ndarray,
+                           settings: Optional[dict] = None,
+                           scene: Optional[SceneInterface] = None
+                           ) -> Dict[str, np.ndarray]:
+    """Per-frame ground-contact booleans per foot from ONE batched FK pass.
+
+    A frame is a strict contact when the foot is within `contact_tolerance`
+    of the scene height at its own XZ; strict contacts are extended through
+    frames within `foot_lift_tolerance` of the ground that lie within
+    `foot_lift_search_window` frames of a strict contact (hysteresis: the
+    foot is not "lifted" until it clears the lift tolerance), then the
+    bitvector is majority-vote smoothed over
+    `smoothing_constraints_window` frames."""
+    s = dict(DEFAULT_GROUNDING_SETTINGS)
+    s.update(settings or {})
+    scene = scene or SceneInterface()
+    feet = _foot_nodes(skeleton, "both")
+    out: Dict[str, np.ndarray] = {}
+    if not feet or len(frames) == 0:
+        return out
+    from ..construct.preprocessing import smooth_bitvector
+    pos = np.asarray(fk_positions(skeleton, jnp.asarray(frames, jnp.float32)))
+    win = max(int(s["foot_lift_search_window"]), 1)
+    for f in feet:
+        p = pos[:, skeleton.index_of(f)]  # [T, 3]
+        ground = np.array([scene.get_height(float(x), float(z))
+                           for x, z in zip(p[:, 0], p[:, 2])])
+        h = p[:, 1] - ground
+        strict = h < float(s["contact_tolerance"])
+        loose = h < float(s["foot_lift_tolerance"])
+        # kernel clamped to the signal length: np.convolve(mode="same")
+        # returns max(len(signal), len(kernel)) elements, so a search
+        # window longer than the motion would break the mask shapes
+        kwin = min(2 * win + 1, len(strict))
+        near_strict = np.convolve(strict.astype(np.float64),
+                                  np.ones(kwin), mode="same") > 0
+        bv = (loose & near_strict).astype(np.int8)
+        out[f] = smooth_bitvector(
+            bv, int(s["smoothing_constraints_window"]))
+    return out
+
+
+def generate_foot_plant_constraints(skeleton: Skeleton, frames: np.ndarray,
+                                    settings: Optional[dict] = None,
+                                    scene: Optional[SceneInterface] = None,
+                                    steps=None):
+    """Contact runs -> grounding constraints + blend ranges (reference
+    FootplantConstraintGenerator.generate_from_graph_walk returning
+    (constraints, blend_ranges, ground_contacts),
+    motion_generator.py:328-336).
+
+    Each contiguous contact run pins the foot at its median contact
+    position (height = scene height there) for the whole run; the blend
+    range extends `constraint_range` frames past each end.  When graph-walk
+    `steps` are given, a run is clipped against its owning step's frame
+    range extended by `graph_walk_grounding_window` frames, so one step's
+    plant never reaches deep into the next step."""
+    s = dict(DEFAULT_GROUNDING_SETTINGS)
+    s.update(settings or {})
+    scene = scene or SceneInterface()
+    contacts = detect_ground_contacts(skeleton, frames, s, scene)
+    pos = np.asarray(fk_positions(skeleton, jnp.asarray(frames, jnp.float32)))
+    rng = int(s["constraint_range"])
+    gw = int(s["graph_walk_grounding_window"])
+    constraints = []  # (joint, start, end, target[3])
+    blend_ranges: Dict[str, list] = {}
+    n = len(frames)
+    for joint, bv in contacts.items():
+        ji = skeleton.index_of(joint)
+        edges = np.flatnonzero(np.diff(np.concatenate([[0], bv, [0]])))
+        for k in range(0, len(edges), 2):
+            start, end = int(edges[k]), int(edges[k + 1]) - 1
+            if steps is not None:
+                owner = next((st for st in steps
+                              if st.start_frame <= (start + end) // 2
+                              <= st.end_frame), None)
+                if owner is not None:
+                    start = max(start, owner.start_frame - gw)
+                    end = min(end, owner.end_frame + gw)
+            if end < start:
+                continue
+            anchor = np.median(pos[start: end + 1, ji], axis=0)
+            anchor[1] = scene.get_height(float(anchor[0]), float(anchor[2]))
+            constraints.append((joint, start, end, anchor))
+            blend_ranges.setdefault(joint, []).append(
+                (max(start - rng, 0), min(end + rng, n - 1)))
+    return constraints, blend_ranges, contacts
+
+
+def apply_grounding_constraints(skeleton: Skeleton, frames: np.ndarray,
+                                constraints, activate_blending: bool = True,
+                                constraint_range: int = 10) -> np.ndarray:
+    """Apply footplant constraints: per run, one vmapped DLS-IK launch pins
+    the foot at its anchor for every frame of the run (foot-skate removal);
+    with activate_blending the edit ramps in/out over `constraint_range`
+    frames on each side (reference MotionGrounding.run + add_blend_range,
+    motion_generator.py:331-340)."""
+    if not constraints:
+        return frames
+    frames = frames.copy()
+    for joint, start, end, anchor in constraints:
+        if joint not in skeleton.node_names:
+            continue
+        joint_mask = _leg_joint_mask(skeleton, [joint])
+        if not joint_mask.any():
+            continue
+        end = min(end, len(frames) - 1)
+        seg = jnp.asarray(frames[start: end + 1], jnp.float32)
+        t = int(end - start + 1)
+        n_c = ik_ops.MAX_IK_CONSTRAINTS
+        targets = np.zeros((t, n_c, 3), np.float32)
+        nodes = np.zeros((t, n_c), np.int32)
+        mask = np.zeros((t, n_c), np.float32)
+        targets[:, 0] = anchor
+        nodes[:, 0] = skeleton.index_of(joint)
+        mask[:, 0] = 1.0
+        edited = np.asarray(jax.vmap(
+            lambda f, nd, tg, mk: ik_ops.solve_ik(
+                skeleton, f, nd, tg, mk, jnp.asarray(joint_mask),
+                n_iters=8))(seg, jnp.asarray(nodes), jnp.asarray(targets),
+                            jnp.asarray(mask)))
+        frames[start: end + 1] = edited
+        if activate_blending and constraint_range > 0:
+            delta_s = edited[0] - seg[0]
+            delta_e = edited[-1] - seg[-1]
+            for w in range(1, constraint_range + 1):
+                factor = 1.0 - w / (constraint_range + 1)
+                k = start - w
+                if k >= 0:
+                    frames[k] = frames[k] + np.asarray(delta_s) * factor
+                k = end + w
+                if k < len(frames):
+                    frames[k] = frames[k] + np.asarray(delta_e) * factor
+    return frames
+
+
 def ground_step(skeleton: Skeleton, frames: np.ndarray, mp_name: str,
                 start_frame: int, end_frame: int,
                 scene: Optional[SceneInterface] = None) -> np.ndarray:
@@ -274,13 +432,25 @@ def ground_step(skeleton: Skeleton, frames: np.ndarray, mp_name: str,
 
 
 def ground_motion(skeleton: Skeleton, frames: np.ndarray, steps,
-                  scene: Optional[SceneInterface] = None) -> np.ndarray:
+                  scene: Optional[SceneInterface] = None,
+                  settings: Optional[dict] = None) -> np.ndarray:
     """Ground a full graph walk (reference run_motion_grounding,
-    motion_generator.py:321-352): move to ground, then per-step stance
-    grounding."""
+    motion_generator.py:321-352): move to ground, then either detected
+    footplant constraints (generate_foot_plant_constraints — the reference
+    offline default via FootplantConstraintGenerator) or per-step
+    stance-table grounding (reference MotionPrimitiveGrounding
+    semantics; also the fallback when no settings are given)."""
     if not _foot_nodes(skeleton, "both"):
         return frames  # skeleton has no feet (e.g. reduced test rigs)
     frames = move_to_ground(skeleton, frames, scene)
+    s = settings or {}
+    if s.get("generate_foot_plant_constraints", False):
+        cs, _brs, _ = generate_foot_plant_constraints(
+            skeleton, frames, s, scene, steps)
+        return apply_grounding_constraints(
+            skeleton, frames, cs,
+            activate_blending=bool(s.get("activate_blending", True)),
+            constraint_range=int(s.get("constraint_range", 10)))
     for step in steps:
         frames = ground_step(skeleton, frames, step.node_key[1],
                              step.start_frame, step.end_frame, scene)

@@ -223,5 +223,7 @@ def post_process_motion(skeleton: Skeleton, frames: np.ndarray, steps,
             optimize_orientation=bool(
                 ik_settings.get("optimize_orientation", True)))
     if config.get("activate_motion_grounding", False):
-        frames = grounding.ground_motion(skeleton, frames, steps, scene)
+        frames = grounding.ground_motion(
+            skeleton, frames, steps, scene,
+            settings=config.get("motion_grounding_settings"))
     return frames

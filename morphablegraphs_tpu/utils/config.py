@@ -223,22 +223,14 @@ INERT_KEYS = {
     "inverse_kinematics_settings.constrain_place_orientation":
         None,  # wired (live): place/insert/screw actions drop IK
         # orientation unless set (MotionGenerator._post_process)
-    "motion_grounding_settings.activate_blending":
-        "pending: grounding uses MP_CONFIGURATIONS blend windows",
-    "motion_grounding_settings.generate_foot_plant_constraints":
-        "pending: footplant constraint generation",
-    "motion_grounding_settings.foot_lift_search_window":
-        "pending: footplant constraint generation",
-    "motion_grounding_settings.foot_lift_tolerance":
-        "pending: footplant constraint generation",
-    "motion_grounding_settings.graph_walk_grounding_window":
-        "pending: footplant constraint generation",
-    "motion_grounding_settings.contact_tolerance":
-        "pending: footplant constraint generation",
-    "motion_grounding_settings.constraint_range":
-        "pending: footplant constraint generation",
-    "motion_grounding_settings.smoothing_constraints_window":
-        "pending: footplant constraint generation",
+    # motion_grounding_settings keys are wired (live) into
+    # synthesis/grounding.py's footplant constraint generation:
+    # detect_ground_contacts (contact_tolerance, foot_lift_tolerance,
+    # foot_lift_search_window, smoothing_constraints_window),
+    # generate_foot_plant_constraints (constraint_range,
+    # graph_walk_grounding_window) and apply_grounding_constraints
+    # (activate_blending); generate_foot_plant_constraints toggles the
+    # detector vs the stance-table path in ground_motion.
     "motion_grounding_settings.damp_angle":
         "superseded: DLS damping is fixed per kernel",
     "motion_grounding_settings.damp_factor":

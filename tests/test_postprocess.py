@@ -410,3 +410,89 @@ def test_place_orientation_gate():
     out = postprocess.create_ik_constraints(
         graph, [step], specs, constrain_place_orientation=False)
     np.testing.assert_allclose(out[0].orientation, q)
+
+
+# ---------------------------------------------------------------------------
+# Footplant constraint generation (motion_grounding_settings keys, reference
+# FootplantConstraintGenerator via motion_generator.py:321-340)
+# ---------------------------------------------------------------------------
+
+def _plant_motion(skel, n=60):
+    """Synthetic walk: the skeleton stands still for frames 10-35 (feet on
+    the ground) and rises/strides elsewhere, so contact detection has one
+    clean plant run per foot."""
+    frames = np.tile(_rest_frame(skel), (n, 1))
+    # feet rest exactly on y=0 when the root is at 85 (WALK_BVH leg length)
+    pos = np.asarray(sk.fk_positions(skel, jnp.asarray(frames[0])))
+    foot_y = pos[skel.index_of("LeftFoot")][1]
+    frames[:, 1] = 90.0 - foot_y  # shift the root so the feet touch y=0
+    for i in range(n):
+        if i < 10 or i > 35:
+            frames[i, 1] += 8.0 + 0.5 * i  # airborne + moving
+            frames[i, 0] += 0.8 * i
+    return frames
+
+
+def test_detect_ground_contacts_finds_plant_run(skel):
+    frames = _plant_motion(skel)
+    contacts = grounding.detect_ground_contacts(
+        skel, frames, {"contact_tolerance": 1.0, "foot_lift_tolerance": 3.0,
+                       "foot_lift_search_window": 5,
+                       "smoothing_constraints_window": 3})
+    assert "LeftFoot" in contacts and "RightFoot" in contacts
+    bv = contacts["LeftFoot"]
+    assert bv[20] == 1 and bv[22] == 1  # mid-plant is contact
+    assert bv[2] == 0 and bv[-2] == 0   # airborne frames are not
+
+
+def test_footplant_constraints_pin_the_foot(skel):
+    frames = _plant_motion(skel)
+    settings = {"generate_foot_plant_constraints": True,
+                "contact_tolerance": 1.0, "foot_lift_tolerance": 3.0,
+                "foot_lift_search_window": 5,
+                "smoothing_constraints_window": 3,
+                "constraint_range": 4, "activate_blending": True}
+    cs, blends, contacts = grounding.generate_foot_plant_constraints(
+        skel, frames, settings)
+    assert cs, "no constraints detected"
+    joints = {c[0] for c in cs}
+    assert "LeftFoot" in joints
+    # jitter the plant frames a little so the pin has work to do
+    noisy = frames.copy()
+    noisy[15:30, 0] += np.linspace(0, 2.0, 15)
+    out = grounding.apply_grounding_constraints(
+        skel, noisy, cs, activate_blending=True, constraint_range=4)
+    # foot positions during a run are now constant (skate removed)
+    joint, s0, e0, anchor = next(c for c in cs if c[0] == "LeftFoot")
+    pos = np.asarray(sk.fk_positions(
+        skel, jnp.asarray(out[s0:e0 + 1], jnp.float32)))
+    foot = pos[:, skel.index_of("LeftFoot")]
+    drift = np.max(np.linalg.norm(foot - foot[0], axis=-1))
+    pos_before = np.asarray(sk.fk_positions(
+        skel, jnp.asarray(noisy[s0:e0 + 1], jnp.float32)))
+    drift_before = np.max(np.linalg.norm(
+        pos_before[:, skel.index_of("LeftFoot")]
+        - pos_before[0, skel.index_of("LeftFoot")], axis=-1))
+    assert drift < drift_before * 0.5, (drift, drift_before)
+
+
+def test_ground_motion_footplant_path(skel):
+    import types
+    frames = _plant_motion(skel)
+    steps = [types.SimpleNamespace(node_key=("walk", "leftStance"),
+                                   start_frame=0, end_frame=len(frames) - 1)]
+    settings = {"generate_foot_plant_constraints": True,
+                "contact_tolerance": 1.0, "foot_lift_tolerance": 3.0,
+                "foot_lift_search_window": 5,
+                "smoothing_constraints_window": 3,
+                "constraint_range": 4, "graph_walk_grounding_window": 4,
+                "activate_blending": True}
+    out = grounding.ground_motion(skel, frames, steps,
+                                  grounding.SceneInterface(), settings)
+    assert out.shape == frames.shape
+    assert not np.isnan(out).any()
+    # the flag off falls back to the stance-table path and still works
+    out2 = grounding.ground_motion(skel, frames, steps,
+                                   grounding.SceneInterface(),
+                                   {"generate_foot_plant_constraints": False})
+    assert out2.shape == frames.shape
