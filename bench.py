@@ -36,7 +36,9 @@ frozen-correspondence LM — default ON since the 2026-08-19 TPU A/B measured
 it 2.04x the exact-LM headline at equal converged error, see
 benchmarks/results/BENCH_TPU_20260819T182501Z.json), MG_BENCH_EXTRAS=0
 (skip the ee extras run), MG_LM_PALLAS_SOLVE=0|1 (crowd Cholesky kernel;
-unset = decided by an on-TPU preflight A/B).
+unset = decided by an on-TPU preflight A/B — the library default is ON
+since the 2026-08-20 preflight measured parity err 1.9e-06 and 1.38x,
+BENCH_TPU_20260820T043858Z.json).
 """
 
 import json

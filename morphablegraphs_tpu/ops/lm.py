@@ -67,13 +67,16 @@ def chol_solve_unrolled(a: jax.Array, g: jax.Array) -> jax.Array:
 # on the lane axis, every intermediate VMEM-resident) exactly when the solve
 # is batched, leaving the single-character path untouched.
 #
-# OPT-IN: MG_LM_PALLAS_SOLVE=1 enables the kernel (bench.py sets it after
-# its on-TPU preflight proves parity AND a measured win; until then the
-# default stays the vmapped unrolled solve, so an unproven Mosaic kernel
-# can never reach production paths by default).  The decision is read at
-# TRACE time; `pallas_solve_disabled()` forces it off for programs that
-# must stay free of Mosaic ops (GSPMD-sharded crowds — no partitioning
-# rule exists for Pallas custom calls).
+# DEFAULT ON since the 2026-08-20 on-TPU preflight measured the kernel at
+# parity err 1.9e-06 and 1.38x the XLA unrolled solve (2.29 vs 3.16 ms for
+# the [1024, k, k] crowd batch; benchmarks/results/
+# BENCH_TPU_20260820T043858Z.json).  MG_LM_PALLAS_SOLVE=0 reverts to the
+# vmapped unrolled solve, and bench.py's preflight still re-proves parity +
+# re-records the A/B each TPU run (it can override to 0 when it measures a
+# regression).  The decision is read at TRACE time; `pallas_solve_disabled()`
+# forces it off for programs that must stay free of Mosaic ops
+# (GSPMD-sharded crowds — no partitioning rule exists for Pallas custom
+# calls).
 
 _MIN_PALLAS_BATCH = 256  # below this the kernel's pad-to-1024 cost bites
 _PALLAS_SOLVE_DISABLED = [False]
@@ -91,7 +94,7 @@ class pallas_solve_disabled:
 
 
 def _chol_solve_batched(a: jax.Array, g: jax.Array) -> jax.Array:
-    use_pallas = (os.environ.get("MG_LM_PALLAS_SOLVE", "0") == "1"
+    use_pallas = (os.environ.get("MG_LM_PALLAS_SOLVE", "1") == "1"
                   and not _PALLAS_SOLVE_DISABLED[0]
                   and a.ndim == 3
                   and a.shape[0] >= _MIN_PALLAS_BATCH
