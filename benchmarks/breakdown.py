@@ -60,6 +60,10 @@ def main():
         ("exact LM",
          dict(n_samples=128, lm_iters=3, pallas_selection=True,
               root_only=True, lm_frozen=False)),
+        ("full, no traj residuals",
+         dict(n_samples=128, lm_iters=3, pallas_selection=False,
+              use_traj=False, root_only=True, lm_frozen=True,
+              lm_frozen_closed=True)),
         ("no LM",
          dict(n_samples=128, lm_iters=0, pallas_selection=True,
               root_only=True)),
@@ -71,7 +75,10 @@ def main():
               root_only=True, lm_frozen=True, lm_frozen_closed=True)),
     ]
 
+    only = sys.argv[1] if len(sys.argv) > 1 else None
     for name, kw in variants:
+        if only and only not in name:
+            continue
         @jax.jit
         def crowd(g, ks, sids, kw=kw):
             return jax.vmap(lambda k, p, s: cw.constrained_walk_full(
