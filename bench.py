@@ -409,7 +409,11 @@ def main() -> None:
     # r3 #1: a later crash must never lose a number measured in an open
     # tunnel window); rewritten after extras so the A/B lines land too
     snapshot_path = None
-    if on_tpu:
+    # MG_BENCH_SNAPSHOT=0: the caller owns the artifact (benchmarks/
+    # tpu_watch.py snapshots + commits the parsed result itself — without
+    # this gate every watched run left a second, differently-stamped
+    # near-duplicate in benchmarks/results/)
+    if on_tpu and os.environ.get("MG_BENCH_SNAPSHOT", "1") != "0":
         import datetime
         stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
             "%Y%m%dT%H%M%SZ")

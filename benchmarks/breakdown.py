@@ -70,6 +70,19 @@ def main():
         ("no LM, no traj residuals",
          dict(n_samples=128, lm_iters=0, use_traj=False,
               pallas_selection=False, root_only=True)),
+        # floor attribution: with ONE candidate there is no ranking work
+        # (sampling + selection kernel collapse); what remains is the
+        # winner's exact re-score, back-projection, alignment/smoothing,
+        # arc advancement, and scan machinery.  Delta vs "no LM"
+        # attributes the sampling+selection cost inside the floor.
+        ("no LM, 1 sample (floor sans selection)",
+         dict(n_samples=1, lm_iters=0, pallas_selection=False,
+              root_only=True)),
+        # per-iteration LM slope: (3-iter - 1-iter)/2 = marginal cost of
+        # one closed-form LM iteration (VJP pass + contractions + solve)
+        ("frozen-closed, 1 LM iter",
+         dict(n_samples=128, lm_iters=1, pallas_selection=True,
+              root_only=True, lm_frozen=True, lm_frozen_closed=True)),
         ("XLA selection (no pallas)",
          dict(n_samples=128, lm_iters=3, pallas_selection=False,
               root_only=True, lm_frozen=True, lm_frozen_closed=True)),

@@ -52,6 +52,7 @@ def run_bench(timeout_s: int) -> dict | None:
     """Run bench.py; return the parsed result dict on a REAL TPU run."""
     env = dict(os.environ)
     env["MG_BENCH_PLATFORM"] = "tpu"  # the probe just succeeded; skip re-probe
+    env["MG_BENCH_SNAPSHOT"] = "0"  # the watcher owns the snapshot artifact
     try:
         p = subprocess.run([sys.executable, "bench.py"], cwd=REPO,
                            capture_output=True, text=True,
@@ -61,7 +62,10 @@ def run_bench(timeout_s: int) -> dict | None:
         out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
         err = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
         log(f"bench timed out after {timeout_s}s; salvaging partial output")
-        return _parse(out, err, rc=-1)
+        result = _parse(out, err, rc=-1)
+        if result is not None:
+            result["partial"] = True  # headline only; extras/A-Bs missing
+        return result
     return _parse(p.stdout, p.stderr, rc=p.returncode)
 
 
@@ -133,8 +137,15 @@ def main() -> None:
             result = run_bench(int(args.bench_timeout))
             if result is not None:
                 snapshot(result)
-                log("done: TPU number banked")
-                return
+                if result.get("partial"):
+                    # a salvaged headline is banked, but the extras/A-B
+                    # lines the docstring promises are missing — keep
+                    # hunting for a window long enough for a complete run
+                    log("partial result banked; continuing to hunt for a "
+                        "complete window")
+                else:
+                    log("done: TPU number banked")
+                    return
         else:
             log(f"probe #{n}: down ({time.time() - t0:.0f}s)")
         time.sleep(max(0.0, args.interval - (time.time() - t0)))

@@ -271,14 +271,20 @@ def refine_iters_for_accuracy(full_arc_length: float,
     bracket by 2/3, so n iterations reach accuracy when
     bracket * (2/3)^n <= accuracy.  Clipped to [4, min(max_iterations, 32)]
     — 32 iterations reach 5e-6 of a cell, far below any meaningful world
-    accuracy."""
+    accuracy.
+
+    The result is rounded UP to a multiple of 4: n_refine is a static jit
+    argument of the fused step programs, so every distinct value is a full
+    recompile (minutes over the tunnel TPU) — quantizing bounds the compile
+    universe to 8 values while only ever EXCEEDING the requested accuracy."""
     import math
     bracket = 2.0 * max(float(full_arc_length), 1e-6) / float(granularity)
     if accuracy <= 0.0 or accuracy >= bracket:
         n = 4
     else:
         n = math.ceil(math.log(accuracy / bracket) / math.log(2.0 / 3.0))
-    return int(max(4, min(n, int(max_iterations), 32)))
+    n = int(max(4, min(n, int(max_iterations), 32)))
+    return min(-(-n // 4) * 4, 32)
 
 
 @functools.partial(jax.jit, static_argnames=("n_refine",))

@@ -26,9 +26,9 @@ class KeyframeEvent:
 
 
 # Actions whose placed object is rotated by the engine after detach
-# (reference graph_walk.py:41 DEFAULT_PLACE_ACTION_LIST — semantic constant)
-DEFAULT_PLACE_ACTION_LIST = ["placeRight", "placeLeft", "insertRight",
-                             "insertLeft", "screwRight", "screwLeft"]
+# (reference graph_walk.py:41 DEFAULT_PLACE_ACTION_LIST — semantic constant,
+# shared with the IK-orientation gate in synthesis/postprocess.py)
+from ..synthesis.postprocess import PLACE_ACTION_LIST as DEFAULT_PLACE_ACTION_LIST
 
 
 class AnnotatedMotion:

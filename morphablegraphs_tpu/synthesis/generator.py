@@ -30,6 +30,17 @@ from ..ops import gmm as gmm_ops
 from ..ops import lm as lm_ops
 
 
+def _score_pool(skeleton: Skeleton, prim: MotionPrimitive,
+                sc: compiled.StepConstraints, pool: jax.Array,
+                use_traj: bool, use_ca: bool, use_ts: bool) -> jax.Array:
+    """Constraint error of every candidate in the pool [N, L] -> [N] —
+    the single scoring rule shared by best-of-n sampling, cluster-candidate
+    search, and the multi-start top-k selection."""
+    return jax.vmap(lambda s: compiled.evaluate_error(
+        skeleton, prim, sc, s, use_traj=use_traj, use_ca=use_ca,
+        use_ts=use_ts))(pool)
+
+
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("n_samples", "use_traj", "use_ca", "use_ts"))
 def best_of_n(skeleton: Skeleton, key: jax.Array, prim: MotionPrimitive,
@@ -42,8 +53,8 @@ def best_of_n(skeleton: Skeleton, key: jax.Array, prim: MotionPrimitive,
     Returns (s_best [L], error_best).
     """
     samples = sample_latent(key, prim, n_samples)
-    errors = jax.vmap(lambda s: compiled.evaluate_error(
-        skeleton, prim, sc, s, use_traj=use_traj, use_ca=use_ca, use_ts=use_ts))(samples)
+    errors = _score_pool(skeleton, prim, sc, samples, use_traj, use_ca,
+                         use_ts)
     i = jnp.argmin(errors)
     return samples[i], errors[i]
 
@@ -95,8 +106,8 @@ def search_candidates(skeleton: Skeleton, prim: MotionPrimitive,
     error — the TPU replacement for the reference's objective-directed tree
     traversal (cluster_tree.py:117-149): exhaustive vmapped argmin is exact
     and one batched computation (SURVEY.md §7.8)."""
-    errors = jax.vmap(lambda s: compiled.evaluate_error(
-        skeleton, prim, sc, s, use_traj=use_traj, use_ca=use_ca, use_ts=use_ts))(candidates)
+    errors = _score_pool(skeleton, prim, sc, candidates, use_traj, use_ca,
+                         use_ts)
     i = jnp.argmin(errors)
     return candidates[i], errors[i]
 
@@ -196,9 +207,8 @@ def _sample_and_refine(skeleton: Skeleton, key: jax.Array,
     keeps the best converged (see _refine_topk_if_above_threshold)."""
     if do_refine and n_starts > 1:
         samples = sample_latent(key, prim, n_samples)
-        errors = jax.vmap(lambda s: compiled.evaluate_error(
-            skeleton, prim, sc, s, use_traj=use_traj, use_ca=use_ca,
-            use_ts=use_ts))(samples)
+        errors = _score_pool(skeleton, prim, sc, samples, use_traj, use_ca,
+                             use_ts)
         starts, errs = _topk_starts(samples, errors,
                                     min(n_starts, n_samples))
         return _refine_topk_if_above_threshold(
@@ -227,9 +237,8 @@ def _search_and_refine(skeleton: Skeleton, prim: MotionPrimitive,
                        n_starts: int = 1):
     """search_candidates + threshold-gated LM as one dispatch."""
     if do_refine and n_starts > 1:
-        errors = jax.vmap(lambda s: compiled.evaluate_error(
-            skeleton, prim, sc, s, use_traj=use_traj, use_ca=use_ca,
-            use_ts=use_ts))(candidates)
+        errors = _score_pool(skeleton, prim, sc, candidates, use_traj,
+                             use_ca, use_ts)
         starts, errs = _topk_starts(candidates, errors,
                                     min(n_starts, candidates.shape[0]))
         return _refine_topk_if_above_threshold(

@@ -253,21 +253,22 @@ def ground_stance_swing(skeleton: Skeleton, frames: np.ndarray, cfg: dict,
 # are validated by behavior tests (tests/test_postprocess.py).
 # ---------------------------------------------------------------------------
 
+# Single source of truth is the algorithm-config schema; direct callers of
+# detect_ground_contacts / generate_foot_plant_constraints that pass no
+# settings get exactly the defaults post_process_motion would pass them
+# (damp_* keys are superseded — DLS damping is fixed per kernel, see
+# utils/config.py INERT_KEYS).
+from ..utils.config import DEFAULT_ALGORITHM_CONFIG as _DAC
+
 DEFAULT_GROUNDING_SETTINGS = {
-    "activate_blending": True,
-    "generate_foot_plant_constraints": True,
-    "foot_lift_search_window": 40,
-    "foot_lift_tolerance": 3.0,
-    "graph_walk_grounding_window": 4,
-    "contact_tolerance": 1.0,
-    "constraint_range": 10,
-    "smoothing_constraints_window": 8,
-}
+    k: v for k, v in _DAC["motion_grounding_settings"].items()
+    if not k.startswith("damp_")}
 
 
 def detect_ground_contacts(skeleton: Skeleton, frames: np.ndarray,
                            settings: Optional[dict] = None,
-                           scene: Optional[SceneInterface] = None
+                           scene: Optional[SceneInterface] = None,
+                           positions: Optional[np.ndarray] = None
                            ) -> Dict[str, np.ndarray]:
     """Per-frame ground-contact booleans per foot from ONE batched FK pass.
 
@@ -286,7 +287,8 @@ def detect_ground_contacts(skeleton: Skeleton, frames: np.ndarray,
     if not feet or len(frames) == 0:
         return out
     from ..construct.preprocessing import smooth_bitvector
-    pos = np.asarray(fk_positions(skeleton, jnp.asarray(frames, jnp.float32)))
+    pos = (np.asarray(fk_positions(skeleton, jnp.asarray(frames, jnp.float32)))
+           if positions is None else positions)
     win = max(int(s["foot_lift_search_window"]), 1)
     for f in feet:
         p = pos[:, skeleton.index_of(f)]  # [T, 3]
@@ -325,8 +327,10 @@ def generate_foot_plant_constraints(skeleton: Skeleton, frames: np.ndarray,
     s = dict(DEFAULT_GROUNDING_SETTINGS)
     s.update(settings or {})
     scene = scene or SceneInterface()
-    contacts = detect_ground_contacts(skeleton, frames, s, scene)
+    # ONE FK pass serves both the contact detector and the anchor medians
     pos = np.asarray(fk_positions(skeleton, jnp.asarray(frames, jnp.float32)))
+    contacts = detect_ground_contacts(skeleton, frames, s, scene,
+                                      positions=pos)
     rng = int(s["constraint_range"])
     gw = int(s["graph_walk_grounding_window"])
     constraints = []  # (joint, start, end, target[3])
