@@ -218,6 +218,10 @@ def run_config(config: str, on_tpu: bool, n_chars: int, n_steps: int,
     from morphablegraphs_tpu.utils.synthetic import (
         REF_BVH, TEST_BVH, make_graph_dict, make_reference_scale_graph_dict)
 
+    # stage heartbeats: in the tunnel's DEGRADED mode the first big
+    # transfer/compile blocks forever with no output — timestamped stage
+    # lines let a salvaged stderr tail show exactly where the run died
+    _log(f"# [{time.strftime('%H:%M:%S')}] building model (host)")
     if config == "toy":
         graph = graph_mod.build_graph_from_dict(make_graph_dict())
         bvh = TEST_BVH
@@ -228,6 +232,7 @@ def run_config(config: str, on_tpu: bool, n_chars: int, n_steps: int,
     skel, _ = sk.load_bvh(bvh)
     stacked = graph_mod.stack_graph(graph)
     start_id = stacked.node_id(("walk", "beginLeftStance"))
+    _log(f"# [{time.strftime('%H:%M:%S')}] model built; staging device inputs")
 
     rng = np.random.default_rng(0)
     paths = cw.stack_paths([rand_path(rng, spline_path)
