@@ -269,22 +269,27 @@ def refine_iters_for_accuracy(full_arc_length: float,
     The table argmin brackets the optimum within 2 cells of world-space
     width ~2*full_arc/granularity; each ternary iteration shrinks the
     bracket by 2/3, so n iterations reach accuracy when
-    bracket * (2/3)^n <= accuracy.  Clipped to [4, min(max_iterations, 32)]
-    — 32 iterations reach 5e-6 of a cell, far below any meaningful world
-    accuracy.
+    bracket * (2/3)^n <= accuracy.  Hard cap 32 — 32 iterations reach
+    5e-6 of a cell, far below any meaningful world accuracy.
 
-    The result is rounded UP to a multiple of 4: n_refine is a static jit
-    argument of the fused step programs, so every distinct value is a full
-    recompile (minutes over the tunnel TPU) — quantizing bounds the compile
-    universe to 8 values while only ever EXCEEDING the requested accuracy."""
+    The accuracy-derived count is rounded UP to a multiple of 4: n_refine
+    is a static jit argument of the fused step programs, so every distinct
+    value is a full recompile (minutes over the tunnel TPU) — quantizing
+    bounds the compile universe while only ever EXCEEDING the requested
+    accuracy.  `max_iterations` is the reference's HARD search budget
+    (parameterized_spline.py:54-69 passes it straight to SegmentList), so
+    when it is the binding limit it wins over the quantization: the result
+    is then exactly min(max_iterations, 32), even if not a multiple of 4
+    (a user-set budget is one config value, not a per-call recompile
+    universe)."""
     import math
     bracket = 2.0 * max(float(full_arc_length), 1e-6) / float(granularity)
     if accuracy <= 0.0 or accuracy >= bracket:
         n = 4
     else:
         n = math.ceil(math.log(accuracy / bracket) / math.log(2.0 / 3.0))
-    n = int(max(4, min(n, int(max_iterations), 32)))
-    return min(-(-n // 4) * 4, 32)
+    n = min(-(-max(4, min(n, 32)) // 4) * 4, 32)
+    return max(1, min(n, int(max_iterations)))
 
 
 @functools.partial(jax.jit, static_argnames=("n_refine",))

@@ -90,6 +90,11 @@ class MotionGenerator:
         self._step_times = []
         self._prev_latent = None  # fresh request: no transition context
         self._prev_node_key = None
+        # CA "ik" mode spans: (ca trajectories, first step idx, end step
+        # idx) per action, consumed by _post_process (reference
+        # graph_walk.py:247-248: mode "ik" converts CA constraints to IK
+        # trajectory constraints over the action's frame range)
+        self._ca_ik_spans = []
         parsed = read_input(mg_input,
                             activate_coordinate_transform=activate_coordinate_transform,
                             activate_joint_mapping=activate_joint_mapping,
@@ -179,6 +184,11 @@ class MotionGenerator:
             n += 1
         frames = self._maybe_optimize_globally(steps, frames, acs)
         frames = self._maybe_optimize_ca_extra(steps, frames, acs, first_idx)
+        if (self.config.get("collision_avoidance_constraints_mode",
+                            "direct_connection") == "ik"
+                and acs.ca_trajectories and len(steps) > first_idx):
+            self._ca_ik_spans.append(
+                (list(acs.ca_trajectories), first_idx, len(steps)))
         return frames, node_key
 
     def _maybe_optimize_ca_extra(self, steps, frames, acs, first_idx: int):
@@ -724,9 +734,31 @@ class MotionGenerator:
             constrain_place_orientation=bool(
                 ik_settings.get("constrain_place_orientation", False))
         ) if constraint_specs else []
+        # CA "ik" mode (reference graph_walk.py:247-248): each action's CA
+        # trajectories become IK trajectory constraints over the action's
+        # OUTPUT frame range (steps carry post-warp start/end_frame here)
+        ik_trajectories = []
+        skel = self.graph.skeleton
+        from ..ops import spline_path
+        for trajs, i0, i1 in getattr(self, "_ca_ik_spans", []):
+            if i0 >= len(steps) or i1 <= i0:
+                continue
+            sf = steps[i0].start_frame
+            ef = steps[min(i1, len(steps)) - 1].end_frame
+            for t in trajs:
+                if t.joint not in skel.node_names:
+                    continue
+                sp = spline_path.build(
+                    t.control_points,
+                    max_points=compiled.spline_path_max_points(),
+                    unconstrained_dims=t.unconstrained_dims)
+                ik_trajectories.append(postprocess.IKTrajectoryConstraint(
+                    joint=t.joint, spline=sp, start_frame=sf, end_frame=ef,
+                    fixed_range=False,
+                    unconstrained_dims=tuple(t.unconstrained_dims)))
         return postprocess.post_process_motion(
             self.graph.skeleton, frames, steps, ik_constraints, self.config,
-            scene=self.scene_interface)
+            scene=self.scene_interface, ik_trajectories=ik_trajectories)
 
     # -- final conversion ----------------------------------------------
     def _convert_with_time_warp(self, steps,

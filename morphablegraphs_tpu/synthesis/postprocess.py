@@ -84,6 +84,101 @@ def create_ik_constraints(graph, steps, constraint_specs,
     return out
 
 
+@dataclasses.dataclass
+class IKTrajectoryConstraint:
+    """IK trajectory constraint over an output frame range — the dict
+    contract of reference graph_walk.py:277-297
+    `_create_ik_trajectory_constraints_from_ca_trajectories` (trajectory +
+    joint_name + start/end_frame + fixed_range + delta), produced when
+    `collision_avoidance_constraints_mode == "ik"` and solved by the IK
+    post-pass instead of inline residuals.
+
+    spline: a built ops.spline_path.PathSpline.  fixed_range=False searches
+    for a closer start: the target arcs begin at the closest point of the
+    joint's position at start_frame (reference: "search for closer start").
+    delta is the reference's target spacing along the trajectory; the
+    batched solver emits one target PER FRAME, which is at least as dense
+    for every real workload, so delta is kept for API parity only."""
+
+    joint: str
+    spline: object
+    start_frame: int
+    end_frame: int  # inclusive
+    fixed_range: bool = False
+    delta: float = 1.0
+    unconstrained_dims: tuple = ()
+
+
+def apply_ik_trajectory_constraints(skeleton: Skeleton, frames: np.ndarray,
+                                    constraints: List[IKTrajectoryConstraint],
+                                    n_iters: int = 10,
+                                    blend_window: int = 10) -> np.ndarray:
+    """Pull each constraint's joint onto its trajectory across the frame
+    range (the anim_utils MotionEditing trajectory-following edit the
+    reference delegates to, motion_generator.py:281-352).
+
+    TPU-native shape: ONE vmapped DLS solve over the whole frame range
+    (per-frame python IK loops are the reference's bottleneck), root held,
+    per-frame targets from a single batched spline evaluation.  Edits decay
+    to zero over `blend_window` frames at both range edges so the edit
+    never pops against untouched frames."""
+    import jax
+    from ..models.skeleton import fk_positions
+    from ..ops import spline_path
+
+    frames = frames.copy()
+    for c in constraints:
+        if c.joint not in skeleton.node_names:
+            continue
+        s = int(np.clip(c.start_frame, 0, len(frames) - 1))
+        e = int(np.clip(c.end_frame, 0, len(frames) - 1))
+        if e <= s:
+            continue
+        n = e - s + 1
+        node_idx = skeleton.index_of(c.joint)
+        batch = jnp.asarray(frames[s:e + 1], jnp.float32)
+        cur = np.asarray(jax.vmap(
+            lambda f: fk_positions(skeleton, f))(batch))[:, node_idx]
+        full_arc = float(c.spline.full_arc_length)
+        if c.fixed_range:
+            arc0 = 0.0
+        else:
+            _, a0, _ = spline_path.closest_point(
+                c.spline, jnp.asarray(cur[0], jnp.float32))
+            arc0 = float(a0)
+        arcs = jnp.asarray(arc0 + (full_arc - arc0)
+                           * np.linspace(0.0, 1.0, n, dtype=np.float32))
+        pts = np.array(jax.vmap(
+            lambda a: spline_path.point_and_dir_at_arc_length(
+                c.spline, a)[0])(arcs))
+        # unconstrained dims (e.g. height) follow the CURRENT joint path
+        for d_ in c.unconstrained_dims:
+            pts[:, d_] = cur[:, d_]
+
+        nodes = np.zeros(ik_ops.MAX_IK_CONSTRAINTS, np.int32)
+        mask = np.zeros(ik_ops.MAX_IK_CONSTRAINTS, np.float32)
+        nodes[0] = node_idx
+        mask[0] = 1.0
+        joint_mask = np.ones(skeleton.n_animated, np.float32)
+        joint_mask[0] = 0.0  # root is the walk's alignment anchor
+        targets = np.zeros((n, ik_ops.MAX_IK_CONSTRAINTS, 3), np.float32)
+        targets[:, 0, :] = pts
+        edited = np.asarray(jax.vmap(
+            lambda f, t: ik_ops.solve_ik(
+                skeleton, f, jnp.asarray(nodes), t, jnp.asarray(mask),
+                jnp.asarray(joint_mask), n_iters=n_iters))(
+            batch, jnp.asarray(targets)))
+        # ramp: 1 in the interior, linear decay to 0 at both range edges
+        w = max(1, min(int(blend_window), n // 2))
+        ramp = np.ones(n, np.float32)
+        edge = np.linspace(0.0, 1.0, w + 1, dtype=np.float32)[1:]
+        ramp[:w] = np.minimum(ramp[:w], edge)
+        ramp[n - w:] = np.minimum(ramp[n - w:], edge[::-1])
+        frames[s:e + 1] = (frames[s:e + 1]
+                           + (edited - frames[s:e + 1]) * ramp[:, None])
+    return frames
+
+
 def _np_quat_multiply(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     w1, x1, y1, z1 = a
     w2, x2, y2, z2 = b
@@ -200,9 +295,12 @@ def apply_ik_constraints(skeleton: Skeleton, frames: np.ndarray,
 def post_process_motion(skeleton: Skeleton, frames: np.ndarray, steps,
                         ik_constraints: Optional[List[IKConstraint]] = None,
                         config: Optional[dict] = None,
-                        scene=None) -> np.ndarray:
+                        scene=None,
+                        ik_trajectories: Optional[
+                            List[IKTrajectoryConstraint]] = None
+                        ) -> np.ndarray:
     """Full post-processing chain (reference motion_generator.py:281-352):
-    IK edits -> motion grounding."""
+    keyframe IK edits -> trajectory IK edits (CA "ik" mode) -> grounding."""
     config = config or {}
     ik_settings = config.get("inverse_kinematics_settings", {})
     if ik_constraints and config.get("activate_inverse_kinematics", True):
@@ -222,6 +320,13 @@ def post_process_motion(skeleton: Skeleton, frames: np.ndarray, steps,
             interpolation_window=interp, n_iters=budget,
             optimize_orientation=bool(
                 ik_settings.get("optimize_orientation", True)))
+    if ik_trajectories and config.get("activate_inverse_kinematics", True):
+        budget = int(np.clip(
+            round(int(ik_settings.get("max_iterations", 1000)) / 100),
+            1, 25))
+        frames = apply_ik_trajectory_constraints(
+            skeleton, frames, ik_trajectories, n_iters=budget,
+            blend_window=int(ik_settings.get("transition_window", 60)) // 6)
     if config.get("activate_motion_grounding", False):
         frames = grounding.ground_motion(
             skeleton, frames, steps, scene,

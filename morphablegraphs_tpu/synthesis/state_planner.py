@@ -266,6 +266,46 @@ class MGStatePlanner:
             if c.get("holdFrame"):
                 hold_frames.add(int(kf))
             slot += 1
+            # region constraints (reference constraint_builder.py:323-345
+            # constrainPositionInRegion/endKeyframe; the reference's IK
+            # builder enacts the constraint on EVERY frame of [keyframe,
+            # end keyframe]): resolve the end label and compile the span
+            # to sampled slots — midpoint + end — with the region-gated
+            # components, so both the latent solve and the exact IK snap
+            # hold the pose across the range, not just at the keyframe.
+            end_label = c.get("endKeyframeLabel")
+            if end_label:
+                group = self.graph.node_groups.get(node_key[0])
+                end_kf = (group.map_label_to_keyframe(
+                    node_key[1], end_label, prim.n_canonical_frames)
+                    if group is not None else None)
+                if end_kf is None:
+                    end_kf = prim.n_canonical_frames - 1
+                end_kf = int(end_kf)
+                if end_kf > int(kf):
+                    pos_r = (c.get("position")
+                             if c.get("constrainPositionInRegion") else None)
+                    ori_r = (c.get("orientation")
+                             if c.get("constrainOrientationInRegion")
+                             else None)
+                    span = sorted({(int(kf) + end_kf) // 2, end_kf}
+                                  - {int(kf)})
+                    if pos_r is None and ori_r is None:
+                        span = []
+                    for extra_kf in span:
+                        if slot >= compiled.MAX_KF:
+                            break
+                        sc = compiled.set_keyframe_constraint(
+                            sc, slot, skel, c["joint"], extra_kf,
+                            position=pos_r, quat_wxyz=ori_r,
+                            weight=float(c.get("weight", 1.0)))
+                        if pos_r is not None:
+                            resolved_kf.append(
+                                (c["joint"], extra_kf, pos_r,
+                                 c.get("mirrorJoint"), c.get("offset")))
+                        slot += 1
+                    if c.get("holdFrame"):
+                        hold_frames.update(range(int(kf), end_kf + 1))
         if target_dir is not None:
             sc = compiled.set_direction_constraint(
                 sc, np.asarray(target_dir, np.float32),
@@ -1023,9 +1063,23 @@ class MGStatePlanner:
             if isinstance(ori, dict):
                 ori = [-float(ori["w"]), -float(ori["x"]),
                        float(ori["y"]), float(ori["z"])]
+            # region constraints (reference constraint_builder.py:323-345):
+            # constrainPositionInRegion/-OrientationInRegion + endKeyframe
+            # enact the constraint from the resolved keyframe to the end
+            # keyframe, not just at one frame (generate_state expands the
+            # span to sampled slots + IK snaps)
+            in_region = bool(d.get("constrainPositionInRegion")
+                             or d.get("constrainOrientationInRegion"))
+            end_label = (d.get("endKeyframe") or None) if in_region else None
             out.append({"node": mp, "cycle": cycle, "joint": joint,
                         "position": pos, "orientation": ori,
                         "keyframeLabel": label,
+                        "endKeyframeLabel": end_label,
+                        "constrainPositionInRegion":
+                            bool(d.get("constrainPositionInRegion", False)),
+                        "constrainOrientationInRegion":
+                            bool(d.get("constrainOrientationInRegion",
+                                       False)),
                         "offset": self._resolve_tool_offset(d, joint),
                         "holdFrame": bool(d.get("hold",
                                                 d.get("holdFrame", False))),

@@ -239,9 +239,12 @@ INERT_KEYS = {
     "n_cluster_search_candidates":
         "superseded: exact vmapped cluster-data argmin (no beam)",
     "activate_parameter_check": "dead-in-reference",
-    "collision_avoidance_constraints_mode":
-        "superseded: CA slots evaluate inline during selection/LM "
-        "(reference 'direct_connection'); 'ik' mode not implemented",
+# collision_avoidance_constraints_mode is LIVE since round 5: CA slots
+# always evaluate inline during selection/LM (reference behavior is
+# likewise mode-independent there), and mode "ik" ADDITIONALLY converts
+# each action's CA trajectories to IK trajectory constraints solved in
+# the post-pass (reference graph_walk.py:247-248 + :277-297;
+# synthesis/postprocess.apply_ik_trajectory_constraints).
     "use_constrained_gmm": "dead-in-reference (set, never read)",
     "use_local_coordinates":
         "superseded: per-candidate aligning transform inside evaluation",

@@ -330,6 +330,93 @@ def test_ca_extra_pass_changes_parameters(setup):
 
 
 # ---------------------------------------------------------------------------
+# collision_avoidance_constraints_mode == "ik": CA trajectories become IK
+# trajectory constraints solved in the post-pass (reference
+# graph_walk.py:247-248 + :277-297)
+# ---------------------------------------------------------------------------
+
+def test_ca_ik_mode_post_pass_follows_trajectory(setup):
+    """Mode 'ik' must leave the graph walk itself untouched (same latents)
+    and edit the FRAMES in post-processing so the CA joint tracks the CA
+    trajectory more closely than the default mode's output."""
+    from morphablegraphs_tpu.synthesis.motion_generator import MotionGenerator
+    from morphablegraphs_tpu.models.skeleton import fk_positions
+    graph, skel = setup
+    base = default_config()
+    base["n_random_samples"] = 10
+    base["lm_iterations"] = 2
+    gen_def = MotionGenerator(graph, dict(base), seed=0)
+    res_def = gen_def.generate_motion(CA_WALK_INPUT,
+                                      activate_coordinate_transform=False)
+    cfg_ik = dict(base)
+    cfg_ik["collision_avoidance_constraints_mode"] = "ik"
+    gen_ik = MotionGenerator(graph, cfg_ik, seed=0)
+    res_ik = gen_ik.generate_motion(CA_WALK_INPUT,
+                                    activate_coordinate_transform=False)
+    # the mode only adds a post-pass: identical walk + latents
+    assert [s.node_key for s in res_ik.steps] == \
+        [s.node_key for s in res_def.steps]
+    for a, b in zip(res_ik.steps, res_def.steps):
+        np.testing.assert_array_equal(a.parameters, b.parameters)
+    assert np.isfinite(res_ik.frames).all()
+    # the flag changes the output frames...
+    assert res_ik.frames.shape == res_def.frames.shape
+    assert float(np.max(np.abs(res_ik.frames - res_def.frames))) > 1e-3
+
+    # ...and pulls the CA joint (Head-equivalent on the toy skeleton: the
+    # CA trajectory rides x=30) toward the avoidance path
+    ca_joint = CA_WALK_INPUT["elementaryActions"][0]["constraints"][1]["joint"]
+    jidx = skel.index_of(ca_joint)
+
+    def mean_x_dist(frames):
+        xs = [float(np.asarray(fk_positions(
+            skel, jnp.asarray(f, jnp.float32)))[jidx, 0])
+            for f in frames[::10]]
+        return float(np.mean(np.abs(np.asarray(xs) - 30.0)))
+
+    assert mean_x_dist(res_ik.frames) < mean_x_dist(res_def.frames)
+
+
+def test_apply_ik_trajectory_constraints_unit(setup):
+    """Batched trajectory IK: interior frames track the spline, range-edge
+    frames blend to zero edit, frames outside the range are untouched."""
+    from morphablegraphs_tpu.synthesis import postprocess
+    from morphablegraphs_tpu.models.skeleton import fk_positions
+    graph, skel = setup
+    joint = skel.node_names[min(2, len(skel.node_names) - 1)]
+    jidx = skel.index_of(joint)
+    base = np.zeros((40, skel.n_frame_params), np.float32)
+    base[:, 3::4] = 1.0  # identity quats
+    p0 = np.asarray(fk_positions(skel, jnp.asarray(base[0], jnp.float32)))
+    # a straight line offset from the joint's rest position
+    line = np.stack([p0[jidx] + [5.0, 0.0, -10.0],
+                     p0[jidx] + [5.0, 0.0, 0.0],
+                     p0[jidx] + [5.0, 0.0, 10.0]]).astype(np.float32)
+    sp = spline_path.build(line)
+    c = postprocess.IKTrajectoryConstraint(
+        joint=joint, spline=sp, start_frame=8, end_frame=31,
+        fixed_range=True)
+    out = postprocess.apply_ik_trajectory_constraints(
+        skel, base, [c], n_iters=10, blend_window=4)
+    np.testing.assert_array_equal(out[:8], base[:8])
+    np.testing.assert_array_equal(out[32:], base[32:])
+    mid = np.asarray(fk_positions(skel, jnp.asarray(out[20], jnp.float32)))
+    before = float(np.linalg.norm(p0[jidx] - (p0[jidx] + [5.0, 0, 0])))
+    after = float(np.linalg.norm(mid[jidx] - np.asarray(
+        jax_closest(sp, mid[jidx]))))
+    assert after < before  # moved toward the trajectory
+    # edge frames carry a smaller edit than interior frames
+    d_edge = float(np.max(np.abs(out[8] - base[8])))
+    d_mid = float(np.max(np.abs(out[20] - base[20])))
+    assert d_edge < d_mid
+
+
+def jax_closest(sp, p):
+    pos, _, _ = spline_path.closest_point(sp, jnp.asarray(p, jnp.float32))
+    return pos
+
+
+# ---------------------------------------------------------------------------
 # generate_foot_plant_constraints: foot goals replace the root goal
 # (reference locomotion_constraints_builder.py:65-68 +
 #  foot_step_constraints_builder.py:50-88)

@@ -219,6 +219,54 @@ def test_action_sequence_plays_non_walk_action_with_frame_constraints():
     assert pick.hold_frames == (kf,)
 
 
+def test_region_constraint_holds_over_range(graph):
+    """constrainPositionInRegion + endKeyframe (reference
+    constraint_builder.py:323-345: the constraint is enacted from the
+    resolved keyframe to the END keyframe): the generated pose satisfies
+    the target at the region's END frame, not only at the start keyframe,
+    and the hold metadata covers the whole span."""
+    from morphablegraphs_tpu.models.skeleton import fk_positions
+    import jax.numpy as jnp
+
+    skel = graph.skeleton
+    head = skel.index_of("Head")
+    node_key = graph.node_groups["walk"].node_keys[0]
+    mp = node_key[1]
+    prim = graph.nodes[node_key].primitive
+    n_can = prim.n_canonical_frames
+    graph.node_groups["walk"].labeled_frames.setdefault(mp, {}).update(
+        {"contact_start": 2, "contact_end": "lastFrame"})
+    target = [6.0, np.nan, 20.0]
+    base_c = {"node": mp, "joint": "Head", "position": list(target),
+              "keyframeLabel": "contact_start"}
+
+    e_plain = MGStatePlanner(graph).generate_step(
+        node_key, None, keyframe_constraints=[dict(base_c)])
+    region_c = dict(base_c, endKeyframeLabel="contact_end",
+                    constrainPositionInRegion=True, holdFrame=True)
+    e_reg = MGStatePlanner(graph).generate_step(
+        node_key, None, keyframe_constraints=[region_c])
+
+    def head_err(entry, fi):
+        f = entry.state.frames
+        fi = min(fi, len(f) - 1)
+        p = np.asarray(fk_positions(skel, jnp.asarray(f[fi], jnp.float32)))
+        return float(np.linalg.norm((p[head] - np.asarray(
+            [6.0, p[head][1], 20.0]))[[0, 2]]))
+
+    end_fi = len(e_reg.state.frames) - 1
+    # the region run holds the target at the END of the span...
+    assert head_err(e_reg, end_fi) < 1.0, head_err(e_reg, end_fi)
+    # ...which the single-keyframe run does not (it only snaps frame 2 and
+    # blends out)
+    assert head_err(e_reg, end_fi) < 0.5 * head_err(e_plain, end_fi), (
+        head_err(e_reg, end_fi), head_err(e_plain, end_fi))
+    # hold metadata covers the whole region for the engine side
+    assert e_reg.hold_frames[0] == 2
+    assert e_reg.hold_frames[-1] >= n_can - 1
+    assert len(e_reg.hold_frames) == e_reg.hold_frames[-1] - 2 + 1
+
+
 def test_snap_keyframe_constraints_hits_target(graph):
     """The streaming IK pass (reference apply_ik_constraints :1023-1060)
     moves the constrained joint to the world target at the keyframe and
