@@ -24,12 +24,18 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "tests"))
 
+# AVX2 codegen baseline BEFORE backend init: this writes into the shared
+# test cache, whose AOT entries must stay loadable on every host
+_xf = os.environ.get("XLA_FLAGS", "")
+if "xla_cpu_max_isa" not in _xf:
+    os.environ["XLA_FLAGS"] = (_xf + " --xla_cpu_max_isa=AVX2").strip()
+
 import jax
 
 if __name__ == "__main__":
     # CPU is fine: HLO instruction structure, not wall clock
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mg_tests")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mg_tests_avx2")
 
 import jax.numpy as jnp
 
