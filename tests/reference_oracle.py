@@ -174,3 +174,73 @@ def oracle_constrained_step(model_data, goal, dir_xz, end_kf,
                             options={"maxiter": int(max_iterations)})
             best = r.x
     return best, float(np.sum(constraint_errors(best)))
+
+
+# ---------------------------------------------------------------------------
+# Oracle concatenation: reference align_and_concatenate semantics in numpy
+# ---------------------------------------------------------------------------
+
+def _oracle_heading(q):
+    """XZ heading angle of the root quaternion (reference
+    motion_generator/utils.py get_orientation_vector: rotate [0,0,1],
+    project to XZ)."""
+    w, x, y, z = q / max(np.linalg.norm(q), 1e-10)
+    # rotate [0,0,1] by q (standard quaternion rotation, written out)
+    vx = 2.0 * (x * z + w * y)
+    vz = 1.0 - 2.0 * (x * x + y * y)
+    return np.arctan2(vx, vz)
+
+
+def _oracle_rot_y(frames, theta):
+    """Rotate quaternion frames about world Y by theta: root XZ positions
+    rotated, every joint quaternion premultiplied by the y-rotation."""
+    out = np.array(frames, dtype=float, copy=True)
+    c, s = np.cos(theta), np.sin(theta)
+    x, z = out[:, 0].copy(), out[:, 2].copy()
+    out[:, 0] = c * x + s * z
+    out[:, 2] = -s * x + c * z
+    # only the ROOT quaternion carries the global rotation (children are
+    # parent-local; reference transform_quaternion_frames)
+    qw, qy = np.cos(theta / 2.0), np.sin(theta / 2.0)
+    w = out[:, 3].copy()
+    xq = out[:, 4].copy()
+    yq = out[:, 5].copy()
+    zq = out[:, 6].copy()
+    # (qw, 0, qy, 0) * (w, x, y, z)
+    out[:, 3] = qw * w - qy * yq
+    out[:, 4] = qw * xq + qy * zq
+    out[:, 5] = qw * yq + qy * w
+    out[:, 6] = qw * zq - qy * xq
+    return out
+
+
+def oracle_align_concat(clips, window=20):
+    """Reference graph-walk concatenation in numpy (anim_utils
+    align_and_concatenate_frames + smooth_quaternion_frames2 semantics,
+    reference motion_generator/utils.py:101-148): per clip, 2D-align to the
+    previous last frame (heading-angle y-rotation + XZ translation), then
+    one-sided offset decay over `window` frames with per-joint quaternion
+    hemisphere alignment.  Independent of the JAX implementation — used as
+    the seam-quality oracle for BASELINE config 2."""
+    out = np.array(clips[0], dtype=float, copy=True)
+    for clip in clips[1:]:
+        prev = out[-1]
+        clip = np.asarray(clip, dtype=float)
+        dth = _oracle_heading(prev[3:7]) - _oracle_heading(clip[0][3:7])
+        aligned = _oracle_rot_y(clip, dth)
+        delta = prev[:3] - aligned[0, :3]
+        delta[1] = 0.0
+        aligned[:, :3] += delta
+        # smooth_quaternion_frames2: hemisphere-fix against prev, then add
+        # the first-frame offset scaled by a linear decay over the window
+        d = aligned.shape[1]
+        for q0 in range(3, d - 3 + 1, 4):
+            flip = np.dot(prev[q0:q0 + 4], aligned[0, q0:q0 + 4]) < 0
+            if flip:
+                aligned[:, q0:q0 + 4] = -aligned[:, q0:q0 + 4]
+        magnitude = prev - aligned[0]
+        t = np.arange(len(aligned), dtype=float)
+        factors = np.where(t <= window, 1.0 - t / max(window, 1), 0.0)
+        aligned = aligned + factors[:, None] * magnitude[None, :]
+        out = np.concatenate([out, aligned], axis=0)
+    return out
