@@ -657,8 +657,15 @@ def make_frozen_root_residuals(skeleton: Skeleton, knots_s: jax.Array,
                                sc: StepConstraints, eigen_s: jax.Array,
                                mean_s: jax.Array, n_basis: int, n_dim: int,
                                k_s: int, use_traj: bool = True,
-                               use_ca: bool = False):
+                               use_ca: bool = False, ee_node: int = None):
     """Frozen-correspondence residual factory for the root-only LM fast path.
+
+    ee_node (static, round-5 extension): node index of ONE end-effector
+    joint — keyframe slots may then reference the root OR that joint (the
+    reference's pick/place shape, motion_primitive_constraints_builder.py:
+    218-230); the kf family evaluates via ancestor-chain FK instead of the
+    root shortcut.  All other families keep root-only semantics
+    (`step_scs_pallas_ee_only` is the host-side contract check).
 
     Returns make(s_freeze) -> residual_fn where residual_fn(s) evaluates the
     full residual layout with the trajectory closest-point correspondences
@@ -734,8 +741,15 @@ def make_frozen_root_residuals(skeleton: Skeleton, knots_s: jax.Array,
             rp, rq = fk_root(skeleton, f)  # [T, 3/4]
 
             idx = jnp.arange(MAX_KF)
-            jpos = rp[idx]
-            jori = rq[idx]
+            if ee_node is None:
+                jpos = rp[idx]
+                jori = rq[idx]
+            else:
+                # slots may reference root or the ee joint: ancestor-chain
+                # FK per kf row resolves both (root rows produce the same
+                # values as fk_root to op-order rounding)
+                from ..models.skeleton import fk_node
+                jpos, jori = fk_node(skeleton, f[idx], sc.kf_node)
             pos_err = jnp.sqrt(jnp.maximum(jnp.sum(
                 ((jpos - sc.kf_pos) * sc.kf_pos_mask) ** 2, axis=-1), 1e-12))
             dot = jnp.abs(jnp.sum(quat.normalize(jori) * sc.kf_quat, axis=-1))
@@ -794,7 +808,8 @@ def make_frozen_root_residuals_closed(skeleton: Skeleton, knots_s: jax.Array,
                                       mean_s: jax.Array, n_basis: int,
                                       n_dim: int, k_s: int,
                                       use_traj: bool = True,
-                                      use_ca: bool = False):
+                                      use_ca: bool = False,
+                                      ee_node: int = None):
     """Fused-iteration form of `make_frozen_root_residuals`: same frozen
     model, but the residual VALUE and its JACOBIAN come out of one pass
     instead of `jax.linearize` + one tangent evaluation per latent dim.
@@ -825,12 +840,37 @@ def make_frozen_root_residuals_closed(skeleton: Skeleton, knots_s: jax.Array,
     animated joint 0 (callers check `frozen_closed_supported`); remaining
     semantics (root-only slots, jr allowed) are as the frozen factory.
     Reference provenance: objective_functions.py:239-267 residual
-    semantics via make_frozen_root_residuals (this file)."""
-    from ..models.skeleton import _fk_tables  # root animated-index check
+    semantics via make_frozen_root_residuals (this file).
+
+    ee_node (static, round-5): with one end-effector joint the consumed
+    channel set widens from 7 to 7 + 4*(animated ancestor-chain joints
+    below the root): the ee position/orientation is an ancestor-chain FK
+    over those affine channel rows — still a cheap head under the SAME
+    one-VJP jacobian pass, so the ee pick/place workload gets the fused
+    frozen iteration the root-only headline rides (the exact-LM tangents
+    through full dense FK were the measured 3.4x ee gap, VERDICT r4 #4)."""
+    from ..models.skeleton import _fk_tables, _rest_table
 
     if _fk_tables(skeleton)[0] != 0:
         raise ValueError("closed frozen path requires the root to be "
                          "animated joint 0 (fk_root reads channels 3:7)")
+    anim_idx = _fk_tables(skeleton)
+    if ee_node is None:
+        chain_nodes = []
+        ch_extra = []
+    else:
+        chain_nodes = []
+        n = int(ee_node)
+        while n >= 0:
+            chain_nodes.append(n)
+            n = int(skeleton.parents[n])
+        chain_nodes.reverse()  # root .. ee
+        ch_extra = [anim_idx[n] for n in chain_nodes[1:] if anim_idx[n] >= 0]
+    # consumed frame channels: root trans+quat, then each animated chain
+    # joint's quaternion block
+    ch_idx = list(range(7)) + [3 + 4 * a + j for a in ch_extra
+                               for j in range(4)]
+    n_ch = len(ch_idx)
     d = n_dim
     parts = [sc.kf_frame, sc.dir_frame[None], sc.la_frame[None],
              sc.rt_frame[None], sc.jr_frame[None]]
@@ -845,11 +885,20 @@ def make_frozen_root_residuals_closed(skeleton: Skeleton, knots_s: jax.Array,
     b_all = bspline.basis_matrix(knots_s, t_all)  # [T, nb]
     e3 = eigen_s[:, :k_s].reshape(n_basis, d, k_s)
     m2 = mean_s.reshape(n_basis, d)
-    # affine operators restricted to the consumed channels
-    be7 = jnp.einsum("tb,bck->tck", b_all, e3[:, :7, :],
-                     precision=jax.lax.Precision.HIGHEST)  # [T, 7, k]
-    bmu7 = jnp.matmul(b_all, m2[:, :7],
-                      precision=jax.lax.Precision.HIGHEST)  # [T, 7]
+    # affine operators restricted to the consumed channels (a plain slice
+    # when root-only, preserving the measured headline program bit-for-bit;
+    # a gather over ch_idx with an ee chain)
+    if ee_node is None:
+        be7 = jnp.einsum("tb,bck->tck", b_all, e3[:, :7, :],
+                         precision=jax.lax.Precision.HIGHEST)  # [T, 7, k]
+        bmu7 = jnp.matmul(b_all, m2[:, :7],
+                          precision=jax.lax.Precision.HIGHEST)  # [T, 7]
+    else:
+        ch = np.asarray(ch_idx, np.int32)
+        be7 = jnp.einsum("tb,bck->tck", b_all, e3[:, ch, :],
+                         precision=jax.lax.Precision.HIGHEST)  # [T, C, k]
+        bmu7 = jnp.matmul(b_all, m2[:, ch],
+                          precision=jax.lax.Precision.HIGHEST)  # [T, C]
     # the jr row's full-D affine map (its quaternion channel is dynamic)
     bejr = jnp.einsum("b,bdk->dk", b_all[MAX_KF + 3], e3,
                       precision=jax.lax.Precision.HIGHEST)  # [d, k]
@@ -903,6 +952,27 @@ def make_frozen_root_residuals_closed(skeleton: Skeleton, knots_s: jax.Array,
 
             jpos = rp[:MAX_KF]
             jori = rq[:MAX_KF]
+            if ee_node is not None:
+                # ancestor-chain FK over the extra affine channel rows, in
+                # fk_global's composition order (pos += R_parent @ offset,
+                # ori = parent * local; quats deliberately unnormalized)
+                p_ee = jpos
+                q_ee = jori
+                col = 7
+                offs = jnp.asarray(skeleton.offsets)
+                rest = jnp.asarray(_rest_table(skeleton))
+                for node in chain_nodes[1:]:
+                    p_ee = p_ee + quat.rotate_vec(
+                        q_ee, jnp.broadcast_to(offs[node], p_ee.shape))
+                    if anim_idx[node] >= 0:
+                        local = rows7[:MAX_KF, col: col + 4]
+                        col += 4
+                    else:
+                        local = jnp.broadcast_to(rest[node], q_ee.shape)
+                    q_ee = quat.multiply(q_ee, local)
+                is_ee = (sc.kf_node == ee_node)[:, None]
+                jpos = jnp.where(is_ee, p_ee, jpos)
+                jori = jnp.where(is_ee, q_ee, jori)
             pos_err = jnp.sqrt(jnp.maximum(jnp.sum(
                 ((jpos - sc.kf_pos) * sc.kf_pos_mask) ** 2, axis=-1), 1e-12))
             dot = jnp.abs(jnp.sum(quat.normalize(jori) * sc.kf_quat,

@@ -124,6 +124,58 @@ def _chol_solve_vmap(axis_size, in_batched, a, g):
     return _chol_solve_batched(a, g), True
 
 
+# ---------------------------------------------------------------------------
+# The whole LM step block under crowd vmap: one fused Pallas kernel
+# ---------------------------------------------------------------------------
+#
+# One level up from the solve: JtJ/Jtr contraction + Marquardt damping +
+# Cholesky + trust clip as a single kernel (pallas_kernels.lm_delta_crowd),
+# removing the [C, k, k]-materializing matmuls and the diag/max/norm/clip
+# op chain from the HBM stream.  OPT-IN via MG_LM_PALLAS_DELTA=1 until a
+# TPU A/B is banked (repo convention: unmeasured perf toggles stay off);
+# bench.py preflights it alongside the solve kernel.
+
+_DAMP_FLOOR_REL = 1e-2  # must match lm_minimize's default
+
+
+def _lm_delta_unbatched(j: jax.Array, r: jax.Array, lam: jax.Array,
+                        radius: jax.Array) -> jax.Array:
+    jtj = jnp.matmul(j.T, j, precision=jax.lax.Precision.HIGHEST)
+    dg = jnp.diagonal(jtj)
+    floor = jnp.maximum(_DAMP_FLOOR_REL * jnp.max(dg), 1e-6)
+    damp = jnp.diag(jnp.maximum(dg, floor))
+    g = jnp.matmul(j.T, r, precision=jax.lax.Precision.HIGHEST)
+    delta = chol_solve(jtj + lam * damp, g)
+    nrm = jnp.linalg.norm(delta)
+    return delta * jnp.minimum(1.0, radius / jnp.maximum(nrm, 1e-10))
+
+
+@jax.custom_batching.custom_vmap
+def lm_delta(j: jax.Array, r: jax.Array, lam: jax.Array,
+             radius: jax.Array) -> jax.Array:
+    """Damped, trust-clipped LM step from residuals + jacobian (the
+    lm_minimize step block), with a crowd-fused batching rule."""
+    return _lm_delta_unbatched(j, r, lam, radius)
+
+
+@lm_delta.def_vmap
+def _lm_delta_vmap(axis_size, in_batched, j, r, lam, radius):
+    args = []
+    for b, a in zip(in_batched, (j, r, lam, radius)):
+        args.append(a if b else jnp.broadcast_to(a, (axis_size,) + a.shape))
+    j, r, lam, radius = args
+    use_pallas = (os.environ.get("MG_LM_PALLAS_DELTA", "0") == "1"
+                  and not _PALLAS_SOLVE_DISABLED[0]
+                  and j.ndim == 3
+                  and j.shape[0] >= _MIN_PALLAS_BATCH
+                  and jax.default_backend() == "tpu")
+    if use_pallas:
+        from . import pallas_kernels as pk
+        return pk.lm_delta_crowd(j, r, lam, radius,
+                                 damp_floor_rel=_DAMP_FLOOR_REL), True
+    return jax.vmap(_lm_delta_unbatched)(j, r, lam, radius), True
+
+
 def lm_minimize(residual_fn, s0: jax.Array, n_iters: int,
                 init_lambda: float = 1e-3, init_radius: float = 1.0,
                 max_radius: float = 16.0, make_residual_fn=None,
@@ -189,18 +241,25 @@ def lm_minimize(residual_fn, s0: jax.Array, n_iters: int,
             r, lin = jax.linearize(rfn, s)
             err = jnp.sum(r * r)
             j = jax.vmap(lin)(eye).T  # [R, L]
-        jtj = jnp.matmul(j.T, j, precision=jax.lax.Precision.HIGHEST)
-        # Relative floor on the damping diagonal: with few active residuals
-        # JtJ is rank-deficient and near-null latent dims carry ~0 diagonal,
-        # so pure Marquardt scaling lets the solve blow up along them
-        # (measured step norms of ~1000 on a 1-constraint problem).
-        dg = jnp.diagonal(jtj)
-        floor = jnp.maximum(damp_floor_rel * jnp.max(dg), 1e-6)
-        damp = jnp.diag(jnp.maximum(dg, floor))
-        g = jnp.matmul(j.T, r, precision=jax.lax.Precision.HIGHEST)
-        delta = chol_solve(jtj + lam * damp, g)
-        nrm = jnp.linalg.norm(delta)
-        delta = delta * jnp.minimum(1.0, radius / jnp.maximum(nrm, 1e-10))
+        if damp_floor_rel == _DAMP_FLOOR_REL:
+            # the whole step block through lm_delta: identical math, with
+            # a crowd-fused Pallas batching rule (see lm_delta below)
+            delta = lm_delta(j, r, lam, radius)
+        else:
+            jtj = jnp.matmul(j.T, j, precision=jax.lax.Precision.HIGHEST)
+            # Relative floor on the damping diagonal: with few active
+            # residuals JtJ is rank-deficient and near-null latent dims
+            # carry ~0 diagonal, so pure Marquardt scaling lets the solve
+            # blow up along them (measured step norms of ~1000 on a
+            # 1-constraint problem).
+            dg = jnp.diagonal(jtj)
+            floor = jnp.maximum(damp_floor_rel * jnp.max(dg), 1e-6)
+            damp = jnp.diag(jnp.maximum(dg, floor))
+            g = jnp.matmul(j.T, r, precision=jax.lax.Precision.HIGHEST)
+            delta = chol_solve(jtj + lam * damp, g)
+            nrm = jnp.linalg.norm(delta)
+            delta = delta * jnp.minimum(
+                1.0, radius / jnp.maximum(nrm, 1e-10))
         s_new = s - delta
         # accept/reject against the SAME (frozen) model the step was
         # computed on — consistent within the iteration; callers of the

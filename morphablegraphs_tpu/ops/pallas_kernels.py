@@ -790,3 +790,147 @@ def chol_solve_crowd(a: jax.Array, g: jax.Array,
     x = (out.reshape(k, CB_SUB, nb, 128).transpose(2, 1, 3, 0)
          .reshape(cp, k))
     return x[:c]
+
+
+# ---------------------------------------------------------------------------
+# Crowd LM delta: normal equations + damping + Cholesky + trust clip, fused
+# ---------------------------------------------------------------------------
+#
+# The next cluster of small ops after the solve (ops/lm.lm_minimize body):
+# under vmap the per-character JtJ/Jtr matmuls, Marquardt damping (diag max
+# + floor), the solve, the step norm and the trust-region clip each lower
+# to [C, <=k(k)] HBM-bound ops.  Here the whole block runs as ONE kernel
+# with the chol_solve_crowd lane layout (characters on lanes, 8 sublanes x
+# 128 lanes = 1024 per grid step): J/r stream in once, every intermediate
+# (the k*k normal matrix included) stays VMEM-resident, delta streams out.
+# The J contraction loops over residual rows with a fori_loop so the traced
+# op count stays ~k^2 + the unrolled Cholesky, not R*k^2.
+
+
+def _lm_delta_kernel(j_ref, r_ref, lam_ref, rad_ref, out_ref, acc_ref,
+                     g_ref, *, k: int, n_res: int, damp_floor_rel: float):
+    """j: [R*k*8, 128] tile e=rr*k+i holds J[rr, i]; r: [R*8, 128];
+    lam/rad: [8, 128]; out: [k*8, 128] = clipped LM delta.
+    acc/g: VMEM scratch for JtJ ([k*k*8, 128]) and Jtr ([k*8, 128])."""
+    zero = jnp.zeros((CB_SUB, 128), jnp.float32)
+    for i in range(k):
+        g_ref[i * CB_SUB:(i + 1) * CB_SUB, :] = zero
+        for jj in range(i, k):
+            acc_ref[(i * k + jj) * CB_SUB:(i * k + jj + 1) * CB_SUB, :] = zero
+
+    def body(rr, _):
+        rows = [j_ref[pl.ds((rr * k + i) * CB_SUB, CB_SUB), :]
+                for i in range(k)]
+        rv = r_ref[pl.ds(rr * CB_SUB, CB_SUB), :]
+        for i in range(k):
+            gi = g_ref[i * CB_SUB:(i + 1) * CB_SUB, :]
+            g_ref[i * CB_SUB:(i + 1) * CB_SUB, :] = gi + rows[i] * rv
+            for jj in range(i, k):
+                e = i * k + jj
+                a = acc_ref[e * CB_SUB:(e + 1) * CB_SUB, :]
+                acc_ref[e * CB_SUB:(e + 1) * CB_SUB, :] = a + rows[i] * rows[jj]
+        return 0
+
+    jax.lax.fori_loop(0, n_res, body, 0)
+
+    def at(e):
+        return acc_ref[e * CB_SUB:(e + 1) * CB_SUB, :]
+
+    lam = lam_ref[:, :]
+    # Marquardt damping with relative floor (ops/lm.py): damp_i =
+    # max(dg_i, rel * max_i dg_i, 1e-6-floored), A = JtJ + lam * diag(damp)
+    dmax = at(0)
+    for i in range(1, k):
+        dmax = jnp.maximum(dmax, at(i * k + i))
+    floor = jnp.maximum(damp_floor_rel * dmax, 1e-6)
+
+    # Cholesky on A (upper-stored acc; A[i][j] for i<=j at e=i*k+j)
+    c = {}
+    inv_d = {}
+    for j in range(k):
+        dg = at(j * k + j)
+        s = dg + lam * jnp.maximum(dg, floor)
+        for p in range(j):
+            s = s - c[(j, p)] * c[(j, p)]
+        dd = jnp.sqrt(jnp.maximum(s, 1e-12))
+        c[(j, j)] = dd
+        inv_d[j] = 1.0 / dd
+        for i in range(j + 1, k):
+            v = at(j * k + i)  # A[j,i] == A[i,j] (upper storage)
+            for p in range(j):
+                v = v - c[(i, p)] * c[(j, p)]
+            c[(i, j)] = v * inv_d[j]
+    y = []
+    for i in range(k):
+        v = g_ref[i * CB_SUB:(i + 1) * CB_SUB, :]
+        for p in range(i):
+            v = v - c[(i, p)] * y[p]
+        y.append(v * inv_d[i])
+    x = [None] * k
+    for i in reversed(range(k)):
+        v = y[i]
+        for p in range(i + 1, k):
+            v = v - c[(p, i)] * x[p]
+        x[i] = v * inv_d[i]
+    # trust-region clip: delta *= min(1, radius / ||delta||)
+    nrm2 = x[0] * x[0]
+    for i in range(1, k):
+        nrm2 = nrm2 + x[i] * x[i]
+    nrm = jnp.sqrt(jnp.maximum(nrm2, 1e-20))
+    scale = jnp.minimum(1.0, rad_ref[:, :] / jnp.maximum(nrm, 1e-10))
+    for i in range(k):
+        out_ref[i * CB_SUB:(i + 1) * CB_SUB, :] = x[i] * scale
+
+
+@functools.partial(jax.jit, static_argnames=("damp_floor_rel", "interpret"))
+def lm_delta_crowd(j: jax.Array, r: jax.Array, lam: jax.Array,
+                   radius: jax.Array, damp_floor_rel: float = 1e-2,
+                   interpret: bool = False) -> jax.Array:
+    """Clipped LM step for a whole crowd in one kernel.
+
+    j: [C, R, k]; r: [C, R]; lam/radius: [C] -> delta [C, k] equal (to
+    rounding) to the ops/lm.lm_minimize step block: solve
+    (JtJ + lam*diag(max(dg, rel*max(dg)))) delta = Jt r, then scale so
+    ||delta|| <= radius.  Zero-padded characters produce delta = 0."""
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    c, n_res, k = j.shape
+    nb = max(1, -(-c // CB))
+    cp = nb * CB
+    if cp != c:
+        j = jnp.pad(j, ((0, cp - c), (0, 0), (0, 0)))
+        r = jnp.pad(r, ((0, cp - c), (0, 0)))
+        lam = jnp.pad(lam, (0, cp - c))
+        radius = jnp.pad(radius, (0, cp - c))
+    j_t = (j.transpose(1, 2, 0).reshape(n_res * k, nb, CB_SUB, 128)
+           .transpose(0, 2, 1, 3).reshape(n_res * k * CB_SUB, nb * 128))
+    r_t = (r.transpose(1, 0).reshape(n_res, nb, CB_SUB, 128)
+           .transpose(0, 2, 1, 3).reshape(n_res * CB_SUB, nb * 128))
+    lam_t = (lam.reshape(nb, CB_SUB, 128).transpose(1, 0, 2)
+             .reshape(CB_SUB, nb * 128))
+    rad_t = (radius.reshape(nb, CB_SUB, 128).transpose(1, 0, 2)
+             .reshape(CB_SUB, nb * 128))
+    out = pl.pallas_call(
+        functools.partial(_lm_delta_kernel, k=k, n_res=n_res,
+                          damp_floor_rel=float(damp_floor_rel)),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((n_res * k * CB_SUB, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_res * CB_SUB, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB_SUB, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB_SUB, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k * CB_SUB, 128), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k * CB_SUB, nb * 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k * k * CB_SUB, 128), jnp.float32),
+                        pltpu.VMEM((k * CB_SUB, 128), jnp.float32)],
+        interpret=interpret,
+    )(j_t, r_t, lam_t, rad_t)
+    x = (out.reshape(k, CB_SUB, nb, 128).transpose(2, 1, 3, 0)
+         .reshape(cp, k))
+    return x[:c]

@@ -263,7 +263,8 @@ def default_step_scs(skeleton, n_steps: int):
                                     "root_node", "pallas_selection",
                                     "pallas_ee",
                                     "root_only", "lm_frozen",
-                                    "lm_frozen_closed"))
+                                    "lm_frozen_closed", "frozen_ee",
+                                    "return_pre_lm_err"))
 def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                           path: spline_path.PathSpline, start_id: jax.Array,
                           n_steps: int, step_scs=None,
@@ -283,7 +284,9 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                           pallas_ee: str = None,
                           root_only: bool = False,
                           lm_frozen: bool = False,
-                          lm_frozen_closed: bool = True):
+                          lm_frozen_closed: bool = True,
+                          frozen_ee: str = None,
+                          return_pre_lm_err: bool = False):
     """Trajectory-following walk with FULL constraint semantics per step.
 
     Per scan step (reference motion_generator.py:157-268 +
@@ -312,7 +315,13 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
     with `compiled.step_scs_root_only` (the locomotion slots the walk fills
     are always root-referencing).
 
-    Returns (segments [S, T, D], n_frames [S], node_ids [S], errors [S]).
+    Returns (segments [S, T, D], n_frames [S], node_ids [S], errors [S]);
+    with return_pre_lm_err=True (static) a 5th array [S] carries each
+    step's PRE-LM best-of-N selection error, so tests can assert the
+    reference leastsq never-worsen contract (least_squares.py:~35 returns
+    the initial guess on failure) within ONE run — comparing two whole
+    walks per-step is only valid at step 0, because refining step k
+    changes the carried pose + travelled arc that step k+1 selects under.
     """
     from ..constraints import compiled
     from ..ops import gmm as gmm_ops
@@ -449,10 +458,12 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
             s = samples[best]
             err = errors[best]
 
+        err_pre = err  # best-of-N selection error, before any LM
         # ---- gated LM refinement (reference leastsq semantics)
-        if lm_frozen and not root_only:
-            raise ValueError("lm_frozen is the root-only fast path; "
-                             "non-root slots need the exact LM")
+        if lm_frozen and not root_only and frozen_ee is None:
+            raise ValueError("lm_frozen needs root-only slots or a single "
+                             "end-effector joint via frozen_ee; anything "
+                             "else needs the exact LM")
         if lm_iters > 0:
             gmm = node_gmm(g, state.node_id)
             # gate the active mask by the STATIC use_* flags: families
@@ -487,12 +498,19 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                     use_closed = (lm_frozen_closed
                                   and compiled.frozen_closed_supported(
                                       skeleton))
+                    # single end-effector fast path (VERDICT r4 #4): slots
+                    # on root OR frozen_ee run the same fused frozen
+                    # iteration via ancestor-chain affine channels
+                    ee_idx = (skeleton.index_of(frozen_ee)
+                              if (frozen_ee is not None and not root_only)
+                              else None)
                     if use_closed:
                         raw_make_c = compiled.make_frozen_root_residuals_closed(
                             skeleton, g.knots_s[state.node_id], sc,
                             g.eigen_s[state.node_id], g.mean_s[state.node_id],
                             g.n_basis_max, g.n_dim, g.k_s_max,
-                            use_traj=use_traj, use_ca=use_ca)
+                            use_traj=use_traj, use_ca=use_ca,
+                            ee_node=ee_idx)
                         n_lat = s0.shape[0]
 
                         def make_vj(sv):
@@ -522,7 +540,8 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
                             skeleton, g.knots_s[state.node_id], sc,
                             g.eigen_s[state.node_id], g.mean_s[state.node_id],
                             g.n_basis_max, g.n_dim, g.k_s_max,
-                            use_traj=use_traj, use_ca=use_ca)
+                            use_traj=use_traj, use_ca=use_ca,
+                            ee_node=ee_idx)
 
                         def make_fn(sv):
                             rf = raw_make(sv)
@@ -570,11 +589,13 @@ def constrained_walk_full(skeleton, key: jax.Array, g: StackedGraph,
         done = state.done | ~found | (want_end & (g.node_type[state.node_id]
                                                   == NODE_TYPE_IDS[NODE_TYPE_END]))
         new_state = FullWalkState(next_id, new_last, new_arc, done, k_n)
-        return new_state, (aligned, n_frames, emitted_id, err)
+        out = (aligned, n_frames, emitted_id, err)
+        if return_pre_lm_err:
+            out = out + (err_pre,)
+        return new_state, out
 
-    _, (segments, n_frames, node_ids, errors) = jax.lax.scan(
-        step, init, (jnp.arange(n_steps), step_scs))
-    return segments, n_frames, node_ids, errors
+    _, outs = jax.lax.scan(step, init, (jnp.arange(n_steps), step_scs))
+    return outs
 
 
 def check_pallas_selection_contract(skeleton, step_scs, pallas_ee=None):
@@ -612,6 +633,18 @@ def constrained_walk_full_crowd(skeleton, key: jax.Array, g: StackedGraph,
     if kw.get("pallas_selection"):
         check_pallas_selection_contract(skeleton, kw["step_scs"],
                                         kw.get("pallas_ee"))
+    if kw.get("lm_frozen") and kw.get("frozen_ee") \
+            and not kw.get("root_only"):
+        # the frozen-ee LM models exactly root slots + ONE position-only
+        # ee keyframe in slot 2 (step_scs is traced inside the walk, so
+        # the shape check lives at this boundary like the selection one)
+        from ..constraints import compiled
+        if not compiled.step_scs_pallas_ee_only(
+                kw["step_scs"], skeleton.index_of(kw["frozen_ee"])):
+            raise ValueError(
+                "lm_frozen+frozen_ee models root slots plus ONE "
+                f"position-only keyframe on '{kw['frozen_ee']}' in slot "
+                "2; step_scs carries other user slots — use the exact LM")
     # n_steps as a keyword: jit static_argnames only binds keyword args
     return jax.vmap(lambda k, p, s: constrained_walk_full(
         skeleton, k, g, p, s, n_steps=n_steps, **kw))(keys, paths, start_ids)

