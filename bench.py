@@ -36,9 +36,14 @@ frozen-correspondence LM — default ON since the 2026-08-19 TPU A/B measured
 it 2.04x the exact-LM headline at equal converged error, see
 benchmarks/results/BENCH_TPU_20260819T182501Z.json), MG_BENCH_EXTRAS=0
 (skip the ee extras run), MG_LM_PALLAS_SOLVE=0|1 (crowd Cholesky kernel;
-unset = decided by an on-TPU preflight A/B — the library default is ON
-since the 2026-08-20 preflight measured parity err 1.9e-06 and 1.38x,
-BENCH_TPU_20260820T043858Z.json).
+unset = the newest BANKED on-TPU A/B verdict from benchmarks/results/ —
+the live A/B re-proves it post-headline each TPU run and banks its
+verdict.  The library default is ON since the 2026-08-20 preflight
+measured parity err 1.9e-06 and 1.38x, BENCH_TPU_20260820T043858Z.json),
+MG_LM_PALLAS_DELTA=0|1 (fused LM step kernel lm_delta_crowd; same banked
+flow — the 2026-08-20 A/B measured parity 2.7e-06 but 0.96x, so it stays
+OFF as the measured-not-faster counterfactual; see docs/architecture.md
+round-5 floor evidence).
 """
 
 import json
@@ -143,17 +148,97 @@ print(f"SOLVE_PROBE ok err={err:.2e} xla={t_ref*1e3:.2f}ms "
 """
 
 
-def preflight_lm_solve(timeout_s: int = 600) -> None:
-    """Decide MG_LM_PALLAS_SOLVE on TPU by compiling + A/B-timing the crowd
-    Cholesky kernel against the vmapped unrolled solve in a bounded
-    subprocess.  An unproven Mosaic kernel must never be able to take the
-    driver's bench run down (a compile failure inside the headline program
-    is unrecoverable), so the kernel is only enabled after it both passes
-    parity and measures faster; any failure leaves it off."""
-    if os.environ.get("MG_LM_PALLAS_SOLVE") is not None:
-        return
+def banked_toggle_decision(keys: tuple, label: str) -> str | None:
+    """Most recent banked on-TPU A/B verdict for a Pallas-kernel toggle.
+
+    The round-4 driver artifact died rc=124 because the LIVE preflight ran
+    before the headline and burned its 600s budget in a degraded-tunnel
+    window (VERDICT r4 #2).  The headline run now trusts the newest banked
+    decision and the live A/B re-proves it AFTER the headline JSON is out.
+    `keys` are snapshot fields in preference order (the '_live' key is
+    written post-headline by this file; the legacy 'lm_solve_preflight'
+    key only existed when a live A/B actually ran)."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "benchmarks", "results",
+                                          "BENCH_TPU_*.json")), reverse=True)
+    for path in paths:
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for key in keys:
+            v = rec.get(key)
+            if v in ("0", "1"):
+                _log(f"# {label} decision: banked {key}={v} "
+                     f"({os.path.basename(path)})")
+                return v
+    return None
+
+
+def banked_lm_solve_decision() -> str | None:
+    return banked_toggle_decision(
+        ("lm_solve_preflight_live", "lm_solve_preflight"), "lm-solve")
+
+
+def banked_lm_delta_decision() -> str | None:
+    return banked_toggle_decision(("lm_delta_preflight_live",), "lm-delta")
+
+
+_DELTA_PROBE_CODE = """
+import time
+import numpy as np
+t0 = time.perf_counter()
+def mark(stage):
+    print(f"SOLVE_PROBE_STAGE {stage} t={time.perf_counter()-t0:.1f}s",
+          flush=True)
+import jax, jax.numpy as jnp
+from morphablegraphs_tpu.ops import lm as lm_ops
+from morphablegraphs_tpu.ops import pallas_kernels as pk
+mark("import")
+rng = np.random.default_rng(0)
+c, n_res, k = 1024, 49, 28
+j = jnp.asarray(rng.standard_normal((c, n_res, k)).astype(np.float32))
+r = jnp.asarray(rng.standard_normal((c, n_res)).astype(np.float32))
+lam = jnp.asarray((10.0**rng.uniform(-3, 1, c)).astype(np.float32))
+rad = jnp.asarray(rng.uniform(0.1, 4.0, c).astype(np.float32))
+jax.block_until_ready(j)
+mark("backend_init")
+ref_fn = jax.jit(jax.vmap(lm_ops._lm_delta_unbatched))
+ref = ref_fn(j, r, lam, rad); jax.block_until_ready(ref)
+mark("xla_compile")
+ours = pk.lm_delta_crowd(j, r, lam, rad); jax.block_until_ready(ours)
+mark("pallas_compile")
+scale = float(jnp.max(jnp.abs(ref)))
+err = float(jnp.max(jnp.abs(ours - ref))) / max(scale, 1e-9)
+assert err < 1e-2, f"parity rel {err}"
+def bench_fn(f):
+    outs = []
+    t0 = time.perf_counter()
+    for _ in range(30):
+        outs.append(f(j, r, lam, rad))
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / 30
+t_ref = bench_fn(ref_fn)
+t_pk = bench_fn(lambda j, r, lam, rad: pk.lm_delta_crowd(j, r, lam, rad))
+print(f"SOLVE_PROBE ok err={err:.2e} xla={t_ref*1e3:.2f}ms "
+      f"pallas={t_pk*1e3:.2f}ms speedup={t_ref/t_pk:.2f}x "
+      f"use={int(t_pk < t_ref)}")
+"""
+
+
+def _run_kernel_preflight(code: str, label: str,
+                          timeout_s: int = 600) -> str | None:
+    """A/B one Pallas kernel against its vmapped XLA form on TPU in a
+    bounded subprocess; returns "1"/"0" on a completed parity+timing run,
+    None on timeout/failure.  An unproven Mosaic kernel must never be able
+    to take the driver's bench run down (a compile failure inside the
+    headline program is unrecoverable), and since round 5 this runs AFTER
+    the headline JSON so a degraded-tunnel hang can only cost the extras,
+    never the number."""
     try:
-        p = subprocess.run([sys.executable, "-c", _SOLVE_PROBE_CODE],
+        p = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True,
                            timeout=timeout_s, cwd=os.path.dirname(
                                os.path.abspath(__file__)))
@@ -162,18 +247,17 @@ def preflight_lm_solve(timeout_s: int = 600) -> None:
         # marker can never shadow the verdict
         line = next((ln for ln in p.stdout.splitlines()
                      if ln.startswith("SOLVE_PROBE ")), "")
-        if p.returncode == 0 and "use=1" in line:
-            os.environ["MG_LM_PALLAS_SOLVE"] = "1"
-        else:
-            os.environ["MG_LM_PALLAS_SOLVE"] = "0"
         stages = [ln for ln in p.stdout.splitlines()
                   if ln.startswith("SOLVE_PROBE_STAGE")]
         detail = line or (f"rc={p.returncode} stages={stages or 'none'} "
                           f"stderr: {p.stderr.strip()[-200:]}")
-        _log(f"# lm-solve preflight: {detail} -> "
-             f"MG_LM_PALLAS_SOLVE={os.environ['MG_LM_PALLAS_SOLVE']}")
+        if p.returncode == 0 and line:
+            verdict = "1" if "use=1" in line else "0"
+            _log(f"# {label} live preflight: {detail} -> {verdict}")
+            return verdict
+        _log(f"# {label} live preflight failed: {detail}")
+        return None
     except subprocess.TimeoutExpired as e:
-        os.environ["MG_LM_PALLAS_SOLVE"] = "0"
         # partial stdout names the stage that ate the budget (the child
         # prints SOLVE_PROBE_STAGE lines as it crosses each one)
         partial = (e.stdout or b"")
@@ -181,8 +265,17 @@ def preflight_lm_solve(timeout_s: int = 600) -> None:
             partial = partial.decode(errors="replace")
         stages = [ln for ln in partial.splitlines()
                   if ln.startswith("SOLVE_PROBE_STAGE")]
-        _log(f"# lm-solve preflight timed out ({timeout_s}s) -> disabled; "
+        _log(f"# {label} live preflight timed out ({timeout_s}s); "
              f"stages reached: {stages or 'none'}")
+        return None
+
+
+def preflight_lm_solve(timeout_s: int = 600) -> str | None:
+    return _run_kernel_preflight(_SOLVE_PROBE_CODE, "lm-solve", timeout_s)
+
+
+def preflight_lm_delta(timeout_s: int = 600) -> str | None:
+    return _run_kernel_preflight(_DELTA_PROBE_CODE, "lm-delta", timeout_s)
 
 
 def rand_path(rng, spline_path, granularity=256):
@@ -202,12 +295,16 @@ def rand_path(rng, spline_path, granularity=256):
 
 def run_config(config: str, on_tpu: bool, n_chars: int, n_steps: int,
                n_samples: int, n_iters: int, lm_iters: int = 3,
-               lm_frozen=None, lm_frozen_closed: bool = True):
-    """Measure one workload config; returns a result dict.
+               lm_frozen=None, lm_frozen_closed: bool = True,
+               frozen_ee: str = None):
+    """Measure one workload config; returns a result dict (fps + mean step
+    constraint error so speed A/Bs carry their quality number too).
 
     lm_frozen: None reads MG_BENCH_LM_FROZEN; True/False force the
     frozen-correspondence LM for A/B extras runs.  lm_frozen_closed=False
-    keeps the jax.linearize jacobian for the closed-form A/B extra."""
+    keeps the jax.linearize jacobian for the closed-form A/B extra.
+    frozen_ee: joint name for the frozen-ee LM fast path (config "ee"
+    A/B; slots on root + that one end-effector)."""
     import jax
     import jax.numpy as jnp
 
@@ -292,7 +389,9 @@ def run_config(config: str, on_tpu: bool, n_chars: int, n_steps: int,
         # and the extras pass still records the exact-LM number each run
         if lm_frozen is None:
             lm_frozen = os.environ.get("MG_BENCH_LM_FROZEN", "1") == "1"
-        lm_frozen = bool(lm_frozen) and root_only
+        lm_frozen = bool(lm_frozen) and (root_only or frozen_ee is not None)
+        if not lm_frozen:
+            frozen_ee = None
 
         @jax.jit
         def crowd(g, keys, sids):
@@ -302,7 +401,8 @@ def run_config(config: str, on_tpu: bool, n_chars: int, n_steps: int,
                 lm_iters=lm_iters, lm_threshold=5.0,
                 pallas_selection=use_pallas, pallas_ee=pallas_ee,
                 root_only=root_only, lm_frozen=lm_frozen,
-                lm_frozen_closed=lm_frozen_closed))(keys, paths, sids)
+                lm_frozen_closed=lm_frozen_closed,
+                frozen_ee=frozen_ee))(keys, paths, sids)
 
     keys = jax.random.split(jax.random.PRNGKey(0), n_chars)
     # AOT: ONE compile serves both the cost analysis and the timed runs
@@ -339,11 +439,28 @@ def run_config(config: str, on_tpu: bool, n_chars: int, n_steps: int,
     outs = []
     t0 = time.perf_counter()
     for i in range(n_iters):
-        segs, nf, _, _ = crowd(stacked, all_keys[i], start_ids)
-        outs.append((segs, nf))
+        segs, nf, _, errs = crowd(stacked, all_keys[i], start_ids)
+        outs.append((segs, nf, errs))
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
-    total = int(sum(int(jnp.sum(nf)) for _, nf in outs))
+    total = int(sum(int(jnp.sum(nf)) for _, nf, _ in outs))
+    if dt < 1e-3 * n_iters:
+        # degraded-tunnel mode (observed 2026-08-20 14:12): block_until_
+        # ready returns immediately while the device still computes — the
+        # jnp.sum host pulls above DID wait, so re-read the clock and use
+        # the pull-inclusive wall time instead of reporting garbage fps
+        dt2 = time.perf_counter() - t0
+        _log(f"# WARNING: block_until_ready returned in {dt * 1e3:.2f}ms "
+             f"({n_iters} iters — impossible); using post-pull wall "
+             f"{dt2:.2f}s")
+        dt = dt2
+    # mean per-step constraint error over emitted steps: every speed A/B
+    # carries its quality number (a faster LM variant that converges worse
+    # must show it here, not hide behind fps)
+    err_sum = sum(float(jnp.sum(jnp.where(nf > 0, errs, 0.0)))
+                  for _, nf, errs in outs)
+    n_emitted = sum(int(jnp.sum(nf > 0)) for _, nf, _ in outs)
+    mean_err = err_sum / max(n_emitted, 1)
 
     fps = total / dt
     if flops:
@@ -355,7 +472,8 @@ def run_config(config: str, on_tpu: bool, n_chars: int, n_steps: int,
              f"-> {flops/per_iter/1e12:.2f} TFLOP/s ({100*mfu:.1f}% of f32 "
              f"peak), {bytes_accessed/per_iter/1e9:.0f} GB/s "
              f"({100*hbm:.1f}% of HBM peak)")
-    return {"fps": fps, "frames": total, "seconds": dt}
+    return {"fps": fps, "frames": total, "seconds": dt,
+            "mean_err": mean_err}
 
 
 def main() -> None:
@@ -377,8 +495,13 @@ def main() -> None:
              else "# tpu-unavailable: falling back to reduced-scale CPU "
                   "parity run (marker in JSON line)")
         jax.config.update("jax_platforms", "cpu")
+        # AVX2 codegen baseline: cached XLA:CPU AOT entries stay loadable
+        # across driver hosts (see tests/conftest.py)
+        xf = os.environ.get("XLA_FLAGS", "")
+        if "xla_cpu_max_isa" not in xf:
+            os.environ["XLA_FLAGS"] = (xf + " --xla_cpu_max_isa=AVX2").strip()
         jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/jax_cache_mg_bench")
+                          "/tmp/jax_cache_mg_bench_avx2")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         scale = dict(n_chars=16, n_steps=4, n_samples=16, n_iters=2,
@@ -386,8 +509,24 @@ def main() -> None:
     else:
         scale = dict(n_chars=1024, n_steps=8, n_samples=64, n_iters=5,
                      lm_iters=3)
-        preflight_lm_solve()
+        # headline-first (VERDICT r4 #2): decide the Pallas-solve toggle
+        # from the newest BANKED on-TPU A/B — zero pre-headline probe time.
+        # The live A/B re-proves the decision post-headline (extras below)
+        # and banks its verdict for the next run.
+        if os.environ.get("MG_LM_PALLAS_SOLVE") is None:
+            banked = banked_lm_solve_decision()
+            os.environ["MG_LM_PALLAS_SOLVE"] = banked if banked else "0"
+            if banked is None:
+                _log("# lm-solve decision: no banked A/B found -> 0")
+        if os.environ.get("MG_LM_PALLAS_DELTA") is None:
+            banked_d = banked_lm_delta_decision()
+            os.environ["MG_LM_PALLAS_DELTA"] = banked_d if banked_d else "0"
+            if banked_d is None:
+                _log("# lm-delta decision: no banked A/B found -> 0")
 
+    if config == "ee" and os.environ.get("MG_BENCH_EE_FROZEN", "1") == "1":
+        scale["frozen_ee"] = "RightHand"
+        scale["lm_frozen"] = True
     res = run_config(config, on_tpu, **scale)
     out = {
         "metric": "constrained_synthesis_frames_per_sec_per_chip",
@@ -425,8 +564,14 @@ def main() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         snapshot_path = os.path.join(here, "benchmarks", "results",
                                      f"BENCH_TPU_{stamp}.json")
+        # "lm_solve_decision" is what the headline RAN with (banked/env);
+        # "lm_solve_preflight_live" lands below only if the post-headline
+        # live A/B completes.  banked_lm_solve_decision deliberately never
+        # reads "lm_solve_decision" — a banked value must not launder
+        # itself into a measurement.
         snap = {"utc": stamp, "config": config, "headline": out,
-                "lm_solve_preflight": os.environ.get("MG_LM_PALLAS_SOLVE"),
+                "lm_solve_decision": os.environ.get("MG_LM_PALLAS_SOLVE"),
+                "lm_delta_decision": os.environ.get("MG_LM_PALLAS_DELTA"),
                 "extras": {}}
         try:
             os.makedirs(os.path.dirname(snapshot_path), exist_ok=True)
@@ -436,6 +581,26 @@ def main() -> None:
         except OSError as e:
             _log(f"# snapshot write failed: {e}")
             snapshot_path = None
+
+    # post-headline: re-prove the Pallas-solve decision live and bank the
+    # verdict for the next run's banked_lm_solve_decision (degraded-tunnel
+    # hangs now cost only this stage, never the headline)
+    if (on_tpu and os.environ.get("MG_BENCH_EXTRAS", "1") != "0"):
+        pf_timeout = int(os.environ.get("MG_BENCH_PREFLIGHT_TIMEOUT", "600"))
+        for snap_key, env_key, runner in (
+                ("lm_solve_preflight_live", "MG_LM_PALLAS_SOLVE",
+                 preflight_lm_solve),
+                ("lm_delta_preflight_live", "MG_LM_PALLAS_DELTA",
+                 preflight_lm_delta)):
+            live = runner(timeout_s=pf_timeout)
+            if live is not None and snapshot_path is not None:
+                snap[snap_key] = live
+                with open(snapshot_path, "w") as f:
+                    json.dump(snap, f, indent=1)
+                if live != os.environ.get(env_key):
+                    _log(f"# {env_key}: live verdict {live} DISAGREES with "
+                         f"the banked decision the headline ran with; next "
+                         f"run picks up the live value")
 
     # secondary numbers in the same driver artifact (the tail captures
     # stderr): the end-effector config — the heaviest constraint semantics
@@ -453,7 +618,8 @@ def main() -> None:
             try:
                 r = run_config(**kw)
                 rec = {f"{name}_frames_per_sec": round(r["fps"], 1),
-                       f"{name}_vs_baseline": round(r["fps"] / 10000.0, 3)}
+                       f"{name}_vs_baseline": round(r["fps"] / 10000.0, 3),
+                       f"{name}_mean_err": round(r["mean_err"], 3)}
                 _log("# extras " + json.dumps(rec))
                 if snapshot_path is not None:
                     snap["extras"][name] = rec
@@ -463,8 +629,16 @@ def main() -> None:
                 _log(f"# {name} extras run failed: "
                      f"{type(e).__name__}: {e}")
 
+        # ee default = FROZEN since the 2026-08-20 A/B measured 2.57x at
+        # +0.26% mean_err (BENCH_TPU_20260820T142739Z.json); the ee_exact
+        # extra keeps the justification on record each run
+        ee_frozen = os.environ.get("MG_BENCH_EE_FROZEN", "1") == "1"
         extra("ee", config="ee", on_tpu=on_tpu, n_chars=1024, n_steps=8,
-              n_samples=64, n_iters=3, lm_iters=3)
+              n_samples=64, n_iters=3, lm_iters=3, lm_frozen=ee_frozen,
+              frozen_ee="RightHand" if ee_frozen else None)
+        extra("ee_exact", config="ee", on_tpu=on_tpu, n_chars=1024,
+              n_steps=8, n_samples=64, n_iters=3, lm_iters=3,
+              lm_frozen=False)
         # exact LM vs the (now frozen-by-default) headline: keeps the A/B
         # that justified the default flip on record every TPU run
         extra("lm_exact", config="ref", on_tpu=on_tpu, n_chars=1024,
@@ -476,6 +650,7 @@ def main() -> None:
         extra("lm_frozen_linz", config="ref", on_tpu=on_tpu, n_chars=1024,
               n_steps=8, n_samples=64, n_iters=3, lm_iters=3,
               lm_frozen=True, lm_frozen_closed=False)
+
 
 
 if __name__ == "__main__":

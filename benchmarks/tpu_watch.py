@@ -66,7 +66,12 @@ def run_bench(timeout_s: int) -> dict | None:
         if result is not None:
             result["partial"] = True  # headline only; extras/A-Bs missing
         return result
-    return _parse(p.stdout, p.stderr, rc=p.returncode)
+    result = _parse(p.stdout, p.stderr, rc=p.returncode)
+    if result is not None and p.returncode != 0:
+        # headline JSON landed but the process died mid-extras: bank it,
+        # but keep hunting for a complete window (same as a timeout)
+        result["partial"] = True
+    return result
 
 
 def _parse(stdout: str, stderr: str, rc: int) -> dict | None:
