@@ -163,11 +163,21 @@ def apply_ik_trajectory_constraints(skeleton: Skeleton, frames: np.ndarray,
         joint_mask[0] = 0.0  # root is the walk's alignment anchor
         targets = np.zeros((n, ik_ops.MAX_IK_CONSTRAINTS, 3), np.float32)
         targets[:, 0, :] = pts
+        # pad the batch to a multiple of 32: every distinct range length
+        # would otherwise compile its own vmapped solve (ranges are
+        # per-action and arbitrary)
+        n_pad = ((n + 31) // 32) * 32
+        batch_p = jnp.concatenate(
+            [batch, jnp.broadcast_to(batch[-1],
+                                     (n_pad - n,) + batch.shape[1:])])
+        targets_p = np.concatenate(
+            [targets, np.broadcast_to(targets[-1],
+                                      (n_pad - n,) + targets.shape[1:])])
         edited = np.asarray(jax.vmap(
             lambda f, t: ik_ops.solve_ik(
                 skeleton, f, jnp.asarray(nodes), t, jnp.asarray(mask),
                 jnp.asarray(joint_mask), n_iters=n_iters))(
-            batch, jnp.asarray(targets)))
+            batch_p, jnp.asarray(targets_p)))[:n]
         # ramp: 1 in the interior, linear decay to 0 at both range edges
         w = max(1, min(int(blend_window), n // 2))
         ramp = np.ones(n, np.float32)
