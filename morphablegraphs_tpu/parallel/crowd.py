@@ -151,6 +151,19 @@ def constrained_crowd_sharded(mesh: Mesh, skeleton, g: StackedGraph, paths,
         # kernel would silently mis-rank any user slot it doesn't score
         cw.check_pallas_selection_contract(skeleton, step_scs,
                                            walk_kw.get("pallas_ee"))
+    if walk_kw.get("lm_frozen") and walk_kw.get("frozen_ee") \
+            and not walk_kw.get("root_only"):
+        # frozen-ee models root slots + ONE position-only ee keyframe in
+        # slot 2 (constrained_walk_full_crowd's check, same boundary rule);
+        # the frozen-ee program is pure XLA, so it shards fine on a mesh
+        from ..constraints import compiled
+        if not compiled.step_scs_pallas_ee_only(
+                step_scs, skeleton.index_of(walk_kw["frozen_ee"])):
+            raise ValueError(
+                "lm_frozen+frozen_ee models root slots plus ONE "
+                f"position-only keyframe on '{walk_kw['frozen_ee']}' in "
+                "slot 2; step_scs carries other user slots — use the "
+                "exact LM")
 
     dp = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())

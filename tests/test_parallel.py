@@ -143,3 +143,47 @@ def test_constrained_crowd_sharded_rejects_unscored_slots(stacked):
             jnp.full((1,), start, jnp.int32), n_steps=2, step_scs=scs,
             max_step_frames=32, n_samples=128, lm_iters=2,
             pallas_selection=True)
+
+
+def test_constrained_crowd_sharded_frozen_ee(stacked):
+    """The frozen-ee LM (pure XLA — GSPMD-partitionable, unlike the Pallas
+    kernels) runs through the sharded crowd and matches single-device
+    execution; a step_scs with slots outside the frozen-ee family hits the
+    same host-side contract guard as constrained_walk_full_crowd."""
+    from morphablegraphs_tpu.constraints import compiled
+    from morphablegraphs_tpu.ops import spline_path
+    from morphablegraphs_tpu.synthesis import constrained_walk as cw
+    skel, _ = sk.load_bvh(TEST_BVH)
+    start = stacked.node_id(("walk", "beginLeftStance"))
+    n_chars = 8
+    paths = cw.stack_paths([spline_path.build(
+        np.array([[0.0, 0, 0], [4.0 * i, 0, 60], [0.0, 0, 120]], np.float32),
+        unconstrained_dims=(1,)) for i in range(n_chars)])
+    base = compiled.empty_step_constraints(skel, 0)
+    base = compiled.set_keyframe_constraint(
+        base, 2, skel, "Head", 10.0, position=[5.0, 20.0, 30.0])
+    scs = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (2,) + np.shape(x)), base)
+    kw = dict(n_steps=2, max_step_frames=32, n_samples=8, lm_iters=2,
+              lm_frozen=True, frozen_ee="Head")
+    keys = jax.random.split(jax.random.PRNGKey(4), n_chars)
+    single = jax.vmap(lambda k, p, s: cw.constrained_walk_full(
+        skel, k, stacked, p, s, step_scs=scs, **kw))(
+            keys, paths, jnp.full((n_chars,), start, jnp.int32))
+    mesh = parallel.make_mesh(8)
+    sharded = parallel.constrained_crowd_sharded(
+        mesh, skel, stacked, paths, jax.random.PRNGKey(4),
+        jnp.full((n_chars,), start, jnp.int32), step_scs=scs, **kw)
+    np.testing.assert_array_equal(np.asarray(single[2]),
+                                  np.asarray(sharded[2]))
+    np.testing.assert_allclose(np.asarray(single[0]), np.asarray(sharded[0]),
+                               atol=1e-2)
+    # contract guard: a second user slot outside the frozen-ee family
+    bad = compiled.set_keyframe_constraint(
+        base, 3, skel, skel.node_names[1], 5.0, position=[0.0, 1.0, 2.0])
+    bad_scs = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (2,) + np.shape(x)), bad)
+    with pytest.raises(ValueError, match="frozen-ee|exact LM"):
+        parallel.constrained_crowd_sharded(
+            mesh, skel, stacked, paths, jax.random.PRNGKey(4),
+            jnp.full((n_chars,), start, jnp.int32), step_scs=bad_scs, **kw)
