@@ -156,12 +156,20 @@ def banked_toggle_decision(keys: tuple, label: str) -> str | None:
     window (VERDICT r4 #2).  The headline run now trusts the newest banked
     decision and the live A/B re-proves it AFTER the headline JSON is out.
     `keys` are snapshot fields in preference order (the '_live' key is
-    written post-headline by this file; the legacy 'lm_solve_preflight'
-    key only existed when a live A/B actually ran)."""
+    written post-headline by this file or parsed out by tpu_watch; the
+    legacy 'lm_solve_preflight' key only existed when a live A/B actually
+    ran).
+
+    Hysteresis: one A/B window can be noise (the 2026-08-20 solve-kernel
+    verdicts swung 1.38x -> 1.01x -> 0.83x across windows), so the verdict
+    is the MAJORITY of the newest up-to-3 banked votes (tie -> newest) —
+    a real regression flips the decision within three runs, a single
+    outlier window cannot flap the headline configuration."""
     import glob
     here = os.path.dirname(os.path.abspath(__file__))
     paths = sorted(glob.glob(os.path.join(here, "benchmarks", "results",
                                           "BENCH_TPU_*.json")), reverse=True)
+    votes = []
     for path in paths:
         try:
             with open(path) as f:
@@ -171,10 +179,22 @@ def banked_toggle_decision(keys: tuple, label: str) -> str | None:
         for key in keys:
             v = rec.get(key)
             if v in ("0", "1"):
-                _log(f"# {label} decision: banked {key}={v} "
-                     f"({os.path.basename(path)})")
-                return v
-    return None
+                votes.append((v, key, os.path.basename(path)))
+                break  # one vote per snapshot
+        if len(votes) == 3:
+            break
+    if not votes:
+        return None
+    ones = sum(1 for v, _, _ in votes if v == "1")
+    if ones * 2 > len(votes):
+        verdict = "1"
+    elif ones * 2 < len(votes):
+        verdict = "0"
+    else:
+        verdict = votes[0][0]
+    _log(f"# {label} decision: {verdict} (majority of "
+         + ", ".join(f"{k}={v} [{p}]" for v, k, p in votes) + ")")
+    return verdict
 
 
 def banked_lm_solve_decision() -> str | None:
@@ -276,6 +296,54 @@ def preflight_lm_solve(timeout_s: int = 600) -> str | None:
 
 def preflight_lm_delta(timeout_s: int = 600) -> str | None:
     return _run_kernel_preflight(_DELTA_PROBE_CODE, "lm-delta", timeout_s)
+
+
+_SOLVE_COMPILE_CHECK = """
+import numpy as np, jax, jax.numpy as jnp
+from morphablegraphs_tpu.ops import pallas_kernels as pk
+rng = np.random.default_rng(0)
+a0 = rng.standard_normal((8, 8)).astype(np.float32)
+a = jnp.broadcast_to(jnp.asarray(a0 @ a0.T + 2 * np.eye(8, dtype=np.float32)),
+                     (1024, 8, 8))
+g = jnp.asarray(rng.standard_normal((1024, 8)).astype(np.float32))
+jax.block_until_ready(pk.chol_solve_crowd(a, g))
+print("COMPILE_CHECK_OK")
+"""
+
+_DELTA_COMPILE_CHECK = """
+import numpy as np, jax, jax.numpy as jnp
+from morphablegraphs_tpu.ops import pallas_kernels as pk
+rng = np.random.default_rng(0)
+j = jnp.asarray(rng.standard_normal((1024, 10, 8)).astype(np.float32))
+r = jnp.asarray(rng.standard_normal((1024, 10)).astype(np.float32))
+lam = jnp.full((1024,), 0.1, jnp.float32)
+rad = jnp.full((1024,), 2.0, jnp.float32)
+jax.block_until_ready(pk.lm_delta_crowd(j, r, lam, rad))
+print("COMPILE_CHECK_OK")
+"""
+
+
+def kernel_compile_check(code: str, label: str, timeout_s: int = 240) -> bool:
+    """Cheap pre-headline guard for a BANKED-ON Mosaic kernel: compile +
+    dispatch a tiny instance in a bounded subprocess.  A banked '1' from an
+    earlier window must never wedge the headline if the environment changed
+    (jax/libtpu/Mosaic regression) — and a crashed headline banks nothing,
+    so without this check the same stale '1' would kill every subsequent
+    run too.  Failure demotes the toggle for THIS run only; the banked
+    verdicts stay untouched (the live A/B re-records honestly later)."""
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s, cwd=os.path.dirname(
+                               os.path.abspath(__file__)))
+        ok = p.returncode == 0 and "COMPILE_CHECK_OK" in p.stdout
+        if not ok:
+            _log(f"# {label} compile-check FAILED (rc={p.returncode}): "
+                 f"{(p.stderr or p.stdout).strip()[-200:]}")
+        return ok
+    except subprocess.TimeoutExpired:
+        _log(f"# {label} compile-check timed out ({timeout_s}s)")
+        return False
 
 
 def rand_path(rng, spline_path, granularity=256):
@@ -392,6 +460,13 @@ def run_config(config: str, on_tpu: bool, n_chars: int, n_steps: int,
         lm_frozen = bool(lm_frozen) and (root_only or frozen_ee is not None)
         if not lm_frozen:
             frozen_ee = None
+        if frozen_ee is not None and not cmp.step_scs_pallas_ee_only(
+                step_scs, skel.index_of(frozen_ee)):
+            # the closed frozen-ee form silently scores out-of-contract
+            # slots against the ROOT (compiled.py HARD CONTRACT note) —
+            # this is the host boundary that must refuse
+            raise ValueError(f"frozen_ee='{frozen_ee}' needs root slots + "
+                             "ONE position-only ee keyframe in slot 2")
 
         @jax.jit
         def crowd(g, keys, sids):
@@ -513,16 +588,25 @@ def main() -> None:
         # from the newest BANKED on-TPU A/B — zero pre-headline probe time.
         # The live A/B re-proves the decision post-headline (extras below)
         # and banks its verdict for the next run.
-        if os.environ.get("MG_LM_PALLAS_SOLVE") is None:
-            banked = banked_lm_solve_decision()
-            os.environ["MG_LM_PALLAS_SOLVE"] = banked if banked else "0"
+        cc_timeout = int(os.environ.get("MG_BENCH_COMPILE_CHECK_TIMEOUT",
+                                        "240"))
+        for env_key, decide, cc_code, label in (
+                ("MG_LM_PALLAS_SOLVE", banked_lm_solve_decision,
+                 _SOLVE_COMPILE_CHECK, "lm-solve"),
+                ("MG_LM_PALLAS_DELTA", banked_lm_delta_decision,
+                 _DELTA_COMPILE_CHECK, "lm-delta")):
+            if os.environ.get(env_key) is not None:
+                continue
+            banked = decide()
             if banked is None:
-                _log("# lm-solve decision: no banked A/B found -> 0")
-        if os.environ.get("MG_LM_PALLAS_DELTA") is None:
-            banked_d = banked_lm_delta_decision()
-            os.environ["MG_LM_PALLAS_DELTA"] = banked_d if banked_d else "0"
-            if banked_d is None:
-                _log("# lm-delta decision: no banked A/B found -> 0")
+                _log(f"# {label} decision: no banked A/B found -> 0")
+            verdict = banked if banked else "0"
+            if verdict == "1" and not kernel_compile_check(
+                    cc_code, label, timeout_s=cc_timeout):
+                _log(f"# {label}: banked ON but compile-check failed -> "
+                     f"0 for this run")
+                verdict = "0"
+            os.environ[env_key] = verdict
 
     if config == "ee" and os.environ.get("MG_BENCH_EE_FROZEN", "1") == "1":
         scale["frozen_ee"] = "RightHand"

@@ -72,7 +72,6 @@ def _setup():
 
 def config1_unconstrained():
     """Pose error vs the scipy oracle + single-primitive throughput."""
-    sys.path.insert(0, "tests")
     from morphablegraphs_tpu.models import primitive as prim_mod
     from morphablegraphs_tpu.utils.synthetic import make_legacy_model_json
     from reference_oracle import OracleMotionPrimitive
@@ -102,7 +101,6 @@ def config2_graph_walk():
     (tests/reference_oracle.oracle_align_concat), and both buffers are
     scored by max root seam jump.  vs_baseline = repo / oracle (<= 1 means
     at-or-smoother-than reference semantics, config-3 convention)."""
-    sys.path.insert(0, "tests")
     from morphablegraphs_tpu.synthesis import walk as walk_mod
     from reference_oracle import oracle_align_concat
     graph, stacked = _setup()

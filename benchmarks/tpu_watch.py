@@ -91,13 +91,24 @@ def _parse(stdout: str, stderr: str, rc: int) -> dict | None:
     if "fallback" in headline:
         log(f"bench fell back ({headline['fallback']}); window closed mid-run")
         return None
-    return {
+    result = {
         "utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
             timespec="seconds"),
         "headline": headline,
         "bench_rc": rc,
         "stderr_tail": stderr.strip().splitlines()[-60:],
     }
+    # bank the post-headline live A/B verdicts as PROPER fields so
+    # bench.banked_toggle_decision can read them from watcher snapshots
+    # (with MG_BENCH_SNAPSHOT=0 bench.py itself banks nothing)
+    for label, key in (("lm-solve", "lm_solve_preflight_live"),
+                       ("lm-delta", "lm_delta_preflight_live")):
+        for line in stderr.splitlines():
+            line = line.rstrip()
+            if (line.startswith(f"# {label} live preflight:")
+                    and line[-4:] in ("-> 0", "-> 1")):
+                result[key] = line[-1]
+    return result
 
 
 def snapshot(result: dict) -> str:

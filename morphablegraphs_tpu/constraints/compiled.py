@@ -848,7 +848,18 @@ def make_frozen_root_residuals_closed(skeleton: Skeleton, knots_s: jax.Array,
     over those affine channel rows — still a cheap head under the SAME
     one-VJP jacobian pass, so the ee pick/place workload gets the fused
     frozen iteration the root-only headline rides (the exact-LM tangents
-    through full dense FK were the measured 3.4x ee gap, VERDICT r4 #4)."""
+    through full dense FK were the measured 3.4x ee gap, VERDICT r4 #4).
+
+    HARD CONTRACT (host-checkable only — kf_node is traced here): every
+    active keyframe slot must reference the ROOT or `ee_node`.  A slot on
+    any OTHER joint is silently scored against the root's transform by
+    this closed form (the `jnp.where(is_ee, ...)` select has no third
+    chain), while the linearize spec (`make_frozen_root_residuals`, which
+    uses fk_node per slot) would score it correctly — the two forms then
+    disagree with no error raised.  Callers gate with
+    `step_scs_pallas_ee_only` at their host boundary
+    (constrained_walk_full_crowd, constrained_crowd_sharded,
+    bench.run_config)."""
     from ..models.skeleton import _fk_tables, _rest_table
 
     if _fk_tables(skeleton)[0] != 0:
@@ -870,7 +881,6 @@ def make_frozen_root_residuals_closed(skeleton: Skeleton, knots_s: jax.Array,
     # joint's quaternion block
     ch_idx = list(range(7)) + [3 + 4 * a + j for a in ch_extra
                                for j in range(4)]
-    n_ch = len(ch_idx)
     d = n_dim
     parts = [sc.kf_frame, sc.dir_frame[None], sc.la_frame[None],
              sc.rt_frame[None], sc.jr_frame[None]]

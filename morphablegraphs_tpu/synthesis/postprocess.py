@@ -313,27 +313,23 @@ def post_process_motion(skeleton: Skeleton, frames: np.ndarray, steps,
     keyframe IK edits -> trajectory IK edits (CA "ik" mode) -> grounding."""
     config = config or {}
     ik_settings = config.get("inverse_kinematics_settings", {})
+    # the reference budget is scipy-minimize iterations over all dofs; DLS
+    # converges ~100x faster per iteration, so scale it (default 1000 ->
+    # 10 DLS iterations) — shared by the keyframe and trajectory passes
+    budget = int(np.clip(
+        round(int(ik_settings.get("max_iterations", 1000)) / 100), 1, 25))
     if ik_constraints and config.get("activate_inverse_kinematics", True):
         # max_iterations bounds the DLS solve; activate_blending=False
         # applies the edit only at the constrained frame (reference
         # inverse_kinematics_settings, motion_generator.py:298-320)
         interp = (int(ik_settings.get("interpolation_window", 120))
                   if ik_settings.get("activate_blending", True) else 0)
-        # the reference budget is scipy-minimize iterations over all dofs;
-        # DLS converges ~100x faster per iteration, so scale the budget
-        # (default 1000 -> 10 DLS iterations, preserving prior behavior)
-        budget = int(np.clip(
-            round(int(ik_settings.get("max_iterations", 1000)) / 100),
-            1, 25))
         frames = apply_ik_constraints(
             skeleton, frames, ik_constraints,
             interpolation_window=interp, n_iters=budget,
             optimize_orientation=bool(
                 ik_settings.get("optimize_orientation", True)))
     if ik_trajectories and config.get("activate_inverse_kinematics", True):
-        budget = int(np.clip(
-            round(int(ik_settings.get("max_iterations", 1000)) / 100),
-            1, 25))
         frames = apply_ik_trajectory_constraints(
             skeleton, frames, ik_trajectories, n_iters=budget,
             blend_window=int(ik_settings.get("transition_window", 60)) // 6)
