@@ -78,6 +78,16 @@ def main():
         ("no LM, 1 sample (floor sans selection)",
          dict(n_samples=1, lm_iters=0, pallas_selection=False,
               root_only=True)),
+        # floor decomposition (round 5): peel the advancing closest-point
+        # machinery (selection scoring + winner re-score + travelled-arc
+        # update all query the table) and the seam smoothing out of the
+        # 1-sample floor
+        ("no LM, 1 sample, no traj",
+         dict(n_samples=1, lm_iters=0, pallas_selection=False,
+              use_traj=False, root_only=True)),
+        ("no LM, 1 sample, no smoothing",
+         dict(n_samples=1, lm_iters=0, pallas_selection=False,
+              root_only=True, window=0)),
         # per-iteration LM slope: (3-iter - 1-iter)/2 = marginal cost of
         # one closed-form LM iteration (VJP pass + contractions + solve)
         ("frozen-closed, 1 LM iter",
