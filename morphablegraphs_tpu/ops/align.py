@@ -101,13 +101,29 @@ def smooth_transition(prev_frame: jax.Array, frames: jax.Array, window: int,
     if window <= 0:
         return frames
     t, d = frames.shape
-    frames = quat.frame_fix_signs(frames, prev_frame)
+    # single-expression form of frame_fix_signs + offset blend: the
+    # per-joint hemisphere flip becomes a +/-1 channel mask multiplied
+    # into the same FMA that applies the decay, so XLA fuses the whole
+    # smoothing into ~2 HBM passes over the clip instead of the 4-5 the
+    # fix-then-concat-then-blend chain materialized (measured 23 ms of
+    # the 76 ms per-iteration no-LM floor at crowd scale,
+    # benchmarks/breakdown.py round-5 decomposition).  Values are
+    # identical: sign(dot) multiplication == fix_signs' where-flip.
+    quats = frames[:, 3:].reshape(t, -1, 4)
+    ref = prev_frame[3:].reshape(-1, 4)
+    dots = jnp.einsum("tjc,jc->tj", quats, ref,
+                      precision=jax.lax.Precision.HIGHEST)  # [T, J]
+    sign_q = jnp.where(dots < 0.0, -1.0, 1.0)
+    sign = jnp.concatenate(
+        [jnp.ones((t, 3), frames.dtype),
+         jnp.broadcast_to(sign_q[:, :, None],
+                          sign_q.shape + (4,)).reshape(t, d - 3)], axis=-1)
     factors = smoothing_factors(window, t, frames.dtype)  # [T]
-    magnitude = prev_frame - frames[0]  # [D]
+    magnitude = prev_frame - frames[0] * sign[0]  # [D]
     dof_mask = jnp.ones((d,), frames.dtype)
     if not include_root_xz:
         dof_mask = dof_mask.at[0].set(0.0).at[2].set(0.0)
-    return frames + factors[:, None] * (magnitude * dof_mask)[None, :]
+    return frames * sign + factors[:, None] * (magnitude * dof_mask)[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("window", "ref_vector"))
